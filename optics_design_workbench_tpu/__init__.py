@@ -1,0 +1,38 @@
+'''
+optics_design_workbench_tpu — a TPU-native optics ray-tracing framework.
+
+A brand-new JAX/XLA/Pallas re-design of the capabilities of the FreeCAD
+"Optics Design Workbench" (reference: zaphB/freecad.optics_design_workbench):
+physically accurate forward ray tracing of CAD-defined optical assemblies with
+
+  * point / surface / replay light sources whose ray directions and positions
+    are sampled from arbitrary user-supplied symbolic power-density
+    expressions (reference: distributions/random_number_generator.py),
+  * mirror / lens / grating / absorber / vacuum-detector optical elements with
+    Snell refraction + total internal reflection, specular and stochastic
+    scattering, Ludwig-1970 grating diffraction and Beer-Lambert absorption
+    (reference: freecad_elements/ray.py, optical_group.py),
+  * deterministic ray-fan and Monte-Carlo simulation modes with the same
+    on-disk results contract (`<name>.OpticsDesign/raw/simulation-run-N/...`)
+    and the same Jupyter analysis/optimization workflow
+    (reference: simulation/results_store.py, jupyter_utils/).
+
+Unlike the reference — a per-ray Python loop calling FreeCAD's OpenCASCADE
+C++ kernel — this framework compiles the scene to device arrays of analytic
+surfaces, traces batches of millions of rays with a `jax.lax.scan` bounce
+loop over vmapped closed-form intersection kernels, samples sources with
+`jax.random` through pre-tabulated inverse-CDF tables, records hits with
+on-device scatter-adds, and shards the ray axis across chips with
+`jax.sharding`/`shard_map`.
+'''
+
+__version__ = '0.1.0'
+
+
+def versionInfo():
+  '''Return a dict describing the framework version (reference:
+  freecad/optics_design_workbench/__init__.py:58).'''
+  import jax
+  return dict(version=__version__,
+              jax=jax.__version__,
+              backend=jax.default_backend())

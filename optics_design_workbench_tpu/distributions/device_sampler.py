@@ -1,0 +1,156 @@
+'''
+On-device sampling from compiled random variables.
+
+The reference draws all random numbers with per-process numpy and feeds them
+through python loops (random_number_generator.py:467-560). Here the compiled
+per-variable conditional inverse-CDF transforms are exported as JAX arrays so
+that source sampling runs *inside* the jitted trace step: millions of
+(theta, phi) draws per step, chained conditionally, with `jax.random` keyed
+streams. Conditional draws use a vectorized binary search over the CDF rows
+instead of materializing per-draw CDF columns, so HBM traffic stays at
+O(N log R) gathered scalars.
+'''
+
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def nearestIndex(grid, x):
+  '''Index of the nearest entry of sorted 1-D `grid` for each x (device).'''
+  pos = jnp.clip(jnp.searchsorted(grid, x), 1, grid.shape[0] - 1)
+  lo, hi = grid[pos - 1], grid[pos]
+  return jnp.where(jnp.abs(x - lo) <= jnp.abs(hi - x), pos - 1, pos)
+
+
+def interpInverseRows(cdf, values, rows, u):
+  '''
+  Row-wise inverse interpolation: for each draw j, find v such that
+  cdf[rows[j], :] crosses u[j] and linearly interpolate into `values`.
+  cdf rows are ascending with cdf[:, 0] == 0 and cdf[:, -1] == 1.
+  Implemented as a batched binary search (log2(R) gathers of N scalars).
+  '''
+  R = cdf.shape[1]
+  lo = jnp.zeros(rows.shape, dtype=jnp.int32)
+  hi = jnp.full(rows.shape, R - 1, dtype=jnp.int32)
+  steps = int(math.ceil(math.log2(max(R, 2))))
+
+  def body(_, lh):
+    lo, hi = lh
+    mid = (lo + hi) // 2
+    cm = cdf[rows, mid]
+    goRight = u >= cm
+    return (jnp.where(goRight, mid, lo), jnp.where(goRight, hi, mid))
+
+  lo, hi = lax.fori_loop(0, steps, body, (lo, hi))
+  c0, c1 = cdf[rows, lo], cdf[rows, hi]
+  v0, v1 = values[lo], values[hi]
+  frac = jnp.where(c1 > c0, (u - c0) / (c1 - c0), 0.)
+  return v0 + frac * (v1 - v0)
+
+
+def _tablesFromTransform(vrv, varI, dtype):
+  '''Build the device table dict for one variable of a compiled
+  VectorRandomVariable.'''
+  import sympy as sy
+  from .random_variables import _NumericTransform
+
+  t = vrv._transforms[varI]
+  discreteVals = np.asarray(getattr(t, 'discreteVals', np.zeros(0)), dtype=float)
+  discreteProbs = np.asarray(getattr(t, 'discreteProbs', np.zeros(0)), dtype=float)
+
+  if isinstance(t, _NumericTransform):
+    values, cdf, laterGrids = t.values, t.cdf, t.laterGrids
+  else:
+    # analytic mode: tabulate the continuum part numerically
+    smooth = (vrv._probabilityDensityExpr
+              .replace(sy.Heaviside, lambda *a: 0)
+              .replace(sy.DiracDelta, lambda *a: 0))
+    if smooth == 0 and len(discreteVals):
+      # purely discrete variable: dummy continuum table (never selected
+      # because the discrete probabilities sum to one)
+      l1, l2 = vrv._variableDomains.get(str(vrv._variables[varI]), (0., 1.))
+      values = np.linspace(l1, l2, 2)
+      cdf = np.array([[0., 1.]])
+      laterGrids = []
+    else:
+      num = vrv._numericTransform(varI, exprOverride=smooth)
+      values, cdf, laterGrids = num.values, num.cdf, num.laterGrids
+
+  # zero-mass conditional rows would be NaN; replace with a uniform ramp so
+  # they cannot poison downstream arithmetic (they are only reachable via
+  # measure-zero conditioning values)
+  ramp = np.linspace(0., 1., cdf.shape[1])
+  cdf = np.where(np.isnan(cdf), ramp[None, :], cdf)
+
+  return dict(
+      values=jnp.asarray(values, dtype=dtype),
+      cdf=jnp.asarray(cdf, dtype=dtype),
+      laterGrids=tuple(jnp.asarray(g, dtype=dtype) for g in laterGrids),
+      discreteVals=jnp.asarray(discreteVals, dtype=dtype),
+      discreteCum=jnp.asarray(np.cumsum(discreteProbs), dtype=dtype),
+  )
+
+
+def buildDeviceTables(vrv, dtype=jnp.float32):
+  '''
+  Export a compiled VectorRandomVariable as a tuple of per-variable device
+  table dicts (a pytree), ordered like vrv._variables. Pass the result to
+  `deviceDraw`. When a `variableOrder` was given, the output rows of
+  `deviceDraw` follow it.
+  '''
+  if vrv._transforms is None:
+    vrv.compile()
+  tables = tuple(_tablesFromTransform(vrv, i, dtype)
+                 for i in range(len(vrv._variables)))
+  names = [str(v) for v in vrv._variables]
+  if vrv._variableOrder:
+    order = tuple(names.index(v) for v in vrv._variableOrder if v in names)
+  else:
+    order = tuple(range(len(names)))
+  return dict(tables=tables, order=jnp.asarray(order, dtype=jnp.int32),
+              names=tuple(names))
+
+
+def deviceDraw(deviceTables, key, N, stratified=False):
+  '''
+  Draw N samples on device; returns an array of shape (numVariables, N) with
+  rows ordered by the variable order the tables were built with. Jittable
+  (N static). `stratified=True` feeds latin-hypercube quantiles through the
+  same transforms (the device analog of drawPseudo).
+  '''
+  tables = deviceTables['tables']
+  k = len(tables)
+  drawn = [None] * k
+  for i in reversed(range(k)):
+    t = tables[i]
+    key, kU, kPerm, kD = jax.random.split(key, 4)
+    if stratified:
+      u = (jnp.arange(N, dtype=t['values'].dtype)
+           + jax.random.uniform(kU, (N,), dtype=t['values'].dtype)) / N
+      u = jax.random.permutation(kPerm, u)
+    else:
+      u = jax.random.uniform(kU, (N,), dtype=t['values'].dtype)
+
+    laterGrids = t['laterGrids']
+    if laterGrids:
+      rows = jnp.zeros((N,), dtype=jnp.int32)
+      for g, vals in zip(laterGrids, [drawn[j] for j in range(i + 1, k)]):
+        rows = rows * g.shape[0] + nearestIndex(g, vals).astype(jnp.int32)
+    else:
+      rows = jnp.zeros((N,), dtype=jnp.int32)
+    out = interpInverseRows(t['cdf'], t['values'], rows, u)
+
+    if t['discreteVals'].shape[0]:
+      u2 = jax.random.uniform(kD, (N,), dtype=t['values'].dtype)
+      cum = t['discreteCum']
+      idx = jnp.clip(jnp.searchsorted(cum, u2, side='left'),
+                     0, cum.shape[0] - 1)
+      out = jnp.where(u2 <= cum[-1], t['discreteVals'][idx], out)
+    drawn[i] = out
+
+  result = jnp.stack(drawn)
+  return result[deviceTables['order']]
