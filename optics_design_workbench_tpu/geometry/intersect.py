@@ -1,0 +1,69 @@
+'''
+Nearest-intersection search over the compiled surface table.
+
+Device-side equivalent of the reference's `Ray.findNearestIntersection`
+(reference: freecad_elements/ray.py:290-401): every surface instance is
+tested in parallel (the brute-force analog of OCC's per-face loop — on TPU
+testing a few hundred analytic surfaces per ray is cheaper than any broad
+phase), rays are transformed into each surface's local frame, and the winner
+is selected with the reference's tie-breaking semantics: among all hits
+within 2*distTol of the closest one, prefer the closest hit that does NOT
+belong to the medium the ray currently travels in (ray.py:388-401).
+'''
+
+import jax
+import jax.numpy as jnp
+
+from . import surfaces as S
+
+
+def _toLocal(rot, off, o, d):
+  return rot @ o + off, rot @ d
+
+
+def allDistances(table, o, d, tMin, seqAllowed=None):
+  '''Distances from one world ray to every surface; +inf where no valid hit.
+  `seqAllowed` (bool (S,)) optionally masks surfaces not allowed at the
+  current sequential-mode index (reference: find.py:79-104).'''
+
+  def one(kind, params, trim, w2lRot, w2lOff):
+    lo, ld = _toLocal(w2lRot, w2lOff, o, d)
+    return S.intersectLocal(kind, params, trim, lo, ld, tMin)
+
+  t = jax.vmap(one)(table['kind'], table['params'], table['trim'],
+                    table['w2lRot'], table['w2lOff'])
+  if seqAllowed is not None:
+    t = jnp.where(seqAllowed, t, jnp.inf)
+  return t
+
+
+def selectNearest(t, elem, medium, distTol, maxRayLength):
+  '''Reference tie-breaking (ray.py:388-401): clip to maxRayLength; among
+  candidates within [tMin, tMin + 2*distTol], prefer the closest whose
+  element differs from the current medium; otherwise the closest overall.
+  Returns (hitIndex, tHit, hasHit).'''
+  t = jnp.where(t <= maxRayLength, t, jnp.inf)
+  tMinAll = jnp.min(t)
+  valid = jnp.isfinite(t)
+  prefer = valid & (t <= tMinAll + 2 * distTol) & (elem != medium)
+  hasPrefer = jnp.any(prefer)
+  tPref = jnp.where(prefer, t, jnp.inf)
+  idx = jnp.where(hasPrefer, jnp.argmin(tPref), jnp.argmin(t))
+  hasHit = jnp.isfinite(tMinAll)
+  return idx, jnp.where(hasHit, t[idx], jnp.inf), hasHit
+
+
+def hitNormal(table, idx, pWorld, dWorld):
+  '''Outward-of-solid normal at the hit point, then oriented "forward"
+  (non-negative dot with the travel direction) exactly like the reference's
+  getNormal (ray.py:403-428). Returns (forwardNormal, isEntering).'''
+  rot = table['w2lRot'][idx]
+  off = table['w2lOff'][idx]
+  pLocal = rot @ pWorld + off
+  nLocal = S.normalLocal(table['kind'][idx], table['params'][idx], pLocal)
+  nWorld = table['l2wRot'][idx] @ nLocal
+  outward = nWorld * table['orient'][idx]
+  cosAngle = jnp.dot(dWorld, outward)
+  isEntering = cosAngle < 0
+  forward = jnp.where(isEntering, -outward, outward)
+  return forward, isEntering

@@ -1,0 +1,307 @@
+'''
+Analytic surface tables — the device-side replacement for OpenCASCADE BRep.
+
+The reference's hot loop calls FreeCAD/OCC per ray and per face
+(`line.Curve.intersect(surface)`, `face.normalAt`, bbox tests — reference:
+freecad_elements/ray.py:340-383, 403-428; simulation/raytracing_cache.py).
+Here the scene is compiled once into SoA arrays of trimmed analytic surfaces
+(plane / sphere / cylinder / asphere / triangle), each carrying its rigid
+world<->local transform and the optical-element id it belongs to. Closed-form
+(or Newton, for aspheres) intersection and normals are evaluated in batch
+with `vmap` on device.
+
+Surface encoding
+================
+kind (int32):
+  0 PLANE     local z=0 plane.
+  1 SPHERE    centered at local origin, radius params[0] (>0).
+  2 CYLINDER  axis = local z, radius params[0].
+  3 ASPHERE   sag surface z = c*r^2/(1+sqrt(1-(1+k)*c^2*r^2)) + a4 r^4 +
+              a6 r^6 + a8 r^8 with c=params[0] (curvature, 1/R), k=params[1],
+              a4..a8 = params[2:5]. Covers conics (parabola k=-1, sphere k=0).
+  4 TRIANGLE  vertices in params[0:9] (local frame usually identity).
+
+trim (float32[6]): per-kind trim window (OCC face trimming analog,
+ray.py:375-382):
+  PLANE:    trim[0] shape flag (0=annulus, 1=rectangle);
+            annulus: r in [trim[1], trim[2]]; rect: |x|<=trim[1], |y|<=trim[2]
+  SPHERE:   z in [trim[1], trim[2]] (cap/zone selection)
+  CYLINDER: z in [trim[1], trim[2]]
+  ASPHERE:  r in [trim[1], trim[2]]
+  TRIANGLE: unused (barycentric test is the trim)
+
+orient (float32, +1/-1): multiplies the canonical normal to yield the
+*outward-of-solid* normal, which defines the entering/exiting decision
+(ray.py:403-428). Canonical normals: plane +z, sphere radially out, cylinder
+radially out, asphere grad(z - sag(r)) (points to +z side), triangle
+right-handed winding.
+'''
+
+import numpy as np
+import jax.numpy as jnp
+from jax import lax
+
+from . import transforms
+
+PLANE, SPHERE, CYLINDER, ASPHERE, TRIANGLE = 0, 1, 2, 3, 4
+N_PARAMS, N_TRIM = 9, 6
+_KIND_NAMES = {0: 'plane', 1: 'sphere', 2: 'cylinder', 3: 'asphere',
+               4: 'triangle'}
+
+
+# --------------------------------------------------------- host-side builders
+
+def _surf(kind, params, trim, transform, elem, orient):
+  p = np.zeros(N_PARAMS)
+  p[:len(params)] = params
+  t = np.zeros(N_TRIM)
+  t[:len(trim)] = trim
+  return dict(kind=kind, params=p, trim=t,
+              transform=np.asarray(transform, dtype=float),
+              elem=elem, orient=float(orient))
+
+
+def plane(transform, elem, radius=None, innerRadius=0., halfExtents=None,
+          orient=+1):
+  '''Disc/annulus (radius given) or rectangle (halfExtents given) in the
+  local z=0 plane.'''
+  if halfExtents is not None:
+    trim = (1., halfExtents[0], halfExtents[1])
+  else:
+    trim = (0., innerRadius, np.inf if radius is None else radius)
+  return _surf(PLANE, (), trim, transform, elem, orient)
+
+
+def sphere(transform, elem, radius, zRange=None, orient=+1):
+  '''Full sphere or z-trimmed zone/cap of radius `radius` centered at the
+  local origin.'''
+  if zRange is None:
+    zRange = (-radius, radius)
+  return _surf(SPHERE, (radius,), (0., zRange[0], zRange[1]),
+               transform, elem, orient)
+
+
+def cylinder(transform, elem, radius, zRange, orient=+1):
+  return _surf(CYLINDER, (radius,), (0., zRange[0], zRange[1]),
+               transform, elem, orient)
+
+
+def asphere(transform, elem, curvature, conic=0., coeffs=(0., 0., 0.),
+            rMax=np.inf, rMin=0., orient=+1):
+  '''Even asphere sag surface; curvature = 1/R at the vertex.'''
+  a = tuple(coeffs) + (0.,) * (3 - len(coeffs))
+  return _surf(ASPHERE, (curvature, conic) + a, (0., rMin, rMax),
+               transform, elem, orient)
+
+
+def triangle(v0, v1, v2, elem, orient=+1):
+  return _surf(TRIANGLE, tuple(v0) + tuple(v1) + tuple(v2), (),
+               np.eye(4), elem, orient)
+
+
+def buildSurfaceTable(surfs, dtype=jnp.float32):
+  '''Pack a list of surface dicts into a SoA device table (a pytree dict).'''
+  if not surfs:
+    raise ValueError('scene contains no surfaces')
+  mats = np.stack([s['transform'] for s in surfs])
+  matsInv = np.stack([np.linalg.inv(m) for m in mats])
+  w2lRot, w2lOff = transforms.rotRowsOffsets(matsInv, dtype=np.float32)
+  l2wRot, l2wOff = transforms.rotRowsOffsets(mats, dtype=np.float32)
+  return dict(
+      kind=jnp.asarray([s['kind'] for s in surfs], dtype=jnp.int32),
+      params=jnp.asarray(np.stack([s['params'] for s in surfs]), dtype=dtype),
+      trim=jnp.asarray(np.stack([s['trim'] for s in surfs]), dtype=dtype),
+      w2lRot=jnp.asarray(w2lRot, dtype=dtype),
+      w2lOff=jnp.asarray(w2lOff, dtype=dtype),
+      l2wRot=jnp.asarray(l2wRot, dtype=dtype),
+      l2wOff=jnp.asarray(l2wOff, dtype=dtype),
+      elem=jnp.asarray([s['elem'] for s in surfs], dtype=jnp.int32),
+      orient=jnp.asarray([s['orient'] for s in surfs], dtype=dtype),
+  )
+
+
+def numSurfaces(table):
+  return table['kind'].shape[0]
+
+
+# -------------------------------------------------------- intersection kernel
+
+_BIG = jnp.inf
+
+
+def _trimPlane(trim, p):
+  isRect = trim[0] > 0.5
+  rect = (jnp.abs(p[0]) <= trim[1]) & (jnp.abs(p[1]) <= trim[2])
+  r = jnp.sqrt(p[0] ** 2 + p[1] ** 2)
+  ring = (trim[1] <= r) & (r <= trim[2])
+  return jnp.where(isRect, rect, ring)
+
+
+def _intersectPlane(params, trim, o, d, tMin):
+  dz = jnp.where(jnp.abs(d[2]) < 1e-12, 1e-12, d[2])
+  t = -o[2] / dz
+  p = o + t * d
+  ok = (t > tMin) & _trimPlane(trim, p)
+  return jnp.where(ok, t, _BIG)
+
+
+def _quadraticRoots(a, b, c):
+  '''Numerically stable roots of a t^2 + b t + c, returned sorted; NaN-free
+  (invalid -> +inf).'''
+  disc = b * b - 4 * a * c
+  ok = disc >= 0
+  sq = jnp.sqrt(jnp.maximum(disc, 0.))
+  q = -0.5 * (b + jnp.sign(b + 1e-30) * sq)
+  aSafe = jnp.where(jnp.abs(a) < 1e-20, 1e-20, a)
+  t1 = q / aSafe
+  qSafe = jnp.where(jnp.abs(q) < 1e-20, 1e-20, q)
+  t2 = c / qSafe
+  lo, hi = jnp.minimum(t1, t2), jnp.maximum(t1, t2)
+  return jnp.where(ok, lo, _BIG), jnp.where(ok, hi, _BIG)
+
+
+def _pickRoot(t1, t2, valid1, valid2):
+  '''Smallest valid root, else +inf.'''
+  t1 = jnp.where(valid1, t1, _BIG)
+  t2 = jnp.where(valid2, t2, _BIG)
+  return jnp.minimum(t1, t2)
+
+
+def _intersectSphere(params, trim, o, d, tMin):
+  R = params[0]
+  b = 2 * jnp.dot(o, d)
+  c = jnp.dot(o, o) - R * R
+  t1, t2 = _quadraticRoots(jnp.dot(d, d), b, c)
+
+  def zOk(t):
+    z = o[2] + t * d[2]
+    return (trim[1] <= z) & (z <= trim[2])
+
+  return _pickRoot(t1, t2, (t1 > tMin) & zOk(t1), (t2 > tMin) & zOk(t2))
+
+
+def _intersectCylinder(params, trim, o, d, tMin):
+  R = params[0]
+  a = d[0] ** 2 + d[1] ** 2
+  b = 2 * (o[0] * d[0] + o[1] * d[1])
+  c = o[0] ** 2 + o[1] ** 2 - R * R
+  t1, t2 = _quadraticRoots(a, b, c)
+
+  def zOk(t):
+    z = o[2] + t * d[2]
+    return (trim[1] <= z) & (z <= trim[2])
+
+  return _pickRoot(t1, t2, (t1 > tMin) & zOk(t1), (t2 > tMin) & zOk(t2))
+
+
+def _sag(params, r2):
+  c, k = params[0], params[1]
+  a4, a6, a8 = params[2], params[3], params[4]
+  root = jnp.sqrt(jnp.maximum(1 - (1 + k) * c * c * r2, 1e-12))
+  return c * r2 / (1 + root) + r2 * r2 * (a4 + r2 * (a6 + r2 * a8))
+
+
+def _sagPrimeOverR(params, r2):
+  '''d(sag)/dr / r — well defined at r=0.'''
+  c, k = params[0], params[1]
+  a4, a6, a8 = params[2], params[3], params[4]
+  root = jnp.sqrt(jnp.maximum(1 - (1 + k) * c * c * r2, 1e-12))
+  # d/dr [c r^2/(1+root)] / r = c*(2/(1+root) + c^2(1+k) r^2/(root (1+root)^2))
+  base = c * (2 / (1 + root) + (1 + k) * c * c * r2 / (root * (1 + root) ** 2))
+  poly = 4 * a4 * r2 + 6 * a6 * r2 * r2 + 8 * a8 * r2 ** 3
+  return base + poly
+
+
+def _intersectAsphere(params, trim, o, d, tMin):
+  '''Newton iterations on f(t) = z(t) - sag(r(t)); seeded at the tangent
+  plane (or best-fit sphere when curvature dominates). Finds the first
+  crossing in the common optics regime (one intersection per ray within the
+  aperture).'''
+  c = params[0]
+  # initial guess: intersect the vertex tangent plane z=0; fall back to the
+  # osculating sphere when the plane is parallel
+  dz = jnp.where(jnp.abs(d[2]) < 1e-9, jnp.sign(d[2] + 1e-30) * 1e-9, d[2])
+  t0Plane = -o[2] / dz
+  # osculating sphere: center (0,0,R) radius R (when c != 0)
+  R = 1. / jnp.where(jnp.abs(c) < 1e-12, 1e-12, c)
+  oc = o - jnp.array([0., 0., 1.]) * R
+  b = 2 * jnp.dot(oc, d)
+  cc = jnp.dot(oc, oc) - R * R
+  s1, s2 = _quadraticRoots(jnp.dot(d, d), b, cc)
+  sSphere = _pickRoot(s1, s2, s1 > tMin, s2 > tMin)
+  t = jnp.where(jnp.isfinite(t0Plane) & (jnp.abs(c) < 1e-12), t0Plane,
+                jnp.where(jnp.isfinite(sSphere), sSphere, t0Plane))
+  t = jnp.maximum(t, 0.)
+
+  def body(i, t):
+    p = o + t * d
+    r2 = p[0] ** 2 + p[1] ** 2
+    f = p[2] - _sag(params, r2)
+    dfdr_over_r = _sagPrimeOverR(params, r2)
+    grad = jnp.array([-dfdr_over_r * p[0], -dfdr_over_r * p[1], 1.])
+    slope = jnp.dot(grad, d)
+    slope = jnp.where(jnp.abs(slope) < 1e-12, jnp.sign(slope + 1e-30) * 1e-12,
+                      slope)
+    return t - f / slope
+
+  t = lax.fori_loop(0, 24, body, t)
+  p = o + t * d
+  r2 = p[0] ** 2 + p[1] ** 2
+  resid = jnp.abs(p[2] - _sag(params, r2))
+  r = jnp.sqrt(r2)
+  ok = ((t > tMin) & (resid < 1e-4) & (trim[1] <= r) & (r <= trim[2])
+        & jnp.isfinite(t))
+  return jnp.where(ok, t, _BIG)
+
+
+def _intersectTriangle(params, trim, o, d, tMin):
+  v0 = params[0:3]
+  e1 = params[3:6] - v0
+  e2 = params[6:9] - v0
+  # Moeller-Trumbore
+  pvec = jnp.cross(d, e2)
+  det = jnp.dot(e1, pvec)
+  detSafe = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+  tvec = o - v0
+  u = jnp.dot(tvec, pvec) / detSafe
+  qvec = jnp.cross(tvec, e1)
+  v = jnp.dot(d, qvec) / detSafe
+  t = jnp.dot(e2, qvec) / detSafe
+  ok = ((jnp.abs(det) > 1e-12) & (u >= 0) & (v >= 0) & (u + v <= 1)
+        & (t > tMin))
+  return jnp.where(ok, t, _BIG)
+
+
+def intersectLocal(kind, params, trim, o, d, tMin):
+  '''Nearest valid intersection parameter t of a local-frame ray with one
+  surface; +inf when there is none. All branches are evaluated under vmap
+  (cheap: a few dozen flops each).'''
+  return lax.switch(kind, [
+      _intersectPlane, _intersectSphere, _intersectCylinder,
+      _intersectAsphere, _intersectTriangle], params, trim, o, d, tMin)
+
+
+def normalLocal(kind, params, p):
+  '''Canonical (un-oriented) unit surface normal at local point p.'''
+
+  def nPlane(params, p):
+    return jnp.array([0., 0., 1.])
+
+  def nSphere(params, p):
+    return transforms.normalize(p)
+
+  def nCylinder(params, p):
+    return transforms.normalize(jnp.array([p[0], p[1], 0.]))
+
+  def nAsphere(params, p):
+    r2 = p[0] ** 2 + p[1] ** 2
+    g = _sagPrimeOverR(params, r2)
+    return transforms.normalize(jnp.array([-g * p[0], -g * p[1], 1.]))
+
+  def nTriangle(params, p):
+    e1 = params[3:6] - params[0:3]
+    e2 = params[6:9] - params[0:3]
+    return transforms.normalize(jnp.cross(e1, e2))
+
+  return lax.switch(kind, [nPlane, nSphere, nCylinder, nAsphere, nTriangle],
+                    params, p)

@@ -1,0 +1,84 @@
+'''
+Host-side builder for the optical-element device table consumed by the
+tracer. Mirrors the per-OpticalGroup property set of the reference
+(reference: freecad_elements/optical_group.py:29-96): OpticalType,
+RefractiveIndex, Reflectivity, AbsorptionLength, Grating* parameters and
+RecordHits — plus an optional dispersion table n(lambda) per element (the
+reference only supports a constant RefractiveIndex; dispersive media there
+require gratings).
+'''
+
+import numpy as np
+import jax.numpy as jnp
+
+from .tracer import OPTICAL_TYPES, GRATING_REFLECTION, GRATING_TRANSMISSION
+
+_GRATING_TYPES = {'Reflection': GRATING_REFLECTION,
+                  'Transmission': GRATING_TRANSMISSION}
+
+
+def element(opticalType='Vacuum', refractiveIndex=1.0, reflectivity=1.0,
+            absorptionLength=np.inf, gratingType='Reflection',
+            gratingLinesPerMillimeter=1000., gratingLinesOrientation=(0, 0, 1),
+            gratingDiffractionOrder=1, recordHits=False, dispersion=None,
+            label=None):
+  '''One optical element (an "OpticalGroup"). `dispersion` is an optional
+  (lambdaGridNm, nValues) pair overriding refractiveIndex per wavelength.'''
+  if opticalType not in OPTICAL_TYPES:
+    raise ValueError(f'invalid optical type: {opticalType!r}')
+  if gratingType not in _GRATING_TYPES:
+    raise ValueError(f'invalid grating type: {gratingType!r}')
+  return dict(opticalType=opticalType, refractiveIndex=float(refractiveIndex),
+              reflectivity=float(reflectivity),
+              absorptionLength=float(absorptionLength),
+              gratingType=gratingType,
+              gratingLinesPerMillimeter=float(gratingLinesPerMillimeter),
+              gratingLinesOrientation=tuple(gratingLinesOrientation),
+              gratingDiffractionOrder=float(gratingDiffractionOrder),
+              recordHits=bool(recordHits), dispersion=dispersion,
+              label=label)
+
+
+def buildElementTable(elems, dtype=jnp.float32):
+  '''Pack element dicts into the SoA device table.'''
+  if not elems:
+    raise ValueError('scene contains no optical elements')
+  table = dict(
+      optType=jnp.asarray([OPTICAL_TYPES[e['opticalType']] for e in elems],
+                          dtype=jnp.int32),
+      refrIndex=jnp.asarray([e['refractiveIndex'] for e in elems],
+                            dtype=dtype),
+      reflectivity=jnp.asarray([e['reflectivity'] for e in elems],
+                               dtype=dtype),
+      absorptionLength=jnp.asarray([e['absorptionLength'] for e in elems],
+                                   dtype=dtype),
+      gratingType=jnp.asarray([_GRATING_TYPES[e['gratingType']]
+                               for e in elems], dtype=jnp.int32),
+      gratingLpm=jnp.asarray([e['gratingLinesPerMillimeter'] for e in elems],
+                             dtype=dtype),
+      gratingDir=jnp.asarray([e['gratingLinesOrientation'] for e in elems],
+                             dtype=dtype),
+      gratingOrder=jnp.asarray([e['gratingDiffractionOrder'] for e in elems],
+                               dtype=dtype),
+      recordHits=jnp.asarray([e['recordHits'] for e in elems], dtype=bool),
+  )
+  if any(e.get('dispersion') is not None for e in elems):
+    grids = [np.asarray(e['dispersion'][0], dtype=float)
+             for e in elems if e.get('dispersion') is not None]
+    lamGrid = grids[0]
+    for g in grids[1:]:
+      if len(g) != len(lamGrid) or not np.allclose(g, lamGrid):
+        raise ValueError('all dispersion tables must share one wavelength '
+                         'grid')
+    rows, hasDisp = [], []
+    for e in elems:
+      if e.get('dispersion') is not None:
+        rows.append(np.asarray(e['dispersion'][1], dtype=float))
+        hasDisp.append(True)
+      else:
+        rows.append(np.full(len(lamGrid), e['refractiveIndex']))
+        hasDisp.append(False)
+    table['nLambda'] = jnp.asarray(lamGrid, dtype=dtype)
+    table['nTable'] = jnp.asarray(np.stack(rows), dtype=dtype)
+    table['hasDispersion'] = jnp.asarray(hasDisp, dtype=bool)
+  return table

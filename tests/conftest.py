@@ -12,6 +12,12 @@ if '--xla_force_host_platform_device_count' not in flags:
 import numpy as np
 import pytest
 
+# persistent compilation cache: the trace/scan kernels are expensive to
+# compile on the CPU test backend; cache them across test runs
+import jax
+jax.config.update('jax_compilation_cache_dir', '/root/.cache/jax_test_cache')
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
+
 
 @pytest.fixture(autouse=True)
 def _seed():

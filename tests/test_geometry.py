@@ -1,0 +1,238 @@
+'''
+Exactness tests for the analytic surface intersection kernels vs closed-form
+solutions (SURVEY.md build plan step 2).
+'''
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from optics_design_workbench_tpu.geometry import transforms as T
+from optics_design_workbench_tpu.geometry import surfaces as S
+from optics_design_workbench_tpu.geometry import intersect as I
+
+
+def ray(o, d):
+  d = np.asarray(d, dtype=float)
+  return (jnp.asarray(o, dtype=jnp.float32),
+          jnp.asarray(d / np.linalg.norm(d), dtype=jnp.float32))
+
+
+def hit_t(table, o, d, tMin=1e-6, maxLen=1e6, medium=-1, distTol=1e-5):
+  t = I.allDistances(table, o, d, tMin)
+  idx, tHit, has = I.selectNearest(t, table['elem'], medium, distTol, maxLen)
+  return int(idx), float(tHit), bool(has)
+
+
+class TestPlane:
+
+  def test_axis_hit(self):
+    tab = S.buildSurfaceTable([
+        S.plane(T.translation(0, 0, 10), elem=0, radius=5.)])
+    o, d = ray([0, 0, 0], [0, 0, 1])
+    idx, t, has = hit_t(tab, o, d)
+    assert has and abs(t - 10) < 1e-4
+
+  def test_trim_disc_miss(self):
+    tab = S.buildSurfaceTable([
+        S.plane(T.translation(0, 0, 10), elem=0, radius=5.)])
+    o, d = ray([7, 0, 0], [0, 0, 1])
+    _, _, has = hit_t(tab, o, d)
+    assert not has
+
+  def test_annulus(self):
+    tab = S.buildSurfaceTable([
+        S.plane(T.translation(0, 0, 10), elem=0, radius=5., innerRadius=2.)])
+    o, d = ray([1, 0, 0], [0, 0, 1])
+    assert not hit_t(tab, o, d)[2]
+    o, d = ray([3, 0, 0], [0, 0, 1])
+    assert hit_t(tab, o, d)[2]
+
+  def test_rect(self):
+    tab = S.buildSurfaceTable([
+        S.plane(T.translation(0, 0, 10), elem=0, halfExtents=(2., 1.))])
+    assert hit_t(tab, *ray([1.5, 0.5, 0], [0, 0, 1]))[2]
+    assert not hit_t(tab, *ray([1.5, 1.5, 0], [0, 0, 1]))[2]
+
+  def test_tilted_plane(self):
+    # plane tilted 45 deg about x, ray along z from origin at distance 10
+    m = T.compose(T.translation(0, 0, 10), T.rotation((1, 0, 0), 45))
+    tab = S.buildSurfaceTable([S.plane(m, elem=0, radius=50.)])
+    o, d = ray([0, 0, 0], [0, 0, 1])
+    idx, t, has = hit_t(tab, o, d)
+    assert has and abs(t - 10) < 1e-3
+
+  def test_behind_ray_ignored(self):
+    tab = S.buildSurfaceTable([
+        S.plane(T.translation(0, 0, -10), elem=0, radius=5.)])
+    assert not hit_t(tab, *ray([0, 0, 0], [0, 0, 1]))[2]
+
+
+class TestSphere:
+
+  def test_two_roots_nearest(self):
+    tab = S.buildSurfaceTable([
+        S.sphere(T.translation(0, 0, 20), elem=0, radius=5.)])
+    o, d = ray([0, 0, 0], [0, 0, 1])
+    idx, t, has = hit_t(tab, o, d)
+    assert has and abs(t - 15) < 1e-3
+
+  def test_inside_sphere(self):
+    tab = S.buildSurfaceTable([
+        S.sphere(T.translation(0, 0, 0), elem=0, radius=5.)])
+    o, d = ray([0, 0, 0], [0, 0, 1])
+    idx, t, has = hit_t(tab, o, d)
+    assert has and abs(t - 5) < 1e-4
+
+  def test_cap_trim(self):
+    # only keep the z>4 cap; central ray hits it at z=+5 going up,
+    # but a ray going down misses (exit z=-5 not in cap)
+    tab = S.buildSurfaceTable([
+        S.sphere(T.translation(0, 0, 0), elem=0, radius=5., zRange=(4., 5.))])
+    assert abs(hit_t(tab, *ray([0, 0, 0], [0, 0, 1]))[1] - 5) < 1e-4
+    assert not hit_t(tab, *ray([0, 0, 0], [0, 0, -1]))[2]
+
+  def test_oblique_exact(self):
+    # ray from (-10, 1, 0) along +x against sphere radius 3 at origin:
+    # x = -sqrt(9-1) -> t = 10 - sqrt(8)
+    tab = S.buildSurfaceTable([S.sphere(np.eye(4), elem=0, radius=3.)])
+    idx, t, has = hit_t(tab, *ray([-10, 1, 0], [1, 0, 0]))
+    assert has and abs(t - (10 - np.sqrt(8))) < 1e-3
+
+  def test_grazing_miss(self):
+    tab = S.buildSurfaceTable([S.sphere(np.eye(4), elem=0, radius=3.)])
+    assert not hit_t(tab, *ray([-10, 3.001, 0], [1, 0, 0]))[2]
+
+
+class TestCylinder:
+
+  def test_exact(self):
+    tab = S.buildSurfaceTable([
+        S.cylinder(np.eye(4), elem=0, radius=2., zRange=(-5, 5))])
+    idx, t, has = hit_t(tab, *ray([-10, 0, 0], [1, 0, 0]))
+    assert has and abs(t - 8) < 1e-4
+
+  def test_z_trim(self):
+    tab = S.buildSurfaceTable([
+        S.cylinder(np.eye(4), elem=0, radius=2., zRange=(-5, 5))])
+    assert not hit_t(tab, *ray([-10, 0, 7], [1, 0, 0]))[2]
+
+
+class TestAsphere:
+
+  def test_reduces_to_sphere(self):
+    # asphere with k=0 equals a sphere of radius R touching origin
+    R = 50.
+    tab = S.buildSurfaceTable([
+        S.asphere(np.eye(4), elem=0, curvature=1 / R, conic=0., rMax=20.)])
+    sph = S.buildSurfaceTable([
+        S.sphere(T.translation(0, 0, R), elem=0, radius=R)])
+    for (ox, oy) in [(0, 0), (5, 3), (-8, 2)]:
+      o, d = ray([ox, oy, -30], [0, 0, 1])
+      tA = hit_t(tab, o, d)[1]
+      tS = hit_t(sph, o, d)[1]
+      assert abs(tA - tS) < 1e-2
+
+  def test_parabola_exact(self):
+    # paraboloid z = r^2/(4f) with f=25 -> c = 1/(2f) = 0.02, k=-1
+    f = 25.
+    tab = S.buildSurfaceTable([
+        S.asphere(np.eye(4), elem=0, curvature=1 / (2 * f), conic=-1.,
+                  rMax=40.)])
+    o, d = ray([10, 0, -10], [0, 0, 1])
+    idx, t, has = hit_t(tab, o, d)
+    zExpect = 10 ** 2 / (4 * f)
+    assert has and abs((-10 + t) - zExpect) < 1e-3
+
+  def test_aperture_trim(self):
+    tab = S.buildSurfaceTable([
+        S.asphere(np.eye(4), elem=0, curvature=0.02, conic=-1., rMax=5.)])
+    assert not hit_t(tab, *ray([10, 0, -10], [0, 0, 1]))[2]
+
+
+class TestTriangle:
+
+  def test_hit_and_barycentric_miss(self):
+    tab = S.buildSurfaceTable([
+        S.triangle([0, 0, 5], [4, 0, 5], [0, 4, 5], elem=0)])
+    assert abs(hit_t(tab, *ray([1, 1, 0], [0, 0, 1]))[1] - 5) < 1e-4
+    assert not hit_t(tab, *ray([3, 3, 0], [0, 0, 1]))[2]
+
+
+class TestNormalsAndSelection:
+
+  def test_sphere_normal_entering(self):
+    tab = S.buildSurfaceTable([S.sphere(T.translation(0, 0, 20), elem=0,
+                                        radius=5.)])
+    o, d = ray([0, 0, 0], [0, 0, 1])
+    t = I.allDistances(tab, o, d, 1e-6)
+    idx, tHit, has = I.selectNearest(t, tab['elem'], -1, 1e-5, 1e6)
+    p = o + tHit * d
+    n, entering = I.hitNormal(tab, idx, p, d)
+    assert bool(entering)
+    # forward normal points along travel: at front of sphere that is +z
+    assert float(n[2]) > 0.99
+
+  def test_sphere_normal_exiting(self):
+    tab = S.buildSurfaceTable([S.sphere(np.eye(4), elem=0, radius=5.)])
+    o, d = ray([0, 0, 0], [0, 0, 1])
+    t = I.allDistances(tab, o, d, 1e-6)
+    idx, tHit, has = I.selectNearest(t, tab['elem'], -1, 1e-5, 1e6)
+    p = o + tHit * d
+    n, entering = I.hitNormal(tab, idx, p, d)
+    assert not bool(entering)
+    assert float(n[2]) > 0.99
+
+  def test_orient_flip(self):
+    tab = S.buildSurfaceTable([S.plane(T.translation(0, 0, 10), elem=0,
+                                       radius=5., orient=-1)])
+    o, d = ray([0, 0, 0], [0, 0, 1])
+    t = I.allDistances(tab, o, d, 1e-6)
+    idx, tHit, _ = I.selectNearest(t, tab['elem'], -1, 1e-5, 1e6)
+    n, entering = I.hitNormal(tab, idx, o + tHit * d, d)
+    # plane canonical normal +z, orient -1 -> outward -z, i.e. the solid
+    # lies above the plane: a ray travelling +z is entering it, and the
+    # forward normal (flipped against outward) points +z
+    assert bool(entering) and float(n[2]) > 0.99
+
+  def test_same_medium_preference(self):
+    # two coincident-ish planes of different elements within 2*distTol:
+    # ray currently inside elem 0 must pick elem 1
+    tab = S.buildSurfaceTable([
+        S.plane(T.translation(0, 0, 10.0), elem=0, radius=5.),
+        S.plane(T.translation(0, 0, 10.00001), elem=1, radius=5.),
+    ])
+    o, d = ray([0, 0, 0], [0, 0, 1])
+    t = I.allDistances(tab, o, d, 1e-6)
+    idx, tHit, has = I.selectNearest(t, tab['elem'], 0, distTol=1e-3,
+                                     maxRayLength=1e6)
+    assert int(tab['elem'][idx]) == 1
+    # without medium (vacuum=-1) the closest (elem 0) wins
+    idx2, _, _ = I.selectNearest(t, tab['elem'], -1, 1e-3, 1e6)
+    assert int(tab['elem'][idx2]) == 0
+
+  def test_max_ray_length(self):
+    tab = S.buildSurfaceTable([S.plane(T.translation(0, 0, 100), elem=0,
+                                       radius=5.)])
+    o, d = ray([0, 0, 0], [0, 0, 1])
+    t = I.allDistances(tab, o, d, 1e-6)
+    _, _, has = I.selectNearest(t, tab['elem'], -1, 1e-5, maxRayLength=50.)
+    assert not bool(has)
+
+  def test_batched_vmap(self):
+    tab = S.buildSurfaceTable([S.sphere(T.translation(0, 0, 20), elem=0,
+                                        radius=5.)])
+    N = 1024
+    o = jnp.zeros((N, 3), dtype=jnp.float32)
+    d = jnp.tile(jnp.array([0., 0., 1.], dtype=jnp.float32), (N, 1))
+
+    @jax.jit
+    def run(o, d):
+      def one(o, d):
+        t = I.allDistances(tab, o, d, 1e-6)
+        return I.selectNearest(t, tab['elem'], -1, 1e-5, 1e6)[1]
+      return jax.vmap(one)(o, d)
+
+    ts = run(o, d)
+    assert np.allclose(np.asarray(ts), 15., atol=1e-3)
