@@ -1,0 +1,316 @@
+'''
+Simulation runtime — the single-controller analog of the reference's
+master/worker mainloop (reference: simulation/processes/simulation_loop.py:
+291-775). Where the reference spawns N FreeCAD worker processes that each
+trace rays one by one, this runner jits one sample+trace step over the whole
+ray batch and (optionally) shards the batch axis across all local devices;
+"worker count" becomes the shard count. Lifecycle flag files, the results
+folder layout, progress dumps, end criteria and the per-source iteration
+structure are preserved so external tooling behaves identically.
+
+Actions (reference: simulation_actions.py:22-37, simulation_loop.py:341-348):
+  'fans'         one deterministic ray-fan iteration
+  'singletrue'   one Monte-Carlo iteration (true random)
+  'singlepseudo' one Monte-Carlo iteration (low-discrepancy)
+  'true'         continuous Monte-Carlo until end criteria / cancel
+  'pseudo'       continuous low-discrepancy Monte-Carlo
+  'stop'         cancel a running simulation
+  'clear'        stop + clear drawn rays (GUI no-op here)
+'''
+
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .. import distributions
+from ..models.point_source import PointSource
+from ..tracing import trace
+from ..utils import io, timing
+from . import results_store
+from .lifecycle import Lifecycle, SimulationEnded
+
+SINGLE_SHOT_ACTIONS = ('fans', 'singletrue', 'singlepseudo')
+CONTINUOUS_ACTIONS = ('true', 'pseudo')
+
+
+def setupRandomSeed(seed=None):
+  '''Per-process random seeding (reference: simulation_loop.py:813-820).'''
+  if seed is None:
+    seed = int(time.time() * 1e3) % (2 ** 31)
+  distributions.setGlobalSeed(seed)
+  np.random.seed(seed % (2 ** 31))
+  return jax.random.PRNGKey(seed)
+
+
+def _actionMode(action):
+  if action in ('singletrue', 'true'):
+    return 'true'
+  if action in ('singlepseudo', 'pseudo'):
+    return 'pseudo'
+  if action == 'fans':
+    return 'fans'
+  raise ValueError(f'unexpected action {action!r}')
+
+
+def recordsToHits(records, metadata, elementLabels, enabledKeys=None):
+  '''Convert bounce-major device records into per-element columnar hit
+  batches: {elementLabel: dict(points, directions, powers, isEntering,
+  metadata columns)} (host side).'''
+  recordHit = np.asarray(records['recordHit'])          # (B, N)
+  hitElem = np.asarray(records['hitElem'])
+  out = {}
+  if not recordHit.any():
+    return out
+  points = np.asarray(records['point'])
+  directions = np.asarray(records['direction'])
+  powers = np.asarray(records['power'])
+  isEntering = np.asarray(records['isEntering'])
+  rayIdx = np.broadcast_to(np.arange(hitElem.shape[1]), hitElem.shape)
+  for e, label in enumerate(elementLabels):
+    mask = recordHit & (hitElem == e)
+    if not mask.any():
+      continue
+    sel = np.nonzero(mask)
+    nIdx = rayIdx[sel]
+    cols = dict(points=points[sel], directions=directions[sel],
+                powers=powers[sel], isEntering=isEntering[sel])
+    for k, v in (metadata or {}).items():
+      if enabledKeys is not None and k.lower() not in enabledKeys:
+        continue
+      cols[k] = np.asarray(v)[nIdx]
+    out[label] = cols
+  return out
+
+
+def recordsToRays(records, elementLabels):
+  '''Convert segment records into the ragged polyline encoding consumed by
+  SimulationResults.addRayBatch.'''
+  segValid = np.asarray(records['segValid'])            # (B, N)
+  if not segValid.any():
+    return None
+  p1 = np.asarray(records['segP1'])                     # (B, N, 3)
+  p2 = np.asarray(records['segP2'])
+  power = np.asarray(records['segPower'])
+  medium = np.asarray(records['segMedium'])
+  B, N = segValid.shape
+  counts = segValid.sum(axis=0)                          # (N,)
+  keep = counts > 0
+  pointsList, powersList, mediaList = [], [], []
+  offsets = [0]
+  labelArr = np.array([str(l) for l in elementLabels] + ['None'])
+  for n in np.nonzero(keep)[0]:
+    k = counts[n]
+    pts = np.concatenate([p1[:k, n], p2[k - 1:k, n]])    # (k+1, 3)
+    pointsList.append(pts)
+    powersList.append(power[:k, n])
+    med = medium[:k, n]
+    mediaList.append(labelArr[np.where(med < 0, len(elementLabels), med)])
+    offsets.append(offsets[-1] + k + 1)
+  return dict(points=np.concatenate(pointsList),
+              powers=np.concatenate(powersList),
+              media=np.concatenate(mediaList),
+              offsets=np.array(offsets))
+
+
+class SimulationRun:
+  '''One compiled simulation: scene on device + per-source generators.'''
+
+  def __init__(self, scene, settings, mesh=None):
+    self.scene = scene
+    self.settings = settings
+    self.device, self.info = scene.compile()
+    self.device['powerTol'] = 1e-6
+    self.mesh = mesh
+    self.sharding = None
+    if mesh is not None:
+      from jax.sharding import NamedSharding, PartitionSpec as P
+      self.sharding = NamedSharding(mesh, P('rays'))
+
+  def sceneFor(self, source):
+    mask = self.info['surfaceMasks'].get(source.Label)
+    if mask is None:
+      return self.device
+    sc = dict(self.device)
+    sc['surfMask'] = mask
+    return sc
+
+  def _shard(self, batch):
+    if self.sharding is None:
+      return batch
+    def put(x):
+      if hasattr(x, 'shape') and x.ndim >= 1 \
+          and x.shape[0] % self.mesh.size == 0:
+        return jax.device_put(x, self.sharding)
+      return x
+    return {k: (put(v) if k != 'metadata' else v) for k, v in batch.items()}
+
+  def traceBatch(self, source, batch, recordSegments):
+    sc = self.sceneFor(source)
+    batch = self._shard(batch)
+    maxI = max(1, int(round(self.settings.maxIntersections()
+                            * float(source.MaxIntersectionsScale))))
+    maxL = self.settings.maxRayLength() * float(source.MaxRayLengthScale)
+    state, records = trace(
+        sc, jnp.asarray(batch['origins'], jnp.float32),
+        jnp.asarray(batch['directions'], jnp.float32),
+        jnp.asarray(batch['powers'], jnp.float32),
+        jnp.asarray(batch['wavelengths'], jnp.float32),
+        maxIntersections=maxI, maxRayLength=maxL,
+        distTol=self.settings.distanceTolerance(),
+        recordSegments=recordSegments)
+    return state, records
+
+
+def runSimulation(scene, action, endIf=None, seed=None, store=None,
+                  draw=False, mesh=None, progressCallback=None,
+                  flushEverySeconds=5):
+  '''
+  Run a simulation on `scene` (a models.Scene). Returns the run folder path
+  (or None for 'stop'/'clear'). See module docstring for actions.
+  '''
+  resultsFolder = results_store.getResultsFolderPath(
+      scene.path or scene.label)
+  lifecycle = Lifecycle(resultsFolder)
+
+  if action in ('stop', 'clear'):
+    lifecycle.setIsCanceled(True)
+    for src in scene.lightSources():
+      src.clear()
+    return None
+
+  if action not in SINGLE_SHOT_ACTIONS + CONTINUOUS_ACTIONS:
+    raise ValueError(f'unknown action {action!r}')
+
+  if lifecycle.isRunning():
+    raise RuntimeError('a simulation is already running for this document')
+
+  settings = scene.activeSimulationSettings()
+  mode = _actionMode(action)
+  continuous = action in CONTINUOUS_ACTIONS
+  # store decisions (reference: simulation_loop.py:350-378): continuous runs
+  # always store; single-shot only with EnableStoreSingleShotData (or when
+  # explicitly requested)
+  if store is None:
+    store = continuous or bool(settings.EnableStoreSingleShotData)
+
+  key = setupRandomSeed(seed)
+  lifecycle.clearAll()
+  lifecycle.setIsRunning(True)
+
+  deviceGens = {}
+  results = None
+  try:
+    endIter = settings.endAfterIterations() if continuous else 1
+    results = results_store.SimulationResults(
+        simulationType=action,
+        basePath=resultsFolder,
+        simulationRunFolder=results_store.generateSimulationFolderName(
+            resultsFolder),
+        flushEverySeconds=flushEverySeconds,
+        endAfterIterations=endIter,
+        endAfterRays=settings.endAfterRays() if continuous else np.inf,
+        endAfterHits=settings.endAfterHits() if continuous else np.inf)
+    results.dumpGlobalInfo(scene.collectGlobalInfo())
+
+    run = SimulationRun(scene, settings, mesh=mesh)
+    enabledKeys = settings.enabledMetadataKeys()
+    chunkTimer = timing.IntervalTimer(3600)
+    perfTimer = timing.IntervalTimer(60)
+
+    for src in scene.lightSources():
+      src.onInitializeSimulation(state='pre-worker-launch', ident=action)
+
+    iteration = 0
+    while True:
+      iteration += 1
+      for src in scene.lightSources():
+        if not isinstance(src, PointSource) and not hasattr(
+            src, 'generateRays'):
+          continue
+        # ---- generate rays ----
+        if mode in ('true', 'pseudo') and isinstance(src, PointSource):
+          gen = deviceGens.get(src.Label)
+          if gen is None:
+            gen = deviceGens[src.Label] = src.deviceGenerator()
+          n = max(1, int(round(settings.raysPerIteration()
+                               * float(src.RaysPerIterationScale))))
+          if run.mesh is not None:
+            n = -(-n // run.mesh.size) * run.mesh.size
+          key, sub = jax.random.split(key)
+          batch = gen(sub, n, stratified=(mode == 'pseudo'))
+        else:
+          batch = src.generateRays(mode, settings=settings)
+          n = len(batch['origins'])
+          if n == 0:
+            continue
+
+        # ---- trace ----
+        recordSegs = bool(src.RecordRays)
+        state, records = run.traceBatch(src, batch, recordSegs)
+        results.incrementRayCount(n)
+
+        # ---- record ----
+        if store:
+          metadata = {k: np.asarray(v)
+                      for k, v in batch.get('metadata', {}).items()}
+          # fan indices are always stored when present (reference stores
+          # them via StoreHit* flags; fan analysis needs them)
+          hits = recordsToHits(records, metadata,
+                               run.info['elementLabels'],
+                               enabledKeys=None if not enabledKeys
+                               else enabledKeys + ['fanindex', 'rayindex',
+                                                   'totalfancount',
+                                                   'totalraysinfan'])
+          for label, cols in hits.items():
+            meta = {k: v for k, v in cols.items()
+                    if k not in ('points', 'directions', 'powers',
+                                 'isEntering')}
+            results.addHitBatch(src.Label, label, cols['points'],
+                                cols['directions'], cols['powers'],
+                                cols['isEntering'], meta)
+          if recordSegs:
+            rays = recordsToRays(records, run.info['elementLabels'])
+            if rays is not None:
+              results.addRayBatch(src.Label, **rays)
+        else:
+          # still count hits for end criteria / progress
+          results.totalRecordedHits += int(
+              np.asarray(records['recordHit']).sum())
+
+      results.incrementIterationCount()
+      results.writeDiskIfNeeded()
+      progress = results.getProgress()
+      if progressCallback is not None:
+        progressCallback(progress)
+      if endIf is not None and endIf(results.runPath()):
+        lifecycle.setIsFinished(True)
+      if perfTimer.check():
+        io.info(results.performanceDescription())
+      if chunkTimer.check():
+        results_store.chunkFiles(results.runPath())
+      lifecycle.touchRunning()
+      if progress['reachedEnd'] or lifecycle.isCanceled() \
+          or lifecycle.isFinished():
+        break
+      if not continuous:
+        break
+  except SimulationEnded:
+    pass
+  finally:
+    if results is not None:
+      results.cleanup()
+      io.info(f'simulation ended: {results.performanceDescription()}')
+    for src in scene.lightSources():
+      src.onExitSimulation(ident=action)
+    lifecycle.setIsFinished(True)
+    lifecycle.setIsRunning(False)
+    lifecycle.setIsCanceled(False)
+    io.gatherWorkerLogs()
+  return results.runPath()
+
+
+def runAction(scene, action, **kwargs):
+  '''Parity wrapper (reference: simulation_loop.py:275-289).'''
+  return runSimulation(scene, action, **kwargs)
