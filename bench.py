@@ -1,0 +1,63 @@
+#!/usr/bin/env python
+'''
+Headline benchmark: Monte-Carlo ray-segments per second on the
+examples/2-style lens+mirror+detector scene (BASELINE.md north star:
+>= 1e9 segments/sec on one v5e chip). Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+'''
+
+import json
+import sys
+import time
+
+import jax
+
+
+def main():
+  from optics_design_workbench_tpu import benchmarks
+
+  raysPerStep = 1 << 20
+  step, hist, meta = benchmarks.makeBenchStep(raysPerStep=raysPerStep,
+                                              maxIntersections=6)
+  key = jax.random.PRNGKey(0)
+
+  # warmup / compile
+  t0 = time.time()
+  hist, counters = step(jax.random.fold_in(key, 0), hist)
+  jax.block_until_ready(counters)
+  compileTime = time.time() - t0
+  segmentsPerStep = int(counters['segments'])
+  print(f'compile+first step: {compileTime:.1f}s, '
+        f'{segmentsPerStep} segments/step, '
+        f'{int(counters["hits"])} hits/step, device={jax.devices()[0]}',
+        file=sys.stderr)
+
+  # timed steps. NOTE: jax.block_until_ready does not reliably wait on the
+  # axon backend — force a device-to-host value fetch inside the timed
+  # region instead.
+  steps = 0
+  segCounts = []
+  t0 = time.time()
+  while True:
+    hist, counters = step(jax.random.fold_in(key, steps + 1), hist)
+    segCounts.append(counters['segments'])
+    steps += 1
+    if steps >= 4 and (time.time() - t0 >= 3. or steps >= 32):
+      break
+  lastCount = int(segCounts[-1])   # D2H fetch = real synchronization
+  dt = time.time() - t0
+  totalSegments = sum(int(c) for c in segCounts)
+
+  segPerSec = totalSegments / dt
+  print(f'{steps} steps x {raysPerStep} rays in {dt:.3f}s '
+        f'-> {segPerSec/1e6:.1f} M segments/s, '
+        f'{steps*raysPerStep/dt/1e6:.1f} M rays/s', file=sys.stderr)
+
+  print(json.dumps(dict(metric='mc_ray_segments_per_sec',
+                        value=segPerSec,
+                        unit='segments/s',
+                        vs_baseline=segPerSec / 1e9)))
+
+
+if __name__ == '__main__':
+  main()

@@ -23,15 +23,26 @@ def _toLocal(rot, off, o, d):
 
 def allDistances(table, o, d, tMin, seqAllowed=None):
   '''Distances from one world ray to every surface; +inf where no valid hit.
-  `seqAllowed` (bool (S,)) optionally masks surfaces not allowed at the
-  current sequential-mode index (reference: find.py:79-104).'''
+  Dispatches one vectorized kernel per surface *kind* over that kind's
+  contiguous slice of the (kind-sorted) table — no per-surface switch, so
+  scenes only pay for the surface kinds they contain. `seqAllowed`
+  (bool (S,)) optionally masks surfaces not allowed at the current
+  sequential-mode index (reference: find.py:79-104).'''
+  parts = []
+  # IMPORTANT: iterate in kind-code order, matching the kind-sorted flat
+  # table — jit pytree round-trips rebuild dicts with alphabetically sorted
+  # keys, so insertion order must never be relied on here
+  for kindName in sorted(table['byKind'], key=S.KIND_CODES.get):
+    sub = table['byKind'][kindName]
+    fn = S.KIND_INTERSECTORS[kindName]
 
-  def one(kind, params, trim, w2lRot, w2lOff):
-    lo, ld = _toLocal(w2lRot, w2lOff, o, d)
-    return S.intersectLocal(kind, params, trim, lo, ld, tMin)
+    def one(params, trim, w2lRot, w2lOff, fn=fn):
+      lo, ld = _toLocal(w2lRot, w2lOff, o, d)
+      return fn(params, trim, lo, ld, tMin)
 
-  t = jax.vmap(one)(table['kind'], table['params'], table['trim'],
-                    table['w2lRot'], table['w2lOff'])
+    parts.append(jax.vmap(one)(sub['params'], sub['trim'],
+                               sub['w2lRot'], sub['w2lOff']))
+  t = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
   if seqAllowed is not None:
     t = jnp.where(seqAllowed, t, jnp.inf)
   return t

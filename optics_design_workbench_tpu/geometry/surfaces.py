@@ -47,6 +47,7 @@ PLANE, SPHERE, CYLINDER, ASPHERE, TRIANGLE = 0, 1, 2, 3, 4
 N_PARAMS, N_TRIM = 9, 6
 _KIND_NAMES = {0: 'plane', 1: 'sphere', 2: 'cylinder', 3: 'asphere',
                4: 'triangle'}
+KIND_CODES = {name: code for code, name in _KIND_NAMES.items()}
 
 
 # --------------------------------------------------------- host-side builders
@@ -100,14 +101,22 @@ def triangle(v0, v1, v2, elem, orient=+1):
 
 
 def buildSurfaceTable(surfs, dtype=jnp.float32):
-  '''Pack a list of surface dicts into a SoA device table (a pytree dict).'''
+  '''Pack a list of surface dicts into a SoA device table (a pytree dict).
+
+  Surfaces are SORTED BY KIND and the table carries a `byKind` sub-dict of
+  contiguous per-kind slices: the intersection sweep dispatches one
+  vectorized kernel per kind present instead of a `lax.switch` per surface
+  (a vmapped switch evaluates every branch for every ray x surface — with
+  the Newton-iteration asphere branch that costs ~20x on scenes without
+  aspheres).'''
   if not surfs:
     raise ValueError('scene contains no surfaces')
+  surfs = sorted(surfs, key=lambda s: s['kind'])
   mats = np.stack([s['transform'] for s in surfs])
   matsInv = np.stack([np.linalg.inv(m) for m in mats])
   w2lRot, w2lOff = transforms.rotRowsOffsets(matsInv, dtype=np.float32)
   l2wRot, l2wOff = transforms.rotRowsOffsets(mats, dtype=np.float32)
-  return dict(
+  table = dict(
       kind=jnp.asarray([s['kind'] for s in surfs], dtype=jnp.int32),
       params=jnp.asarray(np.stack([s['params'] for s in surfs]), dtype=dtype),
       trim=jnp.asarray(np.stack([s['trim'] for s in surfs]), dtype=dtype),
@@ -118,6 +127,36 @@ def buildSurfaceTable(surfs, dtype=jnp.float32):
       elem=jnp.asarray([s['elem'] for s in surfs], dtype=jnp.int32),
       orient=jnp.asarray([s['orient'] for s in surfs], dtype=dtype),
   )
+  kinds = np.asarray([s['kind'] for s in surfs])
+  byKind = {}
+  for kind in sorted(set(kinds.tolist())):
+    sel = np.nonzero(kinds == kind)[0]
+    start, stop = int(sel[0]), int(sel[-1]) + 1
+    byKind[_KIND_NAMES[kind]] = {
+        k: table[k][start:stop]
+        for k in ('params', 'trim', 'w2lRot', 'w2lOff')}
+  table['byKind'] = byKind
+  # packed per-surface row for the post-selection hot path: ONE (N, K)
+  # gather instead of many small-minor-dim gathers — (N,3,3) gathers +
+  # matvecs have pathological T(4,128) layouts on TPU (40-60 ms per 1e6
+  # rays each; a packed (S, K) row gather costs ~5 ms).
+  # layout: w2lRot (9, row-major), w2lOff (3), orient, elem, kind, params (9)
+  rotFlat = np.asarray(matsInv[:, :3, :3].reshape(len(surfs), 9))
+  packed = np.concatenate([
+      rotFlat,
+      np.asarray(matsInv[:, :3, 3]),
+      np.asarray([[s['orient']] for s in surfs]),
+      np.asarray([[float(s['elem'])] for s in surfs]),
+      np.asarray([[float(s['kind'])] for s in surfs]),
+      np.stack([s['params'] for s in surfs]),
+  ], axis=1)
+  table['packed'] = jnp.asarray(packed, dtype=dtype)
+  return table
+
+
+# column offsets in table['packed']
+PACKED_ROT, PACKED_OFF, PACKED_ORIENT = 0, 9, 12
+PACKED_ELEM, PACKED_KIND, PACKED_PARAMS = 13, 14, 15
 
 
 def numSurfaces(table):
@@ -272,10 +311,17 @@ def _intersectTriangle(params, trim, o, d, tMin):
   return jnp.where(ok, t, _BIG)
 
 
+KIND_INTERSECTORS = {
+    'plane': _intersectPlane, 'sphere': _intersectSphere,
+    'cylinder': _intersectCylinder, 'asphere': _intersectAsphere,
+    'triangle': _intersectTriangle}
+
+
 def intersectLocal(kind, params, trim, o, d, tMin):
   '''Nearest valid intersection parameter t of a local-frame ray with one
-  surface; +inf when there is none. All branches are evaluated under vmap
-  (cheap: a few dozen flops each).'''
+  surface; +inf when there is none. Switch-based single-surface form; the
+  batched sweep uses the per-kind kernels directly (see
+  intersect.allDistances).'''
   return lax.switch(kind, [
       _intersectPlane, _intersectSphere, _intersectCylinder,
       _intersectAsphere, _intersectTriangle], params, trim, o, d, tMin)

@@ -1,0 +1,2 @@
+from .mesh import makeMesh, raysSharding
+from .sharded import makeShardedFusedStep

@@ -1,0 +1,322 @@
+'''
+Batched column-SoA bounce kernel — the performance path.
+
+Physics-identical to tracer.bounceOne (the per-ray reference
+implementation, kept for clarity and cross-validation in tests), but
+written TPU-first:
+
+  * ray state lives in (N,) component columns, never (N, 3) /(N, 3, 3)
+    tensors whose tiny minor dims waste 125 of 128 lanes and force
+    pathological T(4,128) layouts (profiled at 40-60 ms per gather/matvec
+    per 1e6 rays on v5e),
+  * all per-hit surface data arrives via ONE packed-row gather
+    (surfaces['packed'][idx] -> (N, K), ~5 ms), element data via one more,
+  * rigid transforms apply as column dot products; l2w rotation is the
+    transpose of the packed w2l rotation (placements are rigid).
+'''
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..geometry import intersect as I
+from ..geometry import surfaces as S
+from ..geometry.surfaces import (PACKED_ROT, PACKED_OFF, PACKED_ORIENT,
+                                 PACKED_ELEM, PACKED_KIND, PACKED_PARAMS)
+from .element_table import (EP_OPTTYPE, EP_REFRINDEX, EP_REFLECTIVITY,
+                            EP_ABSLENGTH, EP_GRATTYPE, EP_GRATLPM,
+                            EP_GRATDIRX, EP_GRATDIRY, EP_GRATDIRZ,
+                            EP_GRATORDER, EP_RECORDHITS)
+from .tracer import (MIRROR, LENS, GRATING, ABSORBER, VACUUM, VACUUM_MEDIUM,
+                     GRATING_REFLECTION)
+
+
+def _dot3(ax, ay, az, bx, by, bz):
+  return ax * bx + ay * by + az * bz
+
+
+def _cross3(ax, ay, az, bx, by, bz):
+  return (ay * bz - az * by, az * bx - ax * bz, ax * by - ay * bx)
+
+
+def _norm3(ax, ay, az, eps=1e-20):
+  inv = lax.rsqrt(ax * ax + ay * ay + az * az + eps)
+  return ax * inv, ay * inv, az * inv
+
+
+def allDistancesBatch(table, ox, oy, oz, dx, dy, dz, tMin, seqAllowed=None):
+  '''(N, S) distance matrix, surface-major per-kind sweep: per surface the
+  world->local transform is applied as broadcast scalars (no per-ray
+  transform gathers at all).'''
+  parts = []
+  for kindName in sorted(table['byKind'], key=S.KIND_CODES.get):
+    sub = table['byKind'][kindName]
+    fn = S.KIND_INTERSECTORS[kindName]
+
+    def oneSurface(params, trim, rot, off):
+      lox = rot[0, 0] * ox + rot[0, 1] * oy + rot[0, 2] * oz + off[0]
+      loy = rot[1, 0] * ox + rot[1, 1] * oy + rot[1, 2] * oz + off[1]
+      loz = rot[2, 0] * ox + rot[2, 1] * oy + rot[2, 2] * oz + off[2]
+      ldx = rot[0, 0] * dx + rot[0, 1] * dy + rot[0, 2] * dz
+      ldy = rot[1, 0] * dx + rot[1, 1] * dy + rot[1, 2] * dz
+      ldz = rot[2, 0] * dx + rot[2, 1] * dy + rot[2, 2] * dz
+      lo = jnp.stack([lox, loy, loz], axis=-1)
+      ld = jnp.stack([ldx, ldy, ldz], axis=-1)
+      return jax.vmap(lambda o, d: fn(params, trim, o, d, tMin))(lo, ld)
+
+    # vmap over the surfaces of this kind -> (S_k, N)
+    parts.append(jax.vmap(oneSurface)(sub['params'], sub['trim'],
+                                      sub['w2lRot'], sub['w2lOff']))
+  t = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+  if seqAllowed is not None:
+    # seqAllowed is (S, N) or (S, 1), matching t's (S, N) layout here
+    t = jnp.where(seqAllowed, t, jnp.inf)
+  return t  # (S, N): surfaces on the MAJOR axis so reductions run over
+            # full 128-lane rows (a (N, S) layout with tiny minor dim costs
+            # ~140 ms per argmin at N=1e6)
+
+
+def selectNearestBatch(t, elem, medium, distTol, maxRayLength):
+  '''Batched reference tie-breaking (ray.py:388-401) on a (S, N) distance
+  matrix. Returns (idx (N,), tHit (N,), hasHit (N,)).'''
+  t = jnp.where(t <= maxRayLength, t, jnp.inf)
+  tMin = jnp.min(t, axis=0)
+  valid = jnp.isfinite(t)
+  prefer = valid & (t <= tMin[None, :] + 2 * distTol) \
+      & (elem[:, None] != medium[None, :])
+  hasPrefer = jnp.any(prefer, axis=0)
+  tPref = jnp.where(prefer, t, jnp.inf)
+  idx = jnp.where(hasPrefer, jnp.argmin(tPref, axis=0),
+                  jnp.argmin(t, axis=0))
+  hasHit = jnp.isfinite(tMin)
+  tHit = jnp.where(hasPrefer, jnp.min(tPref, axis=0), tMin)
+  return idx, jnp.where(hasHit, tHit, jnp.inf), hasHit
+
+
+def _localNormal(kindf, prm, plx, ply, plz):
+  '''Canonical local normal, selected per kind via where-chains on column
+  arrays (mirrors surfaces.normalLocal).'''
+  # sphere
+  sx, sy, sz = _norm3(plx, ply, plz)
+  # cylinder
+  cx, cy, _ = _norm3(plx, ply, jnp.zeros_like(plz))
+  # asphere
+  r2 = plx * plx + ply * ply
+  c, k = prm[:, 0], prm[:, 1]
+  a4, a6, a8 = prm[:, 2], prm[:, 3], prm[:, 4]
+  root = jnp.sqrt(jnp.maximum(1 - (1 + k) * c * c * r2, 1e-12))
+  g = (c * (2 / (1 + root) + (1 + k) * c * c * r2 / (root * (1 + root) ** 2))
+       + 4 * a4 * r2 + 6 * a6 * r2 * r2 + 8 * a8 * r2 ** 3)
+  ax, ay, az = _norm3(-g * plx, -g * ply, jnp.ones_like(plz))
+  # triangle
+  e1x, e1y, e1z = prm[:, 3] - prm[:, 0], prm[:, 4] - prm[:, 1], prm[:, 5] - prm[:, 2]
+  e2x, e2y, e2z = prm[:, 6] - prm[:, 0], prm[:, 7] - prm[:, 1], prm[:, 8] - prm[:, 2]
+  tx, ty, tz = _norm3(*_cross3(e1x, e1y, e1z, e2x, e2y, e2z))
+
+  isS = kindf == S.SPHERE
+  isC = kindf == S.CYLINDER
+  isA = kindf == S.ASPHERE
+  isT = kindf == S.TRIANGLE
+  nx = jnp.where(isS, sx, jnp.where(isC, cx, jnp.where(isA, ax,
+                 jnp.where(isT, tx, 0.))))
+  ny = jnp.where(isS, sy, jnp.where(isC, cy, jnp.where(isA, ay,
+                 jnp.where(isT, ty, 0.))))
+  nz = jnp.where(isS, sz, jnp.where(isC, 0., jnp.where(isA, az,
+                 jnp.where(isT, tz, 1.))))
+  return nx, ny, nz
+
+
+def bounceBatch(scene, distTol, maxRayLength, o, d, power, wl, medium, seq,
+                alive):
+  '''One bounce for the whole batch. Same signature/semantics as
+  vmap(bounceOne) but column-SoA inside; returns (newState, records) with
+  records carrying column fields plus local hit coordinates (plx, ply) for
+  free histogram binning.'''
+  surf = scene['surfaces']
+  elements = scene['elements']
+  N = o.shape[0]
+  ox, oy, oz = o[:, 0], o[:, 1], o[:, 2]
+  dx, dy, dz = d[:, 0], d[:, 1], d[:, 2]
+
+  seqMask = scene.get('seqMask', None)
+  seqAllowed = scene.get('surfMask', None)
+  if seqAllowed is not None:
+    seqAllowed = jnp.broadcast_to(seqAllowed[:, None],
+                                  (seqAllowed.shape[0], N))
+  if seqMask is not None:
+    q = jnp.clip(seq, 0, seqMask.shape[0] - 1)
+    allowed = seqMask[q].T  # (S, N)
+    seqAllowed = allowed if seqAllowed is None else (allowed & seqAllowed)
+
+  t = allDistancesBatch(surf, ox, oy, oz, dx, dy, dz, distTol, seqAllowed)
+  idx, tHit, hasHit = selectNearestBatch(t, surf['elem'], medium, distTol,
+                                         maxRayLength)
+  tSeg = jnp.where(hasHit, tHit, maxRayLength)
+  px, py, pz = ox + tSeg * dx, oy + tSeg * dy, oz + tSeg * dz
+
+  # ---- one packed gather per table ----
+  sp = surf['packed'][idx]                      # (N, Ks)
+  r = [sp[:, PACKED_ROT + i] for i in range(9)]
+  offx, offy, offz = (sp[:, PACKED_OFF], sp[:, PACKED_OFF + 1],
+                      sp[:, PACKED_OFF + 2])
+  orient = sp[:, PACKED_ORIENT]
+  elemIdx = sp[:, PACKED_ELEM].astype(jnp.int32)
+  kindf = sp[:, PACKED_KIND].astype(jnp.int32)
+  prm = sp[:, PACKED_PARAMS:PACKED_PARAMS + 9]
+
+  ep = elements['packed'][elemIdx]              # (N, Ke)
+  # one gather for the current-medium element row too (used by n and
+  # Beer-Lambert); two separate single-column gathers cost ~78 ms each
+  epMed = elements['packed'][jnp.maximum(medium, 0)]
+  optType = ep[:, EP_OPTTYPE].astype(jnp.int32)
+  reflectivity = ep[:, EP_REFLECTIVITY]
+  absLen = ep[:, EP_ABSLENGTH]
+  gratType = ep[:, EP_GRATTYPE].astype(jnp.int32)
+  gratLpm = ep[:, EP_GRATLPM]
+  gDirX, gDirY, gDirZ = (ep[:, EP_GRATDIRX], ep[:, EP_GRATDIRY],
+                         ep[:, EP_GRATDIRZ])
+  gratOrder = ep[:, EP_GRATORDER]
+  recordHits = ep[:, EP_RECORDHITS] > 0.5
+
+  # refractive index (dispersion-aware)
+  if 'nTable' in elements:
+    disp = jax.vmap(lambda row, w: jnp.interp(w, elements['nLambda'], row))(
+        elements['nTable'][elemIdx], wl)
+    hasDisp = elements['hasDispersion'][elemIdx]
+    nElem = jnp.where(hasDisp, disp, ep[:, EP_REFRINDEX])
+    nMedRaw = jax.vmap(lambda row, w: jnp.interp(w, elements['nLambda'], row))(
+        elements['nTable'][jnp.maximum(medium, 0)], wl)
+    hasDispM = elements['hasDispersion'][jnp.maximum(medium, 0)]
+    nMedium = jnp.where(medium >= 0,
+                        jnp.where(hasDispM, nMedRaw,
+                                  epMed[:, EP_REFRINDEX]), 1.)
+  else:
+    nElem = ep[:, EP_REFRINDEX]
+    nMedium = jnp.where(medium >= 0, epMed[:, EP_REFRINDEX], 1.)
+
+  # ---- local hit point & normal ----
+  plx = r[0] * px + r[1] * py + r[2] * pz + offx
+  ply = r[3] * px + r[4] * py + r[5] * pz + offy
+  plz = r[6] * px + r[7] * py + r[8] * pz + offz
+  nlx, nly, nlz = _localNormal(kindf, prm, plx, ply, plz)
+  # world normal via transpose (rigid transform)
+  nwx = r[0] * nlx + r[3] * nly + r[6] * nlz
+  nwy = r[1] * nlx + r[4] * nly + r[7] * nlz
+  nwz = r[2] * nlx + r[5] * nly + r[8] * nlz
+  outx, outy, outz = nwx * orient, nwy * orient, nwz * orient
+  cosA = _dot3(dx, dy, dz, outx, outy, outz)
+  isEntering = cosA < 0
+  sgn = jnp.where(isEntering, -1., 1.)
+  nx, ny, nz = outx * sgn, outy * sgn, outz * sgn   # forward normal
+
+  powerBefore = power
+  # Beer-Lambert (multiplicative; see tracer module docstring)
+  inMedium = medium >= 0
+  absLenMed = jnp.where(inMedium, epMed[:, EP_ABSLENGTH], jnp.inf)
+  factor = jnp.where(absLenMed == 0, 0.,
+                     jnp.where(jnp.isfinite(absLenMed),
+                               jnp.exp(-tSeg / jnp.maximum(absLenMed, 1e-30)),
+                               1.))
+  power = jnp.where(inMedium, power * factor, power)
+
+  # ---- interactions ----
+  dDotN = _dot3(dx, dy, dz, nx, ny, nz)
+  mx, my, mz = dx - 2 * nx * dDotN, dy - 2 * ny * dDotN, dz - 2 * nz * dDotN
+
+  # Snell (n forward): mu = n1/n2
+  n1 = nMedium
+  n2 = jnp.where(isEntering, nElem, 1.)
+  mu = n1 / n2
+  cx_, cy_, cz_ = _cross3(nx, ny, nz, dx, dy, dz)
+  sin2 = cx_ * cx_ + cy_ * cy_ + cz_ * cz_
+  root = 1 - mu * mu * sin2
+  tir = root < 0
+  # tangential = n x (-n x d) = d - n (d.n)
+  tx_, ty_, tz_ = dx - nx * dDotN, dy - ny * dDotN, dz - nz * dDotN
+  sq = jnp.sqrt(jnp.maximum(root, 0.))
+  sxx, syy, szz = mu * tx_ + nx * sq, mu * ty_ + ny * sq, mu * tz_ + nz * sq
+  snx = jnp.where(tir, mx, sxx)
+  sny = jnp.where(tir, my, syy)
+  snz = jnp.where(tir, mz, szz)
+
+  # grating (Ludwig 1970, incidence-side normal; see tracer.gratingDirection)
+  isReflG = gratType == GRATING_REFLECTION
+  gn1 = jnp.where(isReflG, nMedium, 1.)
+  gn2 = jnp.where(isReflG, nMedium, nElem)
+  gmu = gn1 / gn2
+  nix, niy, niz = -nx, -ny, -nz
+  pgx, pgy, pgz = _norm3(*_cross3(gDirX, gDirY, gDirZ, nix, niy, niz))
+  dgx, dgy, dgz = _norm3(*_cross3(nix, niy, niz, pgx, pgy, pgz))
+  lamUm = wl / 1000.
+  spacing = 1000. / gratLpm
+  Tt = gratOrder * lamUm / (gn1 * spacing)
+  V = gmu * _dot3(dx, dy, dz, nix, niy, niz)
+  W = gmu * gmu - 1 + Tt * Tt - 2 * gmu * Tt * _dot3(dx, dy, dz, dgx, dgy, dgz)
+  disc = V * V - W
+  evanescent = disc < 0
+  gsq = jnp.sqrt(jnp.maximum(disc, 0.))
+  qg = jnp.where(isReflG, -V + gsq, -V - gsq)
+  ggx, ggy, ggz = _norm3(gmu * dx - Tt * dgx + qg * nix,
+                         gmu * dy - Tt * dgy + qg * niy,
+                         gmu * dz - Tt * dgz + qg * niz)
+  gratX = jnp.where(isReflG, jnp.where(isEntering, ggx, dx),
+                    jnp.where(isEntering, ggx, snx))
+  gratY = jnp.where(isReflG, jnp.where(isEntering, ggy, dy),
+                    jnp.where(isEntering, ggy, sny))
+  gratZ = jnp.where(isReflG, jnp.where(isEntering, ggz, dz),
+                    jnp.where(isEntering, ggz, snz))
+
+  isMirror = optType == MIRROR
+  isLens = optType == LENS
+  isGrating = optType == GRATING
+  isAbsorber = optType == ABSORBER
+
+  ndx = jnp.where(isMirror, mx, jnp.where(isLens, snx,
+                  jnp.where(isGrating, gratX, dx)))
+  ndy = jnp.where(isMirror, my, jnp.where(isLens, sny,
+                  jnp.where(isGrating, gratY, dy)))
+  ndz = jnp.where(isMirror, mz, jnp.where(isLens, snz,
+                  jnp.where(isGrating, gratZ, dz)))
+  ndx, ndy, ndz = _norm3(ndx, ndy, ndz)
+
+  lensExitToVacuum = isLens & ~isEntering & ~tir & (medium == elemIdx)
+  gratTransEnter = isGrating & ~isReflG & isEntering
+  gratTransExit = isGrating & ~isReflG & ~isEntering & ~tir
+  newMedium = jnp.where((isLens & isEntering) | gratTransEnter, elemIdx,
+                        jnp.where(lensExitToVacuum | gratTransExit,
+                                  VACUUM_MEDIUM, medium))
+  newPower = jnp.where(isMirror, power * reflectivity,
+                       jnp.where(isAbsorber, 0., power))
+  newPower = jnp.where(isGrating & isEntering & evanescent, 0., newPower)
+  seqInc = (isMirror | isAbsorber | (optType == VACUUM)
+            | lensExitToVacuum | (isGrating & isReflG & isEntering)
+            | gratTransExit).astype(seq.dtype)
+
+  records = dict(
+      hitElem=jnp.where(hasHit & alive, elemIdx, -1),
+      hitSurface=jnp.where(hasHit & alive, idx, -1),
+      px=px, py=py, pz=pz, plx=plx, ply=ply,
+      dirX=dx, dirY=dy, dirZ=dz,
+      power=power,
+      isEntering=isEntering,
+      isHit=hasHit & alive,
+      recordHit=hasHit & alive & recordHits,
+      segValid=alive,
+      segPower=powerBefore,
+      segMedium=medium,
+      oX=ox, oY=oy, oZ=oz,
+  )
+
+  powerTol = scene.get('powerTol', 1e-6)
+  newAlive = alive & hasHit & (newPower >= powerTol)
+  newState = (jnp.stack([px, py, pz], axis=-1),
+              jnp.where(hasHit[:, None],
+                        jnp.stack([ndx, ndy, ndz], axis=-1), d),
+              jnp.where(hasHit, newPower, power),
+              wl,
+              jnp.where(hasHit, newMedium, medium),
+              seq + jnp.where(hasHit, seqInc, 0),
+              newAlive)
+  return newState, records

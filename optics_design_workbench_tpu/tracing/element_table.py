@@ -16,6 +16,11 @@ from .tracer import OPTICAL_TYPES, GRATING_REFLECTION, GRATING_TRANSMISSION
 _GRATING_TYPES = {'Reflection': GRATING_REFLECTION,
                   'Transmission': GRATING_TRANSMISSION}
 
+# column offsets in table['packed']
+(EP_OPTTYPE, EP_REFRINDEX, EP_REFLECTIVITY, EP_ABSLENGTH, EP_GRATTYPE,
+ EP_GRATLPM, EP_GRATDIRX, EP_GRATDIRY, EP_GRATDIRZ, EP_GRATORDER,
+ EP_RECORDHITS) = range(11)
+
 
 def element(opticalType='Vacuum', refractiveIndex=1.0, reflectivity=1.0,
             absorptionLength=np.inf, gratingType='Reflection',
@@ -62,6 +67,18 @@ def buildElementTable(elems, dtype=jnp.float32):
                                dtype=dtype),
       recordHits=jnp.asarray([e['recordHits'] for e in elems], dtype=bool),
   )
+  # packed per-element row for the batched tracer (one gather per bounce):
+  # [optType, refrIndex, reflectivity, absorptionLength, gratingType,
+  #  gratingLpm, gratingDir(3), gratingOrder, recordHits]
+  packed = np.stack([np.array([
+      float(OPTICAL_TYPES[e['opticalType']]),
+      e['refractiveIndex'], e['reflectivity'], e['absorptionLength'],
+      float(_GRATING_TYPES[e['gratingType']]),
+      e['gratingLinesPerMillimeter'],
+      *e['gratingLinesOrientation'],
+      e['gratingDiffractionOrder'],
+      float(bool(e['recordHits']))]) for e in elems])
+  table['packed'] = jnp.asarray(packed, dtype=dtype)
   if any(e.get('dispersion') is not None for e in elems):
     grids = [np.asarray(e['dispersion'][0], dtype=float)
              for e in elems if e.get('dispersion') is not None]

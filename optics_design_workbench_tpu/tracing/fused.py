@@ -1,0 +1,131 @@
+'''
+Fused Monte-Carlo fast path: sampling, the bounce loop and on-device hit
+histogramming in ONE jitted step, carrying only histograms and counters
+between steps — nothing ray-shaped ever reaches the host.
+
+This is the throughput path behind the benchmark (BASELINE.md north star:
+>= 1e9 ray-segments/sec/chip). The reference's equivalent inner loop calls
+OpenCASCADE per ray per face and pickles per-hit rows (ray.py:290-401,
+results_store.py:641-648); here a bounce advances the whole batch and hits
+are scatter-added into per-detector 2-D histograms in the recording
+surface's local (x, y) frame.
+'''
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .tracer import VACUUM_MEDIUM
+
+
+def makeHistogramSpec(scene, info, recordElems=None, bounds=None,
+                      bins=(128, 128)):
+  '''Build the histogram config: which elements accumulate, one (H, W)
+  histogram per recording element, binned over local-frame (x, y) `bounds`
+  = (x0, x1, y0, y1) (shared, or dict label->bounds).'''
+  elemLabels = info['elementLabels']
+  recordFlags = np.asarray(scene['elements']['recordHits'])
+  if recordElems is None:
+    recordElems = [i for i in range(len(elemLabels)) if recordFlags[i]]
+  elemToDet = np.full(len(elemLabels), -1, dtype=np.int32)
+  allBounds = []
+  for d, e in enumerate(recordElems):
+    elemToDet[e] = d
+    b = bounds
+    if isinstance(bounds, dict):
+      b = bounds.get(elemLabels[e])
+    if b is None:
+      b = (-50., 50., -50., 50.)
+    allBounds.append(b)
+  return dict(elemToDet=jnp.asarray(elemToDet),
+              bounds=jnp.asarray(np.asarray(allBounds, dtype=np.float32)),
+              bins=tuple(bins),
+              detLabels=[elemLabels[e] for e in recordElems])
+
+
+def initHistograms(histSpec, dtype=jnp.float32):
+  D = histSpec['bounds'].shape[0]
+  H, W = histSpec['bins']
+  return dict(power=jnp.zeros((D, H, W), dtype),
+              counts=jnp.zeros((D, H, W), dtype))
+
+
+@partial(jax.jit, static_argnames=('maxIntersections', 'bins'))
+def _traceHistogram(scene, elemToDet, bounds, bins, histograms, origins,
+                    directions, powers, wavelengths, maxIntersections,
+                    maxRayLength, distTol):
+  from .batch_tracer import bounceBatch
+  N = origins.shape[0]
+  H, W = bins
+  state = (origins, directions, powers, wavelengths,
+           jnp.full((N,), VACUUM_MEDIUM, dtype=jnp.int32),
+           jnp.zeros((N,), dtype=jnp.int32),
+           jnp.ones((N,), dtype=bool))
+
+  def body(carry, _):
+    state, hist, segments, hits = carry
+    newState, rec = bounceBatch(scene, distTol, maxRayLength, *state)
+
+    det = elemToDet[jnp.maximum(rec['hitElem'], 0)]
+    valid = rec['recordHit'] & (rec['hitElem'] >= 0) & (det >= 0)
+    # the batch tracer already provides the hit point in the recording
+    # surface's local frame — no extra gathers needed
+    b = bounds[jnp.maximum(det, 0)]
+    x0, x1, y0, y1 = b[:, 0], b[:, 1], b[:, 2], b[:, 3]
+    fx = (rec['plx'] - x0) / (x1 - x0)
+    fy = (rec['ply'] - y0) / (y1 - y0)
+    inside = (fx >= 0) & (fx < 1) & (fy >= 0) & (fy < 1) & valid
+    ix = jnp.clip((fx * W).astype(jnp.int32), 0, W - 1)
+    iy = jnp.clip((fy * H).astype(jnp.int32), 0, H - 1)
+    d0 = jnp.maximum(det, 0)
+    w = jnp.where(inside, rec['power'], 0.)
+    c = inside.astype(hist['counts'].dtype)
+    # one fused scatter for (power, counts): halves the scatter cost
+    payload = jnp.stack([w, c], axis=-1)
+    stacked = jnp.stack([hist['power'], hist['counts']], axis=-1)
+    stacked = stacked.at[d0, iy, ix].add(payload)
+    hist = dict(power=stacked[..., 0], counts=stacked[..., 1])
+    segments = segments + jnp.sum(rec['segValid'].astype(jnp.int32))
+    hits = hits + jnp.sum(valid.astype(jnp.int32))
+    return (newState, hist, segments, hits), None
+
+  init = (state, histograms, jnp.zeros((), jnp.int32),
+          jnp.zeros((), jnp.int32))
+  (state, histograms, segments, hits), _ = lax.scan(
+      body, init, None, length=maxIntersections)
+  counters = dict(segments=segments, hits=hits,
+                  escaped=jnp.sum(~state[6]))
+  return histograms, counters
+
+
+def traceHistogram(scene, histSpec, histograms, origins, directions, powers,
+                   wavelengths, maxIntersections, maxRayLength, distTol):
+  '''Trace a batch and scatter-add recorded hits into the histograms.
+  Returns (histograms, counters) with counters = dict(segments, hits,
+  escaped). Non-array histSpec fields (bins, labels) are split off as
+  static arguments so the call is jit/shard_map friendly.'''
+  return _traceHistogram(scene, histSpec['elemToDet'], histSpec['bounds'],
+                         tuple(histSpec['bins']), histograms, origins,
+                         directions, powers, wavelengths,
+                         maxIntersections=maxIntersections,
+                         maxRayLength=maxRayLength, distTol=distTol)
+
+
+def makeFusedStep(scene, generator, histSpec, raysPerStep, maxIntersections,
+                  maxRayLength, distTol, stratified=False):
+  '''Compose sampling + trace + histogram into one jitted step function
+  `(key, histograms) -> (histograms, counters)`.'''
+
+  @jax.jit
+  def fusedStep(key, histograms):
+    batch = generator(key, raysPerStep, stratified=stratified)
+    return traceHistogram(scene, histSpec, histograms,
+                          batch['origins'], batch['directions'],
+                          batch['powers'], batch['wavelengths'],
+                          maxIntersections=maxIntersections,
+                          maxRayLength=maxRayLength, distTol=distTol)
+
+  return fusedStep

@@ -240,22 +240,35 @@ def trace(scene, origins, directions, powers, wavelengths,
   With recordSegments=False only hit records are produced (cheaper for pure
   Monte-Carlo detector runs).
   '''
+  from .batch_tracer import bounceBatch
   N = origins.shape[0]
   state = (origins, directions, powers, wavelengths,
            jnp.full((N,), VACUUM_MEDIUM, dtype=jnp.int32),
            jnp.zeros((N,), dtype=jnp.int32),
            jnp.ones((N,), dtype=bool))
 
-  step = jax.vmap(partial(bounceOne, scene, distTol, maxRayLength))
-
   def body(state, _):
-    newState, records = step(*state)
+    newState, rec = bounceBatch(scene, distTol, maxRayLength, *state)
     if not recordSegments:
-      records = {k: v for k, v in records.items()
-                 if not k.startswith('seg')}
-    return newState, records
+      rec = {k: v for k, v in rec.items()
+             if not (k.startswith('seg') or k in ('oX', 'oY', 'oZ'))}
+    return newState, rec
 
-  finalState, records = lax.scan(body, state, None, length=maxIntersections)
+  finalState, rec = lax.scan(body, state, None, length=maxIntersections)
+
+  # assemble the stacked record views the host-side consumers expect
+  records = dict(
+      hitElem=rec['hitElem'], hitSurface=rec['hitSurface'],
+      point=jnp.stack([rec['px'], rec['py'], rec['pz']], axis=-1),
+      direction=jnp.stack([rec['dirX'], rec['dirY'], rec['dirZ']], axis=-1),
+      power=rec['power'], isEntering=rec['isEntering'],
+      isHit=rec['isHit'], recordHit=rec['recordHit'])
+  if recordSegments:
+    records.update(
+        segValid=rec['segValid'],
+        segP1=jnp.stack([rec['oX'], rec['oY'], rec['oZ']], axis=-1),
+        segP2=records['point'],
+        segPower=rec['segPower'], segMedium=rec['segMedium'])
   return finalState, records
 
 

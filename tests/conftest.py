@@ -3,7 +3,10 @@ import os
 # Tests run on a virtual 8-device CPU mesh so multi-chip sharding paths are
 # exercised without TPU hardware (the driver separately dry-runs the
 # multi-chip path via __graft_entry__.dryrun_multichip).
-os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+#
+# NOTE the environment's sitecustomize pre-imports jax and forces
+# JAX_PLATFORMS=axon (the real TPU); env vars set here come too late, so the
+# backend must be switched through jax.config instead.
 flags = os.environ.get('XLA_FLAGS', '')
 if '--xla_force_host_platform_device_count' not in flags:
   os.environ['XLA_FLAGS'] = (
@@ -12,11 +15,16 @@ if '--xla_force_host_platform_device_count' not in flags:
 import numpy as np
 import pytest
 
+import jax
+jax.config.update('jax_platforms', 'cpu')
+
 # persistent compilation cache: the trace/scan kernels are expensive to
 # compile on the CPU test backend; cache them across test runs
-import jax
 jax.config.update('jax_compilation_cache_dir', '/root/.cache/jax_test_cache')
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
+
+assert jax.devices()[0].platform == 'cpu' and len(jax.devices()) == 8, \
+    'tests must run on the virtual 8-device CPU mesh'
 
 
 @pytest.fixture(autouse=True)
