@@ -128,12 +128,26 @@ def _localNormal(kindf, prm, plx, ply, plz):
   return nx, ny, nz
 
 
+def sceneStaticFlags(scene):
+  '''Host-side inspection of a CONCRETE scene: which interaction formulas
+  can be skipped entirely at compile time (callable only outside jit or on
+  closure-captured scenes).'''
+  import numpy as np
+  opt = np.asarray(scene['elements']['optType'])
+  return dict(hasMirror=bool((opt == MIRROR).any()),
+              hasLens=bool((opt == LENS).any()),
+              hasGrating=bool((opt == GRATING).any()))
+
+
 def bounceBatch(scene, distTol, maxRayLength, o, d, power, wl, medium, seq,
-                alive):
+                alive, staticFlags=None):
   '''One bounce for the whole batch. Same signature/semantics as
   vmap(bounceOne) but column-SoA inside; returns (newState, records) with
   records carrying column fields plus local hit coordinates (plx, ply) for
-  free histogram binning.'''
+  free histogram binning. `staticFlags` (from sceneStaticFlags) lets the
+  compiler drop interaction formulas for element types absent from the
+  scene.'''
+  flags = staticFlags or dict(hasMirror=True, hasLens=True, hasGrating=True)
   surf = scene['surfaces']
   elements = scene['elements']
   N = o.shape[0]
@@ -242,31 +256,37 @@ def bounceBatch(scene, distTol, maxRayLength, o, d, power, wl, medium, seq,
   snz = jnp.where(tir, mz, szz)
 
   # grating (Ludwig 1970, incidence-side normal; see tracer.gratingDirection)
-  isReflG = gratType == GRATING_REFLECTION
-  gn1 = jnp.where(isReflG, nMedium, 1.)
-  gn2 = jnp.where(isReflG, nMedium, nElem)
-  gmu = gn1 / gn2
-  nix, niy, niz = -nx, -ny, -nz
-  pgx, pgy, pgz = _norm3(*_cross3(gDirX, gDirY, gDirZ, nix, niy, niz))
-  dgx, dgy, dgz = _norm3(*_cross3(nix, niy, niz, pgx, pgy, pgz))
-  lamUm = wl / 1000.
-  spacing = 1000. / gratLpm
-  Tt = gratOrder * lamUm / (gn1 * spacing)
-  V = gmu * _dot3(dx, dy, dz, nix, niy, niz)
-  W = gmu * gmu - 1 + Tt * Tt - 2 * gmu * Tt * _dot3(dx, dy, dz, dgx, dgy, dgz)
-  disc = V * V - W
-  evanescent = disc < 0
-  gsq = jnp.sqrt(jnp.maximum(disc, 0.))
-  qg = jnp.where(isReflG, -V + gsq, -V - gsq)
-  ggx, ggy, ggz = _norm3(gmu * dx - Tt * dgx + qg * nix,
-                         gmu * dy - Tt * dgy + qg * niy,
-                         gmu * dz - Tt * dgz + qg * niz)
-  gratX = jnp.where(isReflG, jnp.where(isEntering, ggx, dx),
-                    jnp.where(isEntering, ggx, snx))
-  gratY = jnp.where(isReflG, jnp.where(isEntering, ggy, dy),
-                    jnp.where(isEntering, ggy, sny))
-  gratZ = jnp.where(isReflG, jnp.where(isEntering, ggz, dz),
-                    jnp.where(isEntering, ggz, snz))
+  if flags['hasGrating']:
+    isReflG = gratType == GRATING_REFLECTION
+    gn1 = jnp.where(isReflG, nMedium, 1.)
+    gn2 = jnp.where(isReflG, nMedium, nElem)
+    gmu = gn1 / gn2
+    nix, niy, niz = -nx, -ny, -nz
+    pgx, pgy, pgz = _norm3(*_cross3(gDirX, gDirY, gDirZ, nix, niy, niz))
+    dgx, dgy, dgz = _norm3(*_cross3(nix, niy, niz, pgx, pgy, pgz))
+    lamUm = wl / 1000.
+    spacing = 1000. / gratLpm
+    Tt = gratOrder * lamUm / (gn1 * spacing)
+    V = gmu * _dot3(dx, dy, dz, nix, niy, niz)
+    W = (gmu * gmu - 1 + Tt * Tt
+         - 2 * gmu * Tt * _dot3(dx, dy, dz, dgx, dgy, dgz))
+    disc = V * V - W
+    evanescent = disc < 0
+    gsq = jnp.sqrt(jnp.maximum(disc, 0.))
+    qg = jnp.where(isReflG, -V + gsq, -V - gsq)
+    ggx, ggy, ggz = _norm3(gmu * dx - Tt * dgx + qg * nix,
+                           gmu * dy - Tt * dgy + qg * niy,
+                           gmu * dz - Tt * dgz + qg * niz)
+    gratX = jnp.where(isReflG, jnp.where(isEntering, ggx, dx),
+                      jnp.where(isEntering, ggx, snx))
+    gratY = jnp.where(isReflG, jnp.where(isEntering, ggy, dy),
+                      jnp.where(isEntering, ggy, sny))
+    gratZ = jnp.where(isReflG, jnp.where(isEntering, ggz, dz),
+                      jnp.where(isEntering, ggz, snz))
+  else:
+    isReflG = jnp.zeros_like(medium, dtype=bool)
+    evanescent = jnp.zeros_like(medium, dtype=bool)
+    gratX, gratY, gratZ = dx, dy, dz
 
   isMirror = optType == MIRROR
   isLens = optType == LENS

@@ -53,21 +53,25 @@ def initHistograms(histSpec, dtype=jnp.float32):
               counts=jnp.zeros((D, H, W), dtype))
 
 
-@partial(jax.jit, static_argnames=('maxIntersections', 'bins'))
+@partial(jax.jit, static_argnames=('maxIntersections', 'bins', 'flagsTuple'))
 def _traceHistogram(scene, elemToDet, bounds, bins, histograms, origins,
                     directions, powers, wavelengths, maxIntersections,
-                    maxRayLength, distTol):
+                    maxRayLength, distTol, flagsTuple=None):
   from .batch_tracer import bounceBatch
   N = origins.shape[0]
   H, W = bins
+  flags = None if flagsTuple is None else dict(
+      hasMirror=flagsTuple[0], hasLens=flagsTuple[1],
+      hasGrating=flagsTuple[2])
   state = (origins, directions, powers, wavelengths,
            jnp.full((N,), VACUUM_MEDIUM, dtype=jnp.int32),
            jnp.zeros((N,), dtype=jnp.int32),
            jnp.ones((N,), dtype=bool))
 
-  def body(carry, _):
-    state, hist, segments, hits = carry
-    newState, rec = bounceBatch(scene, distTol, maxRayLength, *state)
+  def body(carry):
+    i, state, hist, segments, hits = carry
+    newState, rec = bounceBatch(scene, distTol, maxRayLength, *state,
+                                staticFlags=flags)
 
     det = elemToDet[jnp.maximum(rec['hitElem'], 0)]
     valid = rec['recordHit'] & (rec['hitElem'] >= 0) & (det >= 0)
@@ -83,19 +87,28 @@ def _traceHistogram(scene, elemToDet, bounds, bins, histograms, origins,
     d0 = jnp.maximum(det, 0)
     w = jnp.where(inside, rec['power'], 0.)
     c = inside.astype(hist['counts'].dtype)
-    # one fused scatter for (power, counts): halves the scatter cost
-    payload = jnp.stack([w, c], axis=-1)
-    stacked = jnp.stack([hist['power'], hist['counts']], axis=-1)
-    stacked = stacked.at[d0, iy, ix].add(payload)
-    hist = dict(power=stacked[..., 0], counts=stacked[..., 1])
-    segments = segments + jnp.sum(rec['segValid'].astype(jnp.int32))
-    hits = hits + jnp.sum(valid.astype(jnp.int32))
-    return (newState, hist, segments, hits), None
 
-  init = (state, histograms, jnp.zeros((), jnp.int32),
-          jnp.zeros((), jnp.int32))
-  (state, histograms, segments, hits), _ = lax.scan(
-      body, init, None, length=maxIntersections)
+    def doScatter(hist):
+      # one fused scatter for (power, counts): halves the scatter cost
+      payload = jnp.stack([w, c], axis=-1)
+      stacked = jnp.stack([hist['power'], hist['counts']], axis=-1)
+      stacked = stacked.at[d0, iy, ix].add(payload)
+      return dict(power=stacked[..., 0], counts=stacked[..., 1])
+
+    # bounces without recordable hits skip the (expensive) scatter entirely
+    hist = lax.cond(jnp.any(inside), doScatter, lambda h: h, hist)
+    segments = segments + jnp.sum(rec['segValid'].astype(jnp.int32))
+    hits = hits + jnp.sum(inside.astype(jnp.int32))
+    return (i + 1, newState, hist, segments, hits)
+
+  def cond(carry):
+    i, state, *_ = carry
+    # early exit once every ray is dead (absorbed/escaped/below powerTol)
+    return (i < maxIntersections) & jnp.any(state[6])
+
+  init = (jnp.zeros((), jnp.int32), state, histograms,
+          jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
+  i, state, histograms, segments, hits = lax.while_loop(cond, body, init)
   counters = dict(segments=segments, hits=hits,
                   escaped=jnp.sum(~state[6]))
   return histograms, counters
@@ -106,12 +119,23 @@ def traceHistogram(scene, histSpec, histograms, origins, directions, powers,
   '''Trace a batch and scatter-add recorded hits into the histograms.
   Returns (histograms, counters) with counters = dict(segments, hits,
   escaped). Non-array histSpec fields (bins, labels) are split off as
-  static arguments so the call is jit/shard_map friendly.'''
+  static arguments so the call is jit/shard_map friendly. When the scene
+  arrays are concrete (closure constants), interaction formulas for element
+  types absent from the scene are compiled out.'''
+  from .batch_tracer import sceneStaticFlags
+  flagsTuple = None
+  if not isinstance(jnp.asarray(scene['elements']['optType']), jax.core.Tracer):
+    try:
+      f = sceneStaticFlags(scene)
+      flagsTuple = (f['hasMirror'], f['hasLens'], f['hasGrating'])
+    except Exception:
+      flagsTuple = None
   return _traceHistogram(scene, histSpec['elemToDet'], histSpec['bounds'],
                          tuple(histSpec['bins']), histograms, origins,
                          directions, powers, wavelengths,
                          maxIntersections=maxIntersections,
-                         maxRayLength=maxRayLength, distTol=distTol)
+                         maxRayLength=maxRayLength, distTol=distTol,
+                         flagsTuple=flagsTuple)
 
 
 def makeFusedStep(scene, generator, histSpec, raysPerStep, maxIntersections,
