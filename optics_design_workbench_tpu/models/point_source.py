@@ -249,7 +249,7 @@ class PointSource(GenericSource):
     return dict(origins=origins, directions=directions,
                 powers=np.ones(len(t)),
                 wavelengths=np.full(len(t), float(self.Wavelength)),
-                metadata=dict(initphi=p, inittheta=theta, initradius=radius))
+                metadata=dict(initPhi=p, initTheta=theta, initRadius=radius))
 
   # -------------------------------------------------------------- generation
 
@@ -295,8 +295,8 @@ class PointSource(GenericSource):
       raise ValueError(f'{l1=}, {l2=}')
     io.verb(f'using fan generation mode "{fanMode}"')
 
-    allT, allPhi, meta = [], [], dict(fanindex=[], rayindex=[],
-                                      totalfancount=[], totalraysinfan=[])
+    allT, allPhi, meta = [], [], dict(fanIndex=[], rayIndex=[],
+                                      totalFanCount=[], totalRaysInFan=[])
     for fanIndex, basePhi in enumerate(
         self.parsedFanPhi0() + np.linspace(0, np.pi, totalFanCount + 1)[:-1]):
       cands = [phi for phi in np.arange(basePhi - 30 * np.pi,
@@ -359,10 +359,10 @@ class PointSource(GenericSource):
       for rayIndex, val, phi in sorted(packed, key=lambda e: abs(e[0]) - .1):
         allT.append(val)
         allPhi.append(phi)
-        meta['fanindex'].append(int(fanIndex))
-        meta['rayindex'].append(int(rayIndex))
-        meta['totalfancount'].append(int(totalFanCount))
-        meta['totalraysinfan'].append(len(packed))
+        meta['fanIndex'].append(int(fanIndex))
+        meta['rayIndex'].append(int(rayIndex))
+        meta['totalFanCount'].append(int(totalFanCount))
+        meta['totalRaysInFan'].append(len(packed))
 
     batch = self.makeRaysHost(np.array(allT), np.array(allPhi))
     batch['metadata'].update({k: np.array(v) for k, v in meta.items()})
@@ -402,7 +402,7 @@ class PointSource(GenericSource):
                   directions=directions.astype(jnp.float32),
                   powers=jnp.ones((N,), jnp.float32),
                   wavelengths=jnp.full((N,), wavelength, jnp.float32),
-                  metadata=dict(initphi=p, inittheta=theta,
-                                initradius=radius))
+                  metadata=dict(initPhi=p, initTheta=theta,
+                                initRadius=radius))
 
     return generate

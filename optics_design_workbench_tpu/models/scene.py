@@ -74,14 +74,17 @@ class Scene:
     return SimulationSettings()
 
   def getObject(self, label):
-    for o in self.objects:
+    for o in self.__dict__.get('objects', []):
       if getattr(o, 'Label', None) == label:
         return o
     raise KeyError(f'no object labelled {label!r}')
 
   def __getattr__(self, name):
     # attribute-style access by label, FreecadDocument-style
-    # (reference: jupyter_utils/freecad_document.py:132-408)
+    # (reference: jupyter_utils/freecad_document.py:132-408); guard dunder
+    # names so pickling/copy protocols don't recurse
+    if name.startswith('_') or name == 'objects':
+      raise AttributeError(name)
     try:
       return self.getObject(name)
     except KeyError:

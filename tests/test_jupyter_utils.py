@@ -1,0 +1,252 @@
+'''
+Analysis-layer tests: Document round-trip, RawFolder loading, Hits plane
+detection/projection/histograms, fan math on a simulated fan run, and the
+ParameterSweeper (incl. the batched-scene sweep, the examples/3 analog).
+'''
+
+import os
+
+import numpy as np
+import pytest
+
+import matplotlib
+matplotlib.use('Agg')
+
+from optics_design_workbench_tpu.models import (Scene, PointSource,
+                                                OpticalGroup)
+from optics_design_workbench_tpu.geometry import surfaces as S
+from optics_design_workbench_tpu.geometry import transforms as T
+from optics_design_workbench_tpu import simulation
+from optics_design_workbench_tpu.jupyter_utils import (
+    Document, Hits, Histogram, ParameterSweeper, Parameter, rawFolders,
+    latestRawFolder, saveScene, loadScene, RawFolderRange)
+
+
+def buildScene(tmp, lensRadius=60.):
+  scene = Scene(label='doc1', path=str(tmp / 'doc1'))
+  R, aperture, thickness = lensRadius, 20., 5.
+  sagMax = R - np.sqrt(R ** 2 - aperture ** 2)
+  scene.addOpticalGroup(OpticalGroup(
+      OpticalType='Lens', Label='Lens', RefractiveIndex=1.5,
+      surfaces=[
+          S.sphere(T.translation(0, 0, R), elem=0, radius=R,
+                   zRange=(-R, -R + sagMax + 1e-6), orient=+1),
+          S.plane(T.translation(0, 0, thickness), elem=0, radius=aperture,
+                  orient=+1),
+          S.cylinder(T.translation(0, 0, thickness / 2), elem=0,
+                     radius=aperture,
+                     zRange=(-thickness / 2, thickness / 2), orient=+1)],
+      placements=[T.translation(0, 0, 40)]))
+  scene.addOpticalGroup(OpticalGroup(
+      OpticalType='Absorber', Label='Detector',
+      surfaces=[S.plane(np.eye(4), elem=0, halfExtents=(80., 80.))],
+      placements=[T.translation(0, 0, 160)]))
+  scene.addSource(PointSource(
+      Label='Source', PowerDensity='exp(-theta^2/0.02)',
+      ThetaDomain='0, 0.3', Wavelength=532.,
+      ThetaResolutionNumericMode='1e4'))
+  scene.addSimulationSettings(EndAfterRays='1e4', RaysPerIteration=5000,
+                              MaxIntersections=6,
+                              EnableStoreSingleShotData=True,
+                              StoreHitFanIndex=True, StoreHitRayIndex=True,
+                              StoreHitTotalFanCount=True,
+                              StoreHitTotalRaysInFan=True)
+  return scene
+
+
+class TestDocument:
+
+  def test_save_load_roundtrip(self, tmp_path):
+    scene = buildScene(tmp_path)
+    path = saveScene(scene)
+    assert os.path.exists(path)
+    scene2 = loadScene(path)
+    assert scene2.getObject('Lens').RefractiveIndex == 1.5
+    assert scene2.getObject('Source').PowerDensity == 'exp(-theta^2/0.02)'
+
+  def test_document_run_and_load(self, tmp_path):
+    scene = buildScene(tmp_path)
+    saveScene(scene)
+    doc = Document(str(tmp_path / 'doc1'))
+    assert doc.Source.Wavelength == 532.
+    doc.Source.Wavelength = 640.
+    assert doc.scene.getObject('Source').Wavelength == 640.
+    raw = doc.runSimulation('true', seed=11)
+    assert raw.exists() and raw.uid()
+    info = raw.loadGlobalInfo()
+    assert 'Lens' in info['opticalObjects']
+    hits = raw.loadHits('Detector')
+    assert len(hits) > 9000
+    assert doc.latestRawFolder().path == raw.path
+    assert len(doc.rawFolders()) == 1
+
+  def test_autodetect_from_opticsdesign_folder(self, tmp_path):
+    scene = buildScene(tmp_path)
+    saveScene(scene)
+    doc = Document(str(tmp_path / 'doc1.OpticsDesign'))
+    assert doc.Source.Wavelength == 532.
+
+  def test_temp_copy(self, tmp_path):
+    scene = buildScene(tmp_path)
+    saveScene(scene)
+    simulation.getResultsFolderPath(str(tmp_path / 'doc1'))
+    doc = Document(str(tmp_path / 'doc1'), workInTempCopy=True)
+    assert 'tmp' in doc.scenePath
+    assert doc.scenePath != doc._originalPath
+
+  def test_endif_callback(self, tmp_path):
+    scene = buildScene(tmp_path)
+    scene.getObject('SimulationSettings').EndAfterRays = 'inf'
+    calls = []
+
+    def endIf(raw):
+      calls.append(raw.path)
+      return len(calls) >= 2
+
+    doc = Document(scene=scene)
+    raw = doc.runSimulation('true', endIf=endIf, seed=1)
+    assert len(calls) >= 2 and raw.exists()
+
+
+class TestHitsAnalysis:
+
+  @pytest.fixture(scope='class')
+  def fanRun(self, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp('fanrun')
+    scene = buildScene(tmp)
+    src = scene.getObject('Source')
+    src.Fans = 2
+    src.RaysPerFan = 41
+    runPath = simulation.runSimulation(scene, 'fans')
+    from optics_design_workbench_tpu.jupyter_utils import RawFolder
+    return RawFolder(runPath)
+
+  def test_plane_detection(self, fanRun):
+    hits = fanRun.loadHits('Detector')
+    normal, xvec = hits.detectPlaneNormal()
+    # detector plane normal is +-z
+    assert abs(abs(normal[2]) - 1) < 1e-3
+    # sign heuristic: normal against incoming rays (-z)
+    assert normal[2] < 0
+    proj = hits.planeProject3dPoints()
+    assert proj.shape == (len(hits), 2)
+
+  def test_histogram_cartesian_and_polar(self, fanRun):
+    hits = fanRun.loadHits('Detector')
+    h = hits.histogram(bins=21)
+    assert isinstance(h, Histogram)
+    assert h.hist.sum() == len(hits)
+    hp = hits.histogram(bins=15, binCoords='polar', radius=50.,
+                        origin=(0., 0.))
+    assert hp.hist.sum() <= len(hits)
+    rC, prof = hp.byAzimuth()
+    assert prof.shape[1] == len(rC)
+
+  def test_fan_math(self, fanRun):
+    hits = fanRun.loadHits('Detector')
+    assert hits.supportsFanMath()
+    assert hits.fanCount() == 2
+    center = hits.fanCenter()
+    # lens focuses on-axis: fan center near (0, 0) in plane coords
+    assert np.linalg.norm(center) < 2.
+    fI, rI, dists = hits.fanCenterDists()
+    assert dists.min() < 0 < dists.max()
+    dens = hits.fanEstimatedPowerDensities()
+    assert set(dens) == {0, 1}
+    for fanI, d in dens.items():
+      assert d.shape[0] == 2 and d.shape[1] > 10
+    assert hits.fanMissingRays() >= 0
+
+  def test_raw_folder_range(self, tmp_path):
+    scene = buildScene(tmp_path)
+    simulation.runSimulation(scene, 'singletrue', seed=1, store=True)
+    simulation.runSimulation(scene, 'singletrue', seed=2, store=True)
+    folder = simulation.getResultsFolderPath(str(tmp_path / 'doc1'))
+    runs = rawFolders(folder)
+    assert len(runs) == 2
+    both = RawFolderRange(runs).loadHits('Detector')
+    one = runs[0].loadHits('Detector')
+    assert len(both) > len(one)
+
+
+class TestSweeper:
+
+  def test_set_get_bounds(self, tmp_path):
+    scene = buildScene(tmp_path)
+    sweeper = ParameterSweeper(
+        lambda sc: dict(wavelength=(sc.getObject('Source'), 'Wavelength')),
+        scene=scene)
+    sweeper.setBounds(wavelength=(400., 700.))
+    applied = sweeper.set(wavelength=900.)
+    assert applied['wavelength'] == 700.    # clamped
+    assert sweeper.get('wavelength') == 700.
+
+  def test_optimize_finds_focus(self, tmp_path):
+    # optimize detector position to minimize spot size -> expect it to move
+    # toward the paraxial focus
+    scene = buildScene(tmp_path, lensRadius=60.)
+    det = scene.getObject('Detector')
+    scene.getObject('SimulationSettings').EndAfterRays = '3000'
+    scene.getObject('SimulationSettings').RaysPerIteration = 3000
+
+    def setZ(z):
+      det.placements = [T.translation(0, 0, float(z))]
+
+    def getZ():
+      return det.placements[0][2, 3]
+
+    sweeper = ParameterSweeper(
+        lambda sc: dict(z=Parameter(getter=getZ, setter=setZ,
+                                    bounds=(80., 200.))),
+        scene=scene)
+
+    def spotSize(raw):
+      hits = raw.loadHits('Detector')
+      p = hits.points()
+      if len(p) < 100:
+        return 1e6
+      return float(np.hypot(p[:, 0] - p[:, 0].mean(),
+                            p[:, 1] - p[:, 1].mean()).std())
+
+    result = sweeper.optimize(spotSize, ['z'], method='Nelder-Mead',
+                              maxIterations=12, seed=3)
+    # paraxial: f = R/(n-1) = 120 from lens at z=40 -> focus ~ z=160+
+    # (thick-lens corrections); just require improvement over start
+    assert result.bestPenalty < sweeper.history[0]['penalty'] * 1.01
+    assert len(sweeper.history) >= 5
+
+  def test_evaluate_batched(self, tmp_path):
+    # examples/3 analog: sweep lens radius, all variants in one vmapped call
+    holder = {}
+
+    def sceneFactory():
+      return holder['scene']
+
+    radii = [50., 60., 75., 90.]
+
+    def setRadius(r):
+      holder['scene'] = buildScene(tmp_path, lensRadius=float(r))
+
+    sweeper = ParameterSweeper(
+        lambda sc: dict(R=Parameter(getter=lambda: holder.get('R', 60.),
+                                    setter=setRadius)),
+        scene=buildScene(tmp_path))
+
+    def spotMetric(power, counts):
+      # second moment of the histogram around its center of mass
+      H = counts[0]
+      n = H.sum()
+      if n == 0:
+        return 1e6
+      ys, xs = np.indices(H.shape)
+      cy, cx = (H * ys).sum() / n, (H * xs).sum() / n
+      return float((H * ((ys - cy) ** 2 + (xs - cx) ** 2)).sum() / n)
+
+    metrics = sweeper.evaluateBatched(
+        [dict(R=r) for r in radii], spotMetric, sceneFactory=sceneFactory,
+        raysPerScene=20000, maxIntersections=6, bins=(64, 64),
+        histBounds=(-40., 40., -40., 40.))
+    assert metrics.shape == (4,)
+    assert np.all(np.isfinite(metrics))
+    # detector at z=160, lens at 40: focal dist 120 = R/(n-1) -> R=60 best
+    assert int(np.argmin(metrics)) in (0, 1)

@@ -134,11 +134,11 @@ class TestFansE2E:
     runPath = simulation.runSimulation(scene, 'fans')
     hits = loadAllHits(runPath, 'Source', 'Detector')
     assert hits is not None
-    assert 'fanindex' in hits and 'rayindex' in hits
-    fanIdx = hits['fanindex'].astype(int)
+    assert 'fanIndex' in hits and 'rayIndex' in hits
+    fanIdx = hits['fanIndex'].astype(int)
     assert set(fanIdx) == {0, 1}
     # stitched mode (theta domain starts at 0): ray indices span +-
-    rayIdx = hits['rayindex'].astype(int)
+    rayIdx = hits['rayIndex'].astype(int)
     assert rayIdx.min() < 0 < rayIdx.max()
     # fans lie in planes: fan 0 at phi=0 -> hits along the y axis
     # (phi=0 -> direction (sin t sin 0, -sin t cos 0, cos t) = (0,-sin t, ..))
