@@ -127,16 +127,19 @@ class _AnalyticTransform:
                 np.shape(u)).astype(complex)
              for f in self.inverses])
       # invalid branches yield NaN (or complex values); keep reals inside
-      # the domain
+      # the domain (with a small boundary tolerance — deltas/steps sitting
+      # exactly on a domain edge otherwise produce spurious misses)
       real = np.where(np.abs(candidates.imag) < 1e-9, candidates.real, np.nan)
-      valid = (l1 <= real) & (real <= l2)
+      tol = 1e-9 * max(abs(l2 - l1), 1.)
+      valid = (l1 - tol <= real) & (real <= l2 + tol)
       nValid = valid.sum(axis=0)
       if np.any(nValid > 1):
         raise ValueError('more than one valid inverse-CDF solution found in '
                          f'domain ({self.expressions[2]})')
       firstValid = np.argmax(valid, axis=0)
       out = np.where(nValid >= 1,
-                     real[firstValid, np.arange(real.shape[1])],
+                     np.clip(real[firstValid, np.arange(real.shape[1])],
+                             l1, l2),
                      np.nan)
     else:
       out = np.full(np.shape(u), np.nan)
@@ -149,6 +152,11 @@ class _AnalyticTransform:
       out = np.where(isDiscrete,
                      self.discreteVals[np.clip(idx, 0, len(self.discreteVals) - 1)],
                      out)
+      # discrete values sitting on a domain edge can differ from the domain
+      # bound by an ulp (sympy pi vs numpy pi); snap them inside
+      tol = 1e-9 * max(abs(l2 - l1), 1.)
+      out = np.where(np.abs(out - np.clip(out, l1, l2)) <= tol,
+                     np.clip(out, l1, l2), out)
     return out
 
 
@@ -342,8 +350,12 @@ class VectorRandomVariable:
                                             else {}))
       varY = sy.Symbol('__y', real=True, nonnegative=True)
 
-      # Heaviside steps in the partial integral mark discrete events
-      fullPartial = sy.Integral(expr, (var, l1, varX)).doit()
+      # Heaviside steps in the partial integral mark discrete events.
+      # NOTE: use an assumption-free upper-limit symbol here — a
+      # positivity assumption on __x silently simplifies Heaviside(__x)
+      # away, zeroing the step height of a delta sitting at the domain edge
+      varXe = sy.Symbol('__xe', real=True)
+      fullPartial = sy.Integral(expr, (var, l1, varXe)).doit()
       eventVals = sorted({s for h in fullPartial.find(sy.Heaviside)
                           for s in sy.solve(h.args[0])
                           if s.is_real is not False})
@@ -353,8 +365,8 @@ class VectorRandomVariable:
         try:
           def stepHeight(deltaVal):
             repl = fullPartial.replace(sy.DiracDelta, lambda *a: deltaVal)
-            return float((repl.subs(varX, val + eps)
-                          - repl.subs(varX, val - eps)).evalf())
+            return float((repl.subs(varXe, val + eps)
+                          - repl.subs(varXe, val - eps)).evalf())
           zeroD, unitD = stepHeight(0), stepHeight(1)
           if zeroD < 0 or unitD < 0:
             raise ValueError('negative amplitude DiracDelta found in '

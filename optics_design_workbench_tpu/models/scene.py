@@ -39,6 +39,8 @@ class Scene:
     return self.add(obj)
 
   def addSource(self, source):
+    if hasattr(source, 'attachScene'):
+      source.attachScene(self)
     return self.add(source)
 
   def addSimulationSettings(self, **kwargs):
@@ -119,6 +121,13 @@ class Scene:
     table = geomSurfaces.buildSurfaceTable(surfs, dtype=dtype)
     scene = dict(surfaces=table, elements=buildElementTable(elems,
                                                             dtype=dtype))
+
+    # stochastic scatter tables (Reflected/Refracted/RayModification
+    # probability densities, reference: optical_group.py:214-325)
+    from .scatter import buildScatterTables
+    scatter = buildScatterTables(groups, dtype=dtype)
+    if scatter is not None:
+      scene['scatter'] = scatter
 
     settings = self.activeSimulationSettings()
     if settings is not None and settings.SequentialMode \

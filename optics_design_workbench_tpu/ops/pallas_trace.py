@@ -1,0 +1,436 @@
+'''
+Pallas fused trace kernel: the whole bounce loop for a tile of rays runs in
+ONE kernel with ray state resident in VMEM — HBM sees each ray once on the
+way in and a (binIndex, weight) pair on the way out, instead of ~60 (N,)
+arrays per bounce crossing HBM between XLA fusions.
+
+Scope (the common fast case; the XLA batch tracer remains the general
+fallback): analytic surfaces plane/sphere/cylinder/asphere, element types
+Mirror/Lens/Absorber/Vacuum with constant refractive index, no gratings,
+no stochastic scatter, no sequential mode. Each ray records at most its
+LAST in-bounds detector hit (detectors are terminal absorbers/vacuums in
+practice); the per-ray bin index + power are scattered into the histogram
+by one XLA scatter per step.
+
+Scene data arrives as one packed f32 row per surface / element (see
+geometry/surfaces.py PACKED_* and tracing/element_table.py EP_*), unrolled
+as compile-time constants over the (static, small) surface count.
+'''
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..geometry import surfaces as GS
+from ..tracing.tracer import MIRROR, LENS, GRATING, ABSORBER, VACUUM
+
+TILE = 8192
+_BIG = 3.0e38
+
+
+def pallasEligible(scene):
+  '''Static host-side check whether the fast kernel supports this scene.'''
+  try:
+    kinds = set(np.asarray(scene['surfaces']['kind']).tolist())
+    opts = set(np.asarray(scene['elements']['optType']).tolist())
+  except Exception:
+    return False
+  if 'scatter' in scene or 'seqMask' in scene or 'surfMask' in scene:
+    return False
+  if 'nTable' in scene['elements']:
+    return False
+  if GS.TRIANGLE in kinds:
+    return False
+  if GRATING in opts:
+    return False
+  return numSurfacesStatic(scene) <= 64
+
+
+def numSurfacesStatic(scene):
+  return int(scene['surfaces']['kind'].shape[0])
+
+
+def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
+                maxIntersections, maxRayLength, distTol, powerTol):
+  '''Build the kernel body with the scene baked in as python constants.
+  surfRows: list of per-surface dicts of floats; elemRows likewise.'''
+  H, W = bins
+  S = len(surfRows)
+
+  def kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, pw_ref,
+             binOut_ref, wOut_ref, cOut_ref, segOut_ref):
+    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+    pw = pw_ref[:]
+    shape = ox.shape
+    medium = jnp.full(shape, -1.0)   # element id as float, -1 = vacuum
+    alive = jnp.ones(shape, dtype=jnp.bool_)
+    segCount = jnp.zeros(shape, dtype=jnp.float32)
+    hitBin = jnp.full(shape, -1.0)
+    hitW = jnp.zeros(shape)
+    hitC = jnp.zeros(shape)
+
+    for _bounce in range(maxIntersections):
+      # ---- nearest intersection over unrolled surfaces ----
+      tBest = jnp.full(shape, _BIG)
+      for s in range(S):
+        r = surfRows[s]
+        t = _intersectConst(r, ox, oy, oz, dx, dy, dz, distTol)
+        t = jnp.where(t <= maxRayLength, t, _BIG)
+        tBest = jnp.minimum(tBest, t)
+      # same-medium preference: nearest hit with elem != medium within
+      # the 2*distTol window
+      tPref = jnp.full(shape, _BIG)
+      for s in range(S):
+        r = surfRows[s]
+        t = _intersectConst(r, ox, oy, oz, dx, dy, dz, distTol)
+        t = jnp.where(t <= maxRayLength, t, _BIG)
+        ok = (t <= tBest + 2 * distTol) & (medium != r['elemF'])
+        tPref = jnp.minimum(tPref, jnp.where(ok, t, _BIG))
+      hasPref = tPref < _BIG
+      tSel = jnp.where(hasPref, tPref, tBest)
+      hasHit = tBest < _BIG
+
+      # winning surface index (first match on tSel)
+      sIdx = jnp.full(shape, -1.0)
+      for s in range(S):
+        r = surfRows[s]
+        t = _intersectConst(r, ox, oy, oz, dx, dy, dz, distTol)
+        t = jnp.where(t <= maxRayLength, t, _BIG)
+        prefOk = (t <= tBest + 2 * distTol) & (medium != r['elemF'])
+        isSel = jnp.where(hasPref, prefOk & (t <= tPref),
+                          t <= tBest)
+        sIdx = jnp.where((sIdx < 0) & isSel & hasHit, float(s), sIdx)
+
+      tSeg = jnp.where(hasHit, tSel, maxRayLength)
+      px, py, pz = ox + tSeg * dx, oy + tSeg * dy, oz + tSeg * dz
+
+      # ---- per-surface hit data via masked accumulation ----
+      nxA = jnp.zeros(shape)
+      nyA = jnp.zeros(shape)
+      nzA = jnp.zeros(shape)
+      plxA = jnp.zeros(shape)
+      plyA = jnp.zeros(shape)
+      elemF = jnp.zeros(shape)
+      for s in range(S):
+        r = surfRows[s]
+        m = sIdx == float(s)
+        lx = r['r00'] * px + r['r01'] * py + r['r02'] * pz + r['t0']
+        ly = r['r10'] * px + r['r11'] * py + r['r12'] * pz + r['t1']
+        lz = r['r20'] * px + r['r21'] * py + r['r22'] * pz + r['t2']
+        nlx, nly, nlz = _normalConst(r, lx, ly, lz)
+        # world normal via transpose, then outward orientation
+        nwx = (r['r00'] * nlx + r['r10'] * nly + r['r20'] * nlz) * r['orient']
+        nwy = (r['r01'] * nlx + r['r11'] * nly + r['r21'] * nlz) * r['orient']
+        nwz = (r['r02'] * nlx + r['r12'] * nly + r['r22'] * nlz) * r['orient']
+        nxA = jnp.where(m, nwx, nxA)
+        nyA = jnp.where(m, nwy, nyA)
+        nzA = jnp.where(m, nwz, nzA)
+        plxA = jnp.where(m, lx, plxA)
+        plyA = jnp.where(m, ly, plyA)
+        elemF = jnp.where(m, r['elemF'], elemF)
+
+      cosA = dx * nxA + dy * nyA + dz * nzA
+      isEntering = cosA < 0
+      sgn = jnp.where(isEntering, -1., 1.)
+      nx, ny, nz = nxA * sgn, nyA * sgn, nzA * sgn
+
+      # ---- per-element properties via masked accumulation ----
+      optType = jnp.zeros(shape)
+      nElem = jnp.ones(shape)
+      refl = jnp.ones(shape)
+      recFlag = jnp.zeros(shape, dtype=jnp.bool_)
+      detIdx = jnp.zeros(shape)
+      bx0 = jnp.zeros(shape)
+      bx1 = jnp.ones(shape)
+      by0 = jnp.zeros(shape)
+      by1 = jnp.ones(shape)
+      nMed = jnp.ones(shape)
+      absLenMed = jnp.full(shape, _BIG)
+      for e, er in enumerate(elemRows):
+        m = elemF == float(e)
+        optType = jnp.where(m, er['optF'], optType)
+        nElem = jnp.where(m, er['n'], nElem)
+        refl = jnp.where(m, er['refl'], refl)
+        recFlag = jnp.where(m, er['rec'] > 0.5, recFlag)
+        detIdx = jnp.where(m, er['detF'], detIdx)
+        bx0 = jnp.where(m, er['bx0'], bx0)
+        bx1 = jnp.where(m, er['bx1'], bx1)
+        by0 = jnp.where(m, er['by0'], by0)
+        by1 = jnp.where(m, er['by1'], by1)
+        mm = medium == float(e)
+        nMed = jnp.where(mm, er['n'], nMed)
+        absLenMed = jnp.where(mm, er['absLen'], absLenMed)
+
+      # Beer-Lambert
+      inMedium = medium >= 0
+      factor = jnp.where(absLenMed <= 0, 0.,
+                         jnp.where(absLenMed >= _BIG, 1.,
+                                   jnp.exp(-tSeg / absLenMed)))
+      pw = jnp.where(inMedium, pw * factor, pw)
+
+      # ---- interactions ----
+      dDotN = dx * nx + dy * ny + dz * nz
+      mxD, myD, mzD = dx - 2 * nx * dDotN, dy - 2 * ny * dDotN, \
+          dz - 2 * nz * dDotN
+      n1 = jnp.where(inMedium, nMed, 1.)
+      n2 = jnp.where(isEntering, nElem, 1.)
+      mu = n1 / n2
+      sin2 = jnp.maximum(1 - dDotN * dDotN, 0.)
+      root = 1 - mu * mu * sin2
+      tir = root < 0
+      sq = jnp.sqrt(jnp.maximum(root, 0.))
+      tx_, ty_, tz_ = dx - nx * dDotN, dy - ny * dDotN, dz - nz * dDotN
+      snx = jnp.where(tir, mxD, mu * tx_ + nx * sq)
+      sny = jnp.where(tir, myD, mu * ty_ + ny * sq)
+      snz = jnp.where(tir, mzD, mu * tz_ + nz * sq)
+
+      isMirror = optType == float(MIRROR)
+      isLens = optType == float(LENS)
+      isAbsorber = optType == float(ABSORBER)
+
+      ndx = jnp.where(isMirror, mxD, jnp.where(isLens, snx, dx))
+      ndy = jnp.where(isMirror, myD, jnp.where(isLens, sny, dy))
+      ndz = jnp.where(isMirror, mzD, jnp.where(isLens, snz, dz))
+      inv = lax.rsqrt(ndx * ndx + ndy * ndy + ndz * ndz + 1e-20)
+      ndx, ndy, ndz = ndx * inv, ndy * inv, ndz * inv
+
+      lensExitToVacuum = isLens & ~isEntering & ~tir & (medium == elemF)
+      newMedium = jnp.where(isLens & isEntering, elemF,
+                            jnp.where(lensExitToVacuum, -1., medium))
+      newPw = jnp.where(isMirror, pw * refl,
+                        jnp.where(isAbsorber, 0., pw))
+
+      # ---- record the last in-bounds detector hit ----
+      fx = (plxA - bx0) / (bx1 - bx0)
+      fy = (plyA - by0) / (by1 - by0)
+      inside = ((fx >= 0) & (fx < 1) & (fy >= 0) & (fy < 1)
+                & recFlag & hasHit & alive & (detIdx >= 0))
+      ixF = jnp.floor(fx * W)
+      iyF = jnp.floor(fy * H)
+      binF = (detIdx * H + iyF) * W + ixF
+      hitBin = jnp.where(inside, binF, hitBin)
+      hitW = jnp.where(inside, pw, hitW)
+      hitC = jnp.where(inside, 1., hitC)
+
+      segCount = segCount + alive.astype(jnp.float32)
+      newAlive = alive & hasHit & (newPw >= powerTol)
+      ox = jnp.where(alive, px, ox)
+      oy = jnp.where(alive, py, oy)
+      oz = jnp.where(alive, pz, oz)
+      dx = jnp.where(alive & hasHit, ndx, dx)
+      dy = jnp.where(alive & hasHit, ndy, dy)
+      dz = jnp.where(alive & hasHit, ndz, dz)
+      pw = jnp.where(alive & hasHit, newPw, pw)
+      medium = jnp.where(alive & hasHit, newMedium, medium)
+      alive = newAlive
+
+    binOut_ref[:] = hitBin
+    wOut_ref[:] = hitW
+    cOut_ref[:] = hitC
+    segOut_ref[:] = segCount
+
+  return kernel
+
+
+def _intersectConst(r, ox, oy, oz, dx, dy, dz, tMin):
+  '''Ray-surface distance with the surface's transform/params as python
+  float constants (folds into immediates).'''
+  lox = r['r00'] * ox + r['r01'] * oy + r['r02'] * oz + r['t0']
+  loy = r['r10'] * ox + r['r11'] * oy + r['r12'] * oz + r['t1']
+  loz = r['r20'] * ox + r['r21'] * oy + r['r22'] * oz + r['t2']
+  ldx = r['r00'] * dx + r['r01'] * dy + r['r02'] * dz
+  ldy = r['r10'] * dx + r['r11'] * dy + r['r12'] * dz
+  ldz = r['r20'] * dx + r['r21'] * dy + r['r22'] * dz
+  kind = r['kind']
+  if kind == GS.PLANE:
+    dzS = jnp.where(jnp.abs(ldz) < 1e-12, 1e-12, ldz)
+    t = -loz / dzS
+    x, y = lox + t * ldx, loy + t * ldy
+    if r['trim0'] > 0.5:
+      ok = (jnp.abs(x) <= r['trim1']) & (jnp.abs(y) <= r['trim2'])
+    else:
+      r2 = x * x + y * y
+      ok = (r2 >= r['trim1'] ** 2) & (r2 <= r['trim2'] ** 2)
+    return jnp.where((t > tMin) & ok, t, _BIG)
+  if kind in (GS.SPHERE, GS.CYLINDER):
+    if kind == GS.SPHERE:
+      a = ldx * ldx + ldy * ldy + ldz * ldz
+      b = 2 * (lox * ldx + loy * ldy + loz * ldz)
+      c = lox * lox + loy * loy + loz * loz - r['p0'] ** 2
+    else:
+      a = ldx * ldx + ldy * ldy
+      b = 2 * (lox * ldx + loy * ldy)
+      c = lox * lox + loy * loy - r['p0'] ** 2
+    disc = b * b - 4 * a * c
+    okD = disc >= 0
+    sqD = jnp.sqrt(jnp.maximum(disc, 0.))
+    q = -0.5 * (b + jnp.sign(b + 1e-30) * sqD)
+    aS = jnp.where(jnp.abs(a) < 1e-20, 1e-20, a)
+    qS = jnp.where(jnp.abs(q) < 1e-20, 1e-20, q)
+    t1 = q / aS
+    t2 = c / qS
+    lo, hi = jnp.minimum(t1, t2), jnp.maximum(t1, t2)
+
+    def zOk(t):
+      z = loz + t * ldz
+      return (z >= r['trim1']) & (z <= r['trim2'])
+    loV = jnp.where(okD & (lo > tMin) & zOk(lo), lo, _BIG)
+    hiV = jnp.where(okD & (hi > tMin) & zOk(hi), hi, _BIG)
+    return jnp.minimum(loV, hiV)
+  if kind == GS.ASPHERE:
+    c0, kk = r['p0'], r['p1']
+    a4, a6, a8 = r['p2'], r['p3'], r['p4']
+    dzS = jnp.where(jnp.abs(ldz) < 1e-9,
+                    jnp.where(ldz >= 0, 1e-9, -1e-9), ldz)
+    t = jnp.maximum(-loz / dzS, 0.)
+    if abs(c0) > 1e-12:
+      R = 1. / c0
+      ocz = loz - R
+      b = 2 * (lox * ldx + loy * ldy + ocz * ldz)
+      cc = lox * lox + loy * loy + ocz * ocz - R * R
+      disc = b * b - 4 * cc
+      okD = disc >= 0
+      sqD = jnp.sqrt(jnp.maximum(disc, 0.))
+      q = -0.5 * (b + jnp.sign(b + 1e-30) * sqD)
+      t1, t2 = q, cc / jnp.where(jnp.abs(q) < 1e-20, 1e-20, q)
+      lo, hi = jnp.minimum(t1, t2), jnp.maximum(t1, t2)
+      sph = jnp.where(okD & (lo > tMin), lo,
+                      jnp.where(okD & (hi > tMin), hi, t))
+      t = jnp.where(okD, sph, t)
+    for _ in range(16):
+      x, y, z = lox + t * ldx, loy + t * ldy, loz + t * ldz
+      r2 = x * x + y * y
+      rootA = jnp.sqrt(jnp.maximum(1 - (1 + kk) * c0 * c0 * r2, 1e-12))
+      sag = c0 * r2 / (1 + rootA) + r2 * r2 * (a4 + r2 * (a6 + r2 * a8))
+      g = (c0 * (2 / (1 + rootA)
+                 + (1 + kk) * c0 * c0 * r2 / (rootA * (1 + rootA) ** 2))
+           + 4 * a4 * r2 + 6 * a6 * r2 * r2 + 8 * a8 * r2 ** 3)
+      f = z - sag
+      slope = -g * x * ldx - g * y * ldy + ldz
+      slope = jnp.where(jnp.abs(slope) < 1e-12,
+                        jnp.where(slope >= 0, 1e-12, -1e-12), slope)
+      t = t - f / slope
+    x, y, z = lox + t * ldx, loy + t * ldy, loz + t * ldz
+    r2 = x * x + y * y
+    rootA = jnp.sqrt(jnp.maximum(1 - (1 + kk) * c0 * c0 * r2, 1e-12))
+    sag = c0 * r2 / (1 + rootA) + r2 * r2 * (a4 + r2 * (a6 + r2 * a8))
+    rr = jnp.sqrt(r2)
+    ok = ((t > tMin) & (jnp.abs(z - sag) < 1e-4)
+          & (rr >= r['trim1']) & (rr <= r['trim2']))
+    return jnp.where(ok, t, _BIG)
+  raise ValueError(f'unsupported kind {kind}')
+
+
+def _normalConst(r, lx, ly, lz):
+  kind = r['kind']
+  if kind == GS.PLANE:
+    return (jnp.zeros_like(lx), jnp.zeros_like(ly), jnp.ones_like(lz))
+  if kind == GS.SPHERE:
+    inv = lax.rsqrt(lx * lx + ly * ly + lz * lz + 1e-20)
+    return lx * inv, ly * inv, lz * inv
+  if kind == GS.CYLINDER:
+    inv = lax.rsqrt(lx * lx + ly * ly + 1e-20)
+    return lx * inv, ly * inv, jnp.zeros_like(lz)
+  if kind == GS.ASPHERE:
+    c0, kk = r['p0'], r['p1']
+    a4, a6, a8 = r['p2'], r['p3'], r['p4']
+    r2 = lx * lx + ly * ly
+    rootA = jnp.sqrt(jnp.maximum(1 - (1 + kk) * c0 * c0 * r2, 1e-12))
+    g = (c0 * (2 / (1 + rootA)
+               + (1 + kk) * c0 * c0 * r2 / (rootA * (1 + rootA) ** 2))
+         + 4 * a4 * r2 + 6 * a6 * r2 * r2 + 8 * a8 * r2 ** 3)
+    inv = lax.rsqrt(g * g * r2 + 1. + 1e-20)
+    return -g * lx * inv, -g * ly * inv, jnp.ones_like(lz) * inv
+  raise ValueError(f'unsupported kind {kind}')
+
+
+def _sceneRows(scene, histSpec):
+  '''Extract python-float scene constants (host side; scene arrays must be
+  concrete).'''
+  surf = scene['surfaces']
+  S = numSurfacesStatic(scene)
+  packed = np.asarray(surf['packed'], dtype=float)
+  trims = np.asarray(surf['trim'], dtype=float)
+  kinds = np.asarray(surf['kind'])
+  surfRows = []
+  for s in range(S):
+    p = packed[s]
+    surfRows.append(dict(
+        kind=int(kinds[s]),
+        r00=float(p[0]), r01=float(p[1]), r02=float(p[2]),
+        r10=float(p[3]), r11=float(p[4]), r12=float(p[5]),
+        r20=float(p[6]), r21=float(p[7]), r22=float(p[8]),
+        t0=float(p[9]), t1=float(p[10]), t2=float(p[11]),
+        orient=float(p[12]), elemF=float(p[13]),
+        p0=float(p[15]), p1=float(p[16]), p2=float(p[17]),
+        p3=float(p[18]), p4=float(p[19]),
+        trim0=float(trims[s, 0]), trim1=float(trims[s, 1]),
+        trim2=float(min(trims[s, 2], _BIG)),
+    ))
+  ep = np.asarray(scene['elements']['packed'], dtype=float)
+  elemToDet = np.asarray(histSpec['elemToDet'])
+  boundsArr = np.asarray(histSpec['bounds'])
+  elemRows = []
+  for e in range(ep.shape[0]):
+    det = int(elemToDet[e])
+    b = boundsArr[det] if det >= 0 else np.array([0., 1., 0., 1.])
+    absLen = float(ep[e, 3])
+    elemRows.append(dict(
+        optF=float(ep[e, 0]), n=float(ep[e, 1]), refl=float(ep[e, 2]),
+        absLen=absLen if np.isfinite(absLen) else _BIG,
+        rec=float(ep[e, 10]), detF=float(det),
+        bx0=float(b[0]), bx1=float(b[1]), by0=float(b[2]), by1=float(b[3])))
+  return surfRows, elemRows
+
+
+def makePallasTraceStep(scene, histSpec, generator, raysPerStep,
+                        maxIntersections, maxRayLength, distTol,
+                        powerTol=1e-6, stratified=False, tile=TILE):
+  '''Build the fused sample + pallas-trace + scatter step:
+  (key, histograms) -> (histograms, counters). Requires pallasEligible.'''
+  if raysPerStep % tile:
+    raise ValueError(f'raysPerStep must be a multiple of {tile}')
+  H, W = histSpec['bins']
+  D = int(np.asarray(histSpec['bounds']).shape[0])
+  surfRows, elemRows = _sceneRows(scene, histSpec)
+  kernel = _makeKernel(surfRows, elemRows, histSpec['elemToDet'],
+                       histSpec['bounds'], (H, W), maxIntersections,
+                       float(maxRayLength), float(distTol), float(powerTol))
+  grid = (raysPerStep // tile,)
+  spec = pl.BlockSpec((tile,), lambda i: (i,), memory_space=pltpu.VMEM)
+  traceCall = pl.pallas_call(
+      kernel,
+      grid=grid,
+      in_specs=[spec] * 7,
+      out_specs=[spec] * 4,
+      out_shape=[jax.ShapeDtypeStruct((raysPerStep,), jnp.float32)] * 4,
+  )
+
+  @jax.jit
+  def step(key, histograms):
+    batch = generator(key, raysPerStep, stratified=stratified)
+    o, d = batch['origins'], batch['directions']
+    binF, w, c, segs = traceCall(
+        o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
+        batch['powers'])
+    flatIdx = jnp.where(binF >= 0, binF, 0.).astype(jnp.int32)
+    valid = binF >= 0
+    flat = jnp.stack([histograms['power'].reshape(-1),
+                      histograms['counts'].reshape(-1)], axis=-1)
+    payload = jnp.stack([jnp.where(valid, w, 0.),
+                         jnp.where(valid, c, 0.)], axis=-1)
+    flat = flat.at[flatIdx].add(payload)
+    hist = dict(power=flat[:, 0].reshape(D, H, W),
+                counts=flat[:, 1].reshape(D, H, W))
+    counters = dict(segments=jnp.sum(segs).astype(jnp.int32),
+                    hits=jnp.sum(valid.astype(jnp.int32)),
+                    escaped=jnp.zeros((), jnp.int32))
+    return hist, counters
+
+  return step

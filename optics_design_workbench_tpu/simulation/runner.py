@@ -146,7 +146,7 @@ class SimulationRun:
       return x
     return {k: (put(v) if k != 'metadata' else v) for k, v in batch.items()}
 
-  def traceBatch(self, source, batch, recordSegments):
+  def traceBatch(self, source, batch, recordSegments, key=None):
     sc = self.sceneFor(source)
     batch = self._shard(batch)
     maxI = max(1, int(round(self.settings.maxIntersections()
@@ -159,7 +159,7 @@ class SimulationRun:
         jnp.asarray(batch['wavelengths'], jnp.float32),
         maxIntersections=maxI, maxRayLength=maxL,
         distTol=self.settings.distanceTolerance(),
-        recordSegments=recordSegments)
+        recordSegments=recordSegments, key=key)
     return state, records
 
 
@@ -248,7 +248,9 @@ def runSimulation(scene, action, endIf=None, seed=None, store=None,
 
         # ---- trace ----
         recordSegs = bool(src.RecordRays)
-        state, records = run.traceBatch(src, batch, recordSegs)
+        key, traceKey = jax.random.split(key)
+        state, records = run.traceBatch(src, batch, recordSegs,
+                                        key=traceKey)
         results.incrementRayCount(n)
 
         # ---- record ----

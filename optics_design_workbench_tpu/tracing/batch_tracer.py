@@ -139,8 +139,67 @@ def sceneStaticFlags(scene):
               hasGrating=bool((opt == GRATING).any()))
 
 
+def _rot3(vx, vy, vz, ax, ay, az, angle):
+  '''Rodrigues rotation of column vectors v about unit axes a.'''
+  c, s = jnp.cos(angle), jnp.sin(angle)
+  cx, cy, cz = _cross3(ax, ay, az, vx, vy, vz)
+  dot = ax * vx + ay * vy + az * vz
+  return (vx * c + cx * s + ax * dot * (1 - c),
+          vy * c + cy * s + ay * dot * (1 - c),
+          vz * c + cz * s + az * dot * (1 - c))
+
+
+def _scatterDraw(sc, elemIdx, kind, tinIdx, u1, u2, u3, u4):
+  '''Draw (thetaOut, phiOut) from the stacked conditional scatter tables
+  (see models/scatter.py for the layout). phi is drawn from its marginal,
+  theta conditioned on the drawn phi.'''
+  phiInv = sc['phiInv']        # (E, K, Tin, Q)
+  thetaInv = sc['thetaInv']    # (E, K, Tin, M, Q)
+  E, K, Tin, Q = phiInv.shape
+  M = thetaInv.shape[3]
+  base = (elemIdx * K + kind) * Tin + tinIdx
+
+  pos = u1 * (Q - 1)
+  j = jnp.clip(pos.astype(jnp.int32), 0, Q - 2)
+  frac = pos - j
+  flatP = phiInv.reshape(-1)
+  idxP = base * Q + j
+  phiOut = flatP[idxP] + frac * (flatP[idxP + 1] - flatP[idxP])
+  if 'phiDiscVals' in sc:
+    D = sc['phiDiscVals'].shape[-1]
+    cumF = sc['phiDiscCum'].reshape(-1, D)[base]
+    valF = sc['phiDiscVals'].reshape(-1, D)[base]
+    dIdx = jnp.clip(jnp.sum((u3[:, None] > cumF).astype(jnp.int32), axis=1),
+                    0, D - 1)
+    lastCum = cumF[:, D - 1]
+    phiOut = jnp.where(u3 <= lastCum,
+                       jnp.take_along_axis(valF, dIdx[:, None], 1)[:, 0],
+                       phiOut)
+
+  phiIdx = jnp.clip(jnp.round(
+      (phiOut - sc['phiGridLo']) / sc['phiGridStep']).astype(jnp.int32),
+      0, M - 1)
+  pos2 = u2 * (Q - 1)
+  j2 = jnp.clip(pos2.astype(jnp.int32), 0, Q - 2)
+  frac2 = pos2 - j2
+  flatT = thetaInv.reshape(-1)
+  idxT = (base * M + phiIdx) * Q + j2
+  thetaOut = flatT[idxT] + frac2 * (flatT[idxT + 1] - flatT[idxT])
+  if 'thetaDiscVals' in sc:
+    D = sc['thetaDiscVals'].shape[-1]
+    cumF = sc['thetaDiscCum'].reshape(-1, D)[base]
+    valF = sc['thetaDiscVals'].reshape(-1, D)[base]
+    dIdx = jnp.clip(jnp.sum((u4[:, None] > cumF).astype(jnp.int32), axis=1),
+                    0, D - 1)
+    lastCum = cumF[:, D - 1]
+    thetaOut = jnp.where(u4 <= lastCum,
+                         jnp.take_along_axis(valF, dIdx[:, None], 1)[:, 0],
+                         thetaOut)
+  return thetaOut, phiOut
+
+
 def bounceBatch(scene, distTol, maxRayLength, o, d, power, wl, medium, seq,
-                alive, staticFlags=None):
+                alive, staticFlags=None, key=None):
   '''One bounce for the whole batch. Same signature/semantics as
   vmap(bounceOne) but column-SoA inside; returns (newState, records) with
   records carrying column fields plus local hit coordinates (plx, ply) for
@@ -300,6 +359,69 @@ def bounceBatch(scene, distTol, maxRayLength, o, d, power, wl, medium, seq,
   ndz = jnp.where(isMirror, mz, jnp.where(isLens, snz,
                   jnp.where(isGrating, gratZ, dz)))
   ndx, ndy, ndz = _norm3(ndx, ndy, ndz)
+
+  # ---- stochastic scatter (reference: optical_group.py:281-325) ----
+  if 'scatter' in scene and key is not None:
+    sc = scene['scatter']
+    N = dx.shape[0]
+    u = jax.random.uniform(key, (10, N))
+    Tin = sc['phiInv'].shape[2]
+    thetaIn = jnp.arccos(jnp.clip(dDotN, -1., 1.))
+    tinIdx = jnp.clip(jnp.round(thetaIn / (jnp.pi / 2)
+                                * (Tin - 1)).astype(jnp.int32), 0, Tin - 1)
+    # scatter kind slots (must match models/scatter.py)
+    REFLECT, REFRACT_ENTER, REFRACT_EXIT, MODIFY = 0, 1, 2, 3
+    kind = jnp.where(isMirror, REFLECT,
+                     jnp.where(isEntering, REFRACT_ENTER, REFRACT_EXIT))
+    applies = ((isMirror | isLens)
+               & sc['flags'][elemIdx, kind] & hasHit)
+    thetaS, phiS = _scatterDraw(sc, elemIdx, kind, tinIdx,
+                                u[0], u[1], u[2], u[3])
+    # lobe axis: incidence-side normal for mirrors (reflected lobe), forward
+    # normal for lenses (transmitted lobe) — theta=0 is the face normal
+    nSgn = jnp.where(isMirror, -1., 1.)
+    lnx, lny, lnz = nx * nSgn, ny * nSgn, nz * nSgn
+    # rotation axis normal x dIn; degenerate at normal incidence -> use an
+    # arbitrary perpendicular of n
+    axX, axY, axZ = _cross3(lnx, lny, lnz, dx, dy, dz)
+    axLen2 = axX * axX + axY * axY + axZ * axZ
+    altX, altY, altZ = _cross3(lnx, lny, lnz,
+                               jnp.ones_like(lnx), jnp.zeros_like(lny),
+                               jnp.zeros_like(lnz))
+    alt2X, alt2Y, alt2Z = _cross3(lnx, lny, lnz,
+                                  jnp.zeros_like(lnx), jnp.ones_like(lny),
+                                  jnp.zeros_like(lnz))
+    altLen2 = altX * altX + altY * altY + altZ * altZ
+    useAlt = axLen2 < 1e-12
+    axX = jnp.where(useAlt, jnp.where(altLen2 > 1e-12, altX, alt2X), axX)
+    axY = jnp.where(useAlt, jnp.where(altLen2 > 1e-12, altY, alt2Y), axY)
+    axZ = jnp.where(useAlt, jnp.where(altLen2 > 1e-12, altZ, alt2Z), axZ)
+    axX, axY, axZ = _norm3(axX, axY, axZ)
+    # out = Rot(n, phi) Rot(n x dIn, theta) n
+    sx1, sy1, sz1 = _rot3(lnx, lny, lnz, axX, axY, axZ, thetaS)
+    sx1, sy1, sz1 = _rot3(sx1, sy1, sz1, lnx, lny, lnz, phiS)
+    ndx = jnp.where(applies, sx1, ndx)
+    ndy = jnp.where(applies, sy1, ndy)
+    ndz = jnp.where(applies, sz1, ndz)
+
+    # modify step: rotate the outgoing direction itself
+    appliesM = ((isMirror | isLens)
+                & sc['flags'][elemIdx, MODIFY] & hasHit)
+    thetaM, phiM = _scatterDraw(sc, elemIdx,
+                                jnp.full_like(kind, MODIFY), tinIdx,
+                                u[4], u[5], u[6], u[7])
+    mAxX, mAxY, mAxZ = _cross3(ndx, ndy, ndz, dx, dy, dz)
+    mLen2 = mAxX * mAxX + mAxY * mAxY + mAxZ * mAxZ
+    mAxX = jnp.where(mLen2 < 1e-12, axX, mAxX)
+    mAxY = jnp.where(mLen2 < 1e-12, axY, mAxY)
+    mAxZ = jnp.where(mLen2 < 1e-12, axZ, mAxZ)
+    mAxX, mAxY, mAxZ = _norm3(mAxX, mAxY, mAxZ)
+    mx2, my2, mz2 = _rot3(ndx, ndy, ndz, mAxX, mAxY, mAxZ, thetaM)
+    mx2, my2, mz2 = _rot3(mx2, my2, mz2, ndx, ndy, ndz, phiM)
+    ndx = jnp.where(appliesM, mx2, ndx)
+    ndy = jnp.where(appliesM, my2, ndy)
+    ndz = jnp.where(appliesM, mz2, ndz)
+    ndx, ndy, ndz = _norm3(ndx, ndy, ndz)
 
   lensExitToVacuum = isLens & ~isEntering & ~tir & (medium == elemIdx)
   gratTransEnter = isGrating & ~isReflG & isEntering

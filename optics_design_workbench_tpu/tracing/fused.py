@@ -56,10 +56,12 @@ def initHistograms(histSpec, dtype=jnp.float32):
 @partial(jax.jit, static_argnames=('maxIntersections', 'bins', 'flagsTuple'))
 def _traceHistogram(scene, elemToDet, bounds, bins, histograms, origins,
                     directions, powers, wavelengths, maxIntersections,
-                    maxRayLength, distTol, flagsTuple=None):
+                    maxRayLength, distTol, flagsTuple=None, scatterKey=None):
   from .batch_tracer import bounceBatch
   N = origins.shape[0]
   H, W = bins
+  if scatterKey is None and 'scatter' in scene:
+    scatterKey = jax.random.PRNGKey(0)
   flags = None if flagsTuple is None else dict(
       hasMirror=flagsTuple[0], hasLens=flagsTuple[1],
       hasGrating=flagsTuple[2])
@@ -70,8 +72,10 @@ def _traceHistogram(scene, elemToDet, bounds, bins, histograms, origins,
 
   def body(carry):
     i, state, hist, segments, hits = carry
+    bounceKey = (jax.random.fold_in(scatterKey, i)
+                 if scatterKey is not None else None)
     newState, rec = bounceBatch(scene, distTol, maxRayLength, *state,
-                                staticFlags=flags)
+                                staticFlags=flags, key=bounceKey)
 
     det = elemToDet[jnp.maximum(rec['hitElem'], 0)]
     valid = rec['recordHit'] & (rec['hitElem'] >= 0) & (det >= 0)
@@ -115,7 +119,8 @@ def _traceHistogram(scene, elemToDet, bounds, bins, histograms, origins,
 
 
 def traceHistogram(scene, histSpec, histograms, origins, directions, powers,
-                   wavelengths, maxIntersections, maxRayLength, distTol):
+                   wavelengths, maxIntersections, maxRayLength, distTol,
+                   scatterKey=None):
   '''Trace a batch and scatter-add recorded hits into the histograms.
   Returns (histograms, counters) with counters = dict(segments, hits,
   escaped). Non-array histSpec fields (bins, labels) are split off as
@@ -135,7 +140,7 @@ def traceHistogram(scene, histSpec, histograms, origins, directions, powers,
                          directions, powers, wavelengths,
                          maxIntersections=maxIntersections,
                          maxRayLength=maxRayLength, distTol=distTol,
-                         flagsTuple=flagsTuple)
+                         flagsTuple=flagsTuple, scatterKey=scatterKey)
 
 
 def makeFusedStep(scene, generator, histSpec, raysPerStep, maxIntersections,

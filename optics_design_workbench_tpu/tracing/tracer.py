@@ -232,7 +232,8 @@ def bounceOne(scene, distTol, maxRayLength,
 
 @partial(jax.jit, static_argnames=('maxIntersections', 'recordSegments'))
 def trace(scene, origins, directions, powers, wavelengths,
-          maxIntersections, maxRayLength, distTol, recordSegments=True):
+          maxIntersections, maxRayLength, distTol, recordSegments=True,
+          key=None):
   '''
   Trace a batch of rays to completion. Returns (finalState, records) where
   records is a dict of (maxIntersections, N, ...) arrays (bounce-major) —
@@ -246,15 +247,20 @@ def trace(scene, origins, directions, powers, wavelengths,
            jnp.full((N,), VACUUM_MEDIUM, dtype=jnp.int32),
            jnp.zeros((N,), dtype=jnp.int32),
            jnp.ones((N,), dtype=bool))
+  if key is None and 'scatter' in scene:
+    key = jax.random.PRNGKey(0)
+  keys = (None if key is None
+          else jax.random.split(key, maxIntersections))
 
-  def body(state, _):
-    newState, rec = bounceBatch(scene, distTol, maxRayLength, *state)
+  def body(state, bounceKey):
+    newState, rec = bounceBatch(scene, distTol, maxRayLength, *state,
+                                key=bounceKey)
     if not recordSegments:
       rec = {k: v for k, v in rec.items()
              if not (k.startswith('seg') or k in ('oX', 'oY', 'oZ'))}
     return newState, rec
 
-  finalState, rec = lax.scan(body, state, None, length=maxIntersections)
+  finalState, rec = lax.scan(body, state, keys, length=maxIntersections)
 
   # assemble the stacked record views the host-side consumers expect
   records = dict(

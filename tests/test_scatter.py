@@ -1,0 +1,110 @@
+'''
+Stochastic scatter tests (reference: optical_group.py:214-325): diffuse
+mirrors via ReflectedProbabilityDensity, ray modification densities, and
+DiracDelta ideal-behavior mixtures.
+'''
+
+import glob
+
+import numpy as np
+import pytest
+
+from optics_design_workbench_tpu.models import (Scene, PointSource,
+                                                OpticalGroup)
+from optics_design_workbench_tpu.geometry import surfaces as S
+from optics_design_workbench_tpu.geometry import transforms as T
+from optics_design_workbench_tpu import simulation
+
+
+def scatterScene(tmp, **mirrorKwargs):
+  scene = Scene(label='scat', path=str(tmp / 'scat'))
+  scene.addOpticalGroup(OpticalGroup(
+      OpticalType='Mirror', Label='Mirror',
+      surfaces=[S.plane(np.eye(4), elem=0, radius=50., orient=-1)],
+      placements=[T.translation(0, 0, 50)], **mirrorKwargs))
+  # detector plane BELOW the mirror (rays come back down)
+  scene.addOpticalGroup(OpticalGroup(
+      OpticalType='Absorber', Label='Detector',
+      surfaces=[S.plane(np.eye(4), elem=0, halfExtents=(500., 500.))],
+      placements=[T.translation(0, 0, 0)]))
+  scene.addSource(PointSource(
+      Label='Src', PowerDensity='exp(-theta^2/0.0001)',
+      ThetaDomain='0, 0.05', ThetaResolutionNumericMode='1e4',
+      placement=T.translation(0, 0, 1e-3)))
+  scene.addSimulationSettings(RaysPerIteration=4000,
+                              EnableStoreSingleShotData=True,
+                              MaxIntersections=4)
+  return scene
+
+
+def loadHits(runPath):
+  cols = None
+  for f in glob.glob(f'{runPath}/source-*/object-Detector/*-hits.npz'):
+    data = dict(np.load(f, allow_pickle=True))
+    if cols is None:
+      cols = {k: [v] for k, v in data.items() if v.ndim > 0}
+    else:
+      for k in cols:
+        cols[k].append(data[k])
+  return None if cols is None else {k: np.concatenate(v)
+                                    for k, v in cols.items()}
+
+
+class TestStochasticScatter:
+
+  def test_specular_without_scatter(self, tmp_path):
+    scene = scatterScene(tmp_path)
+    runPath = simulation.runSimulation(scene, 'singletrue', seed=1)
+    hits = loadHits(runPath)
+    assert hits is not None
+    r = np.hypot(hits['points'][:, 0], hits['points'][:, 1])
+    # narrow beam reflects straight back: tiny spot
+    assert np.quantile(r, 0.9) < 2.
+
+  def test_diffuse_mirror_spreads(self, tmp_path):
+    # Lambertian-ish lobe around the normal: theta=0 is the local normal
+    scene = scatterScene(tmp_path,
+                         ReflectedProbabilityDensity='cos(theta)**2',
+                         PowerThetaDomain='0, pi/2',
+                         PowerPhiDomain='0, 2*pi')
+    runPath = simulation.runSimulation(scene, 'singletrue', seed=2)
+    hits = loadHits(runPath)
+    assert hits is not None and len(hits['points']) > 2000
+    r = np.hypot(hits['points'][:, 0], hits['points'][:, 1])
+    # diffuse: wide spread on the detector 50mm below
+    assert np.quantile(r, 0.5) > 10.
+    # azimuthal symmetry
+    phi = np.arctan2(hits['points'][:, 1], hits['points'][:, 0])
+    counts, _ = np.histogram(phi, bins=8, range=(-np.pi, np.pi))
+    assert counts.min() > 0.5 * counts.max()
+
+  def test_modification_density_broadens(self, tmp_path):
+    sceneSharp = scatterScene(tmp_path / 'a')
+    runSharp = simulation.runSimulation(sceneSharp, 'singletrue', seed=3)
+    rSharp = loadHits(runSharp)
+    sceneMod = scatterScene(
+        tmp_path / 'b',
+        RayModificationProbabilityDensity='exp(-theta**2/0.01)',
+        ModifyThetaDomain='0, pi/4', ModifyPhiDomain='0, 2*pi')
+    runMod = simulation.runSimulation(sceneMod, 'singletrue', seed=3)
+    rMod = loadHits(runMod)
+    spread = lambda h: np.quantile(
+        np.hypot(h['points'][:, 0], h['points'][:, 1]), 0.8)
+    assert spread(rMod) > 3 * spread(rSharp)
+
+  def test_dirac_delta_mixture(self, tmp_path):
+    # half ideal specular (delta at theta_refl) + half diffuse-ish:
+    # use a delta on theta with constant background
+    scene = scatterScene(
+        tmp_path,
+        ReflectedProbabilityDensity='DiracDelta(theta-theta_refl)'
+                                    ' + 0.1',
+        PowerThetaDomain='0, pi/2', PowerPhiDomain='0, 2*pi')
+    runPath = simulation.runSimulation(scene, 'singletrue', seed=4)
+    hits = loadHits(runPath)
+    assert hits is not None
+    r = np.hypot(hits['points'][:, 0], hits['points'][:, 1])
+    # a clear specular spike near r=0 plus a broad halo
+    fracCore = np.mean(r < 2.)
+    assert 0.2 < fracCore < 0.95
+    assert np.quantile(r, 0.95) > 10.
