@@ -71,9 +71,13 @@ def buildLensMirrorScene(tmpdir=None):
 
 
 def makeBenchStep(scene=None, raysPerStep=1 << 20, maxIntersections=6,
-                  mesh=None, bins=(256, 256), stratified=False):
+                  mesh=None, bins=(256, 256), stratified=False,
+                  usePallas='auto'):
   '''Compile the fused sample+trace+histogram step for a benchmark scene.
-  Returns (step, histograms, meta). step: (key, hist) -> (hist, counters).'''
+  Returns (step, histograms, meta). step: (key, hist) -> (hist, counters).
+  With usePallas='auto' the single-chip path uses the fused Pallas kernel
+  whenever the scene is eligible (ops/pallas_trace.py), else the XLA batch
+  tracer.'''
   if scene is None:
     scene = buildLensMirrorScene()
   device, info = scene.compile()
@@ -90,10 +94,21 @@ def makeBenchStep(scene=None, raysPerStep=1 << 20, maxIntersections=6,
                 maxRayLength=settings.maxRayLength(),
                 distTol=max(settings.distanceTolerance(), 1e-4),
                 stratified=stratified)
+  backend = 'xla'
   if mesh is None:
-    step = fused.makeFusedStep(device, gen, histSpec, **kwargs)
+    from .ops import pallas_trace
+    if usePallas in ('auto', True) and pallas_trace.pallasEligible(device) \
+        and raysPerStep % pallas_trace.TILE == 0 \
+        and jax.default_backend() == 'tpu':
+      colGen = (src.deviceColumnsGenerator()
+                if hasattr(src, 'deviceColumnsGenerator') else gen)
+      step = pallas_trace.makePallasTraceStep(device, histSpec, colGen,
+                                              **kwargs)
+      backend = 'pallas'
+    else:
+      step = fused.makeFusedStep(device, gen, histSpec, **kwargs)
   else:
     from .parallel import makeShardedFusedStep
     step = makeShardedFusedStep(mesh, device, gen, histSpec, **kwargs)
   return step, hist, dict(scene=scene, device=device, info=info,
-                          histSpec=histSpec)
+                          histSpec=histSpec, backend=backend)

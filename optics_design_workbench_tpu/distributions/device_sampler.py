@@ -123,7 +123,12 @@ def buildDeviceTables(vrv, dtype=jnp.float32, quantileRes=4097):
     vrv.compile()
   tables = tuple(_tablesFromTransform(vrv, i, dtype)
                  for i in range(len(vrv._variables)))
-  # pre-invert the CDF rows onto a uniform quantile grid
+  # pre-invert the CDF rows onto a uniform quantile grid; detect structure
+  # that removes gathers entirely (each 1e6-element random gather costs
+  # ~9 ms on a v5e):
+  #   * affine rows (uniform marginal)   -> closed form, zero gathers
+  #   * all rows identical (separable)   -> no row-index conditioning
+  #   * (v[j], v[j+1]) pair rows         -> one 2-wide gather, not two
   q = np.linspace(0., 1., quantileRes)
   newTables = []
   for t in tables:
@@ -131,7 +136,18 @@ def buildDeviceTables(vrv, dtype=jnp.float32, quantileRes=4097):
     values = np.asarray(t['values'], dtype=np.float64)
     inv = np.stack([np.interp(q, row, values) for row in cdf])
     t = dict(t)
+    rowsEqual = bool(np.all(np.abs(inv - inv[0:1])
+                            <= 1e-7 * max(np.ptp(values), 1e-30)))
+    if rowsEqual:
+      inv = inv[:1]
+    lin = np.linspace(inv[0, 0], inv[0, -1], inv.shape[1])
+    affine = rowsEqual and bool(
+        np.all(np.abs(inv[0] - lin) <= 1e-6 * max(np.ptp(values), 1e-30)))
     t['invCdf'] = jnp.asarray(inv, dtype=dtype)
+    pairs = np.stack([inv[:, :-1], inv[:, 1:]], axis=-1)  # (M, Q-1, 2)
+    t['invCdfPairs'] = jnp.asarray(pairs.reshape(-1, 2), dtype=dtype)
+    t['affine'] = (affine, float(inv[0, 0]), float(inv[0, -1]))
+    t['rowsEqual'] = rowsEqual
     newTables.append(t)
   tables = tuple(newTables)
   names = [str(v) for v in vrv._variables]
@@ -169,25 +185,30 @@ def deviceDraw(deviceTables, key, N, stratified=False):
     pos = u * (Q - 1)
     j = jnp.clip(pos.astype(jnp.int32), 0, Q - 2)
     frac = pos - j
-    if laterGrids:
-      rows = jnp.zeros((N,), dtype=jnp.int32)
-      meta = t.get('laterGridMeta', ((False,) * 4,) * len(laterGrids))
-      for g, m, vals in zip(laterGrids, meta,
-                            [drawn[j2] for j2 in range(i + 1, k)]):
-        uniform, lo, step, L = m
-        if uniform:
-          near = jnp.clip(jnp.round((vals - lo) / step).astype(jnp.int32),
-                          0, L - 1)
-        else:
-          near = nearestIndex(g, vals).astype(jnp.int32)
-        rows = rows * g.shape[0] + near
-      flat = invCdf.reshape(-1)
-      base = rows * Q + j
-      v0, v1 = flat[base], flat[base + 1]
+    affine, aLo, aHi = t.get('affine', (False, 0., 1.))
+    rowsEqual = t.get('rowsEqual', False)
+    if affine:
+      # uniform marginal: closed form, no gathers at all
+      out = aLo + u * (aHi - aLo)
     else:
-      row = invCdf[0]
-      v0, v1 = row[j], row[j + 1]
-    out = v0 + frac * (v1 - v0)
+      if laterGrids and not rowsEqual:
+        rows = jnp.zeros((N,), dtype=jnp.int32)
+        meta = t.get('laterGridMeta', ((False,) * 4,) * len(laterGrids))
+        for g, m, vals in zip(laterGrids, meta,
+                              [drawn[j2] for j2 in range(i + 1, k)]):
+          uniform, lo, step, L = m
+          if uniform:
+            near = jnp.clip(jnp.round((vals - lo) / step).astype(jnp.int32),
+                            0, L - 1)
+          else:
+            near = nearestIndex(g, vals).astype(jnp.int32)
+          rows = rows * g.shape[0] + near
+        base = rows * (Q - 1) + j
+      else:
+        base = j
+      pair = t['invCdfPairs'][base]        # one 2-wide gather
+      v0, v1 = pair[:, 0], pair[:, 1]
+      out = v0 + frac * (v1 - v0)
 
     if t['discreteVals'].shape[0]:
       u2 = jax.random.uniform(kD, (N,), dtype=t['values'].dtype)

@@ -406,3 +406,42 @@ class PointSource(GenericSource):
                                 initRadius=radius))
 
     return generate
+
+  def deviceColumnsGenerator(self):
+    '''Column-form device generator for the fused Pallas path: returns
+    `generate(key, N, stratified=False) -> dict(ox..dz, pw, wl)` with every
+    field a flat (N,) array — no (N, 3) tensors whose 3-wide minor dim
+    wastes TPU lanes.'''
+    if self._deviceTables is None:
+      self._deviceTables = buildDeviceTables(self._getVrv())
+    tables = self._deviceTables
+    f = self.focalLength()
+    finite = bool(np.isfinite(f))
+    R = np.asarray(self.placement[:3, :3], dtype=float)
+    off = np.asarray(self.placement[:3, 3], dtype=float)
+    wavelength = float(self.Wavelength)
+
+    def generate(key, N, stratified=False):
+      tp = deviceDraw(tables, key, N, stratified=stratified)
+      t, p = tp[0], tp[1]
+      sp, cp = jnp.sin(p), jnp.cos(p)
+      if finite:
+        st, ct = jnp.sin(t), jnp.cos(t)
+        ldx, ldy, ldz = st * sp, -st * cp, ct
+        lox, loy, loz = -f * ldx, -f * ldy, f * (1. - ldz)
+      else:
+        ldx = jnp.zeros_like(t)
+        ldy = jnp.zeros_like(t)
+        ldz = jnp.ones_like(t)
+        lox, loy, loz = t * cp, -t * sp, jnp.zeros_like(t)
+      ox = R[0, 0] * lox + R[0, 1] * loy + R[0, 2] * loz + off[0]
+      oy = R[1, 0] * lox + R[1, 1] * loy + R[1, 2] * loz + off[1]
+      oz = R[2, 0] * lox + R[2, 1] * loy + R[2, 2] * loz + off[2]
+      dx = R[0, 0] * ldx + R[0, 1] * ldy + R[0, 2] * ldz
+      dy = R[1, 0] * ldx + R[1, 1] * ldy + R[1, 2] * ldz
+      dz = R[2, 0] * ldx + R[2, 1] * ldy + R[2, 2] * ldz
+      return dict(ox=ox, oy=oy, oz=oz, dx=dx, dy=dy, dz=dz,
+                  pw=jnp.ones_like(t),
+                  wl=jnp.full_like(t, wavelength))
+
+    return generate

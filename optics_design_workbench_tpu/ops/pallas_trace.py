@@ -69,29 +69,32 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
     pw = pw_ref[:]
     shape = ox.shape
     medium = jnp.full(shape, -1.0)   # element id as float, -1 = vacuum
-    alive = jnp.ones(shape, dtype=jnp.bool_)
+    # NOTE: never materialize bool arrays directly (Mosaic lowers that as an
+    # unsupported i8->i1 truncation); derive masks from comparisons
+    alive = pw > -1.0
     segCount = jnp.zeros(shape, dtype=jnp.float32)
     hitBin = jnp.full(shape, -1.0)
     hitW = jnp.zeros(shape)
     hitC = jnp.zeros(shape)
 
     for _bounce in range(maxIntersections):
-      # ---- nearest intersection over unrolled surfaces ----
+      # ---- nearest intersection over unrolled surfaces (distances kept
+      # live across the selection passes) ----
+      ts = []
       tBest = jnp.full(shape, _BIG)
       for s in range(S):
         r = surfRows[s]
         t = _intersectConst(r, ox, oy, oz, dx, dy, dz, distTol)
         t = jnp.where(t <= maxRayLength, t, _BIG)
+        ts.append(t)
         tBest = jnp.minimum(tBest, t)
       # same-medium preference: nearest hit with elem != medium within
       # the 2*distTol window
       tPref = jnp.full(shape, _BIG)
       for s in range(S):
-        r = surfRows[s]
-        t = _intersectConst(r, ox, oy, oz, dx, dy, dz, distTol)
-        t = jnp.where(t <= maxRayLength, t, _BIG)
-        ok = (t <= tBest + 2 * distTol) & (medium != r['elemF'])
-        tPref = jnp.minimum(tPref, jnp.where(ok, t, _BIG))
+        ok = ((ts[s] <= tBest + 2 * distTol)
+              & (medium != surfRows[s]['elemF']))
+        tPref = jnp.minimum(tPref, jnp.where(ok, ts[s], _BIG))
       hasPref = tPref < _BIG
       tSel = jnp.where(hasPref, tPref, tBest)
       hasHit = tBest < _BIG
@@ -99,12 +102,13 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
       # winning surface index (first match on tSel)
       sIdx = jnp.full(shape, -1.0)
       for s in range(S):
-        r = surfRows[s]
-        t = _intersectConst(r, ox, oy, oz, dx, dy, dz, distTol)
-        t = jnp.where(t <= maxRayLength, t, _BIG)
-        prefOk = (t <= tBest + 2 * distTol) & (medium != r['elemF'])
-        isSel = jnp.where(hasPref, prefOk & (t <= tPref),
-                          t <= tBest)
+        t = ts[s]
+        prefOk = ((t <= tBest + 2 * distTol)
+                  & (medium != surfRows[s]['elemF']))
+        # NOTE plain boolean algebra — jnp.where on i1 operands crashes the
+        # Mosaic compiler
+        isSel = ((hasPref & prefOk & (t <= tPref))
+                 | (~hasPref & (t <= tBest)))
         sIdx = jnp.where((sIdx < 0) & isSel & hasHit, float(s), sIdx)
 
       tSeg = jnp.where(hasHit, tSel, maxRayLength)
@@ -144,7 +148,7 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
       optType = jnp.zeros(shape)
       nElem = jnp.ones(shape)
       refl = jnp.ones(shape)
-      recFlag = jnp.zeros(shape, dtype=jnp.bool_)
+      recFlag = optType < -1.0   # all-false bool via comparison
       detIdx = jnp.zeros(shape)
       bx0 = jnp.zeros(shape)
       bx1 = jnp.ones(shape)
@@ -157,7 +161,8 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
         optType = jnp.where(m, er['optF'], optType)
         nElem = jnp.where(m, er['n'], nElem)
         refl = jnp.where(m, er['refl'], refl)
-        recFlag = jnp.where(m, er['rec'] > 0.5, recFlag)
+        if er['rec'] > 0.5:
+          recFlag = recFlag | m
         detIdx = jnp.where(m, er['detF'], detIdx)
         bx0 = jnp.where(m, er['bx0'], bx0)
         bx1 = jnp.where(m, er['bx1'], bx1)
@@ -402,23 +407,35 @@ def makePallasTraceStep(scene, histSpec, generator, raysPerStep,
   kernel = _makeKernel(surfRows, elemRows, histSpec['elemToDet'],
                        histSpec['bounds'], (H, W), maxIntersections,
                        float(maxRayLength), float(distTol), float(powerTol))
+  # 2-D (rows, 128) tiles — Mosaic mishandles 1-D i1 vectors
+  rows = tile // 128
+  totalRows = raysPerStep // 128
   grid = (raysPerStep // tile,)
-  spec = pl.BlockSpec((tile,), lambda i: (i,), memory_space=pltpu.VMEM)
+  spec = pl.BlockSpec((rows, 128), lambda i: (i, 0),
+                      memory_space=pltpu.VMEM)
   traceCall = pl.pallas_call(
       kernel,
       grid=grid,
       in_specs=[spec] * 7,
       out_specs=[spec] * 4,
-      out_shape=[jax.ShapeDtypeStruct((raysPerStep,), jnp.float32)] * 4,
+      out_shape=[jax.ShapeDtypeStruct((totalRows, 128), jnp.float32)] * 4,
   )
 
   @jax.jit
   def step(key, histograms):
+    def tiled(x):
+      return x.reshape(totalRows, 128)
+
     batch = generator(key, raysPerStep, stratified=stratified)
-    o, d = batch['origins'], batch['directions']
-    binF, w, c, segs = traceCall(
-        o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
-        batch['powers'])
+    if 'ox' in batch:   # column-form generator
+      cols = (batch['ox'], batch['oy'], batch['oz'],
+              batch['dx'], batch['dy'], batch['dz'], batch['pw'])
+    else:
+      o, d = batch['origins'], batch['directions']
+      cols = (o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
+              batch['powers'])
+    binF, w, c, segs = traceCall(*[tiled(x) for x in cols])
+    binF, w, c = binF.reshape(-1), w.reshape(-1), c.reshape(-1)
     flatIdx = jnp.where(binF >= 0, binF, 0.).astype(jnp.int32)
     valid = binF >= 0
     flat = jnp.stack([histograms['power'].reshape(-1),
