@@ -258,16 +258,20 @@ class RawFolder:
       return pickle.load(f)
 
   def _hitFiles(self, source='*', obj='*'):
-    return sorted(glob.glob(os.path.join(
-        self.path, f'source-{source}', f'object-{obj}', '*-hits.npz')))
+    from ..simulation import results_store
+    out = []
+    for folder in glob.glob(os.path.join(self.path, f'source-{source}',
+                                         f'object-{obj}')):
+      out.extend(results_store.resultFilePaths(folder, 'hits'))
+    return sorted(out)
 
   def loadHits(self, obj='*', source='*'):
     '''Load and merge all hit files for matching source/object labels;
     returns a Hits wrapper (reference: freecad_document.py:1433-1452).'''
+    from ..simulation import results_store
     entry = None
     for f in self._hitFiles(source=source, obj=obj):
-      data = {k: v for k, v in np.load(f, allow_pickle=True).items()}
-      data = {k: (v if getattr(v, 'ndim', 0) else v) for k, v in data.items()}
+      data = results_store.loadResultFile(f)
       entry = updateResultEntry(entry, {k: v for k, v in data.items()
                                         if getattr(v, 'ndim', 0) > 0})
     return Hits(entry or {})
@@ -276,10 +280,13 @@ class RawFolder:
     '''Load ray polylines: list of dicts(points (K+1,3), powers (K,),
     media list) like SimulationResultsSingleRay.dump
     (results_store.py:232-257).'''
+    from ..simulation import results_store
     rays = []
-    for f in sorted(glob.glob(os.path.join(
-        self.path, f'source-{source}', '*-rays.npz'))):
-      data = np.load(f, allow_pickle=True)
+    files = []
+    for folder in glob.glob(os.path.join(self.path, f'source-{source}')):
+      files.extend(results_store.resultFilePaths(folder, 'rays'))
+    for f in sorted(files):
+      data = results_store.loadResultFile(f)
       points, powers, media, offsets = (data['points'], data['powers'],
                                         data['media'], data['offsets'])
       segBase = 0

@@ -336,12 +336,57 @@ class ParameterSweeper:
           batch['powers'], batch['wavelengths'],
           maxIntersections=maxIntersections,
           maxRayLength=settings.maxRayLength(),
-          distTol=max(settings.distanceTolerance(), 1e-4))
+          distTol=max(settings.distanceTolerance(), 1e-4),
+          earlyExit=False)
       return hist
 
     keys = jax.random.split(jax.random.PRNGKey(seed), len(parameterSets))
-    hists = jax.jit(jax.vmap(one))(stacked, keys)
-    power = np.asarray(hists['power'])
-    counts = np.asarray(hists['counts'])
+    try:
+      hists = jax.jit(jax.vmap(one))(stacked, keys)
+      power = np.asarray(hists['power'])
+      counts = np.asarray(hists['counts'])
+    except Exception as e:
+      # some TPU compiler versions SIGILL on the vmapped fused
+      # histogram loop; fall back to the plain record-producing tracer
+      # (one compilation, reused across variants) + host histogramming
+      io.warn(f'vmapped batched sweep failed ({str(e)[:120]}); '
+              f'falling back to per-variant tracing')
+      from ..tracing import trace as rawTrace
+      H, W = bins
+      D = int(np.asarray(histSpec['bounds']).shape[0])
+      elemToDet = np.asarray(histSpec['elemToDet'])
+      boundsArr = np.asarray(histSpec['bounds'])
+      power = np.zeros((len(parameterSets), D, H, W))
+      counts = np.zeros((len(parameterSets), D, H, W))
+      for vi, (dev, k) in enumerate(zip(devices, keys)):
+        batch = gen0(k, raysPerScene)
+        _, rec = rawTrace(dev, batch['origins'], batch['directions'],
+                          batch['powers'], batch['wavelengths'],
+                          maxIntersections=maxIntersections,
+                          maxRayLength=settings.maxRayLength(),
+                          distTol=max(settings.distanceTolerance(), 1e-4),
+                          recordSegments=False)
+        hitElem = np.asarray(rec['hitElem'])
+        mask = np.asarray(rec['recordHit']) & (hitElem >= 0)
+        if not mask.any():
+          continue
+        det = elemToDet[np.maximum(hitElem, 0)]
+        mask &= det >= 0
+        pts = np.asarray(rec['point'])[mask]
+        pw = np.asarray(rec['power'])[mask]
+        dd = det[mask]
+        # world->local of the hit surfaces
+        sIdx = np.asarray(rec['hitSurface'])[mask]
+        rot = np.asarray(dev['surfaces']['w2lRot'])[sIdx]
+        off = np.asarray(dev['surfaces']['w2lOff'])[sIdx]
+        local = np.einsum('nij,nj->ni', rot, pts) + off
+        b = boundsArr[dd]
+        fx = (local[:, 0] - b[:, 0]) / (b[:, 1] - b[:, 0])
+        fy = (local[:, 1] - b[:, 2]) / (b[:, 3] - b[:, 2])
+        ok = (fx >= 0) & (fx < 1) & (fy >= 0) & (fy < 1)
+        ix = np.clip((fx[ok] * W).astype(int), 0, W - 1)
+        iy = np.clip((fy[ok] * H).astype(int), 0, H - 1)
+        np.add.at(power[vi], (dd[ok], iy, ix), pw[ok])
+        np.add.at(counts[vi], (dd[ok], iy, ix), 1.)
     return np.array([metric(power[i], counts[i])
                      for i in range(len(parameterSets))])

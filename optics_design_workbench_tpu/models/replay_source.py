@@ -84,8 +84,11 @@ class ReplaySource(GenericSource):
     rng = rng or np.random.default_rng()
     if not self.ReplayFromDir:
       raise ValueError(f'replay source {self.Label} has no ReplayFromDir')
-    files = sorted(glob.glob(os.path.join(self.ReplayFromDir, '**',
-                                          '*-hits.npz'), recursive=True))
+    files = sorted(set(
+        glob.glob(os.path.join(self.ReplayFromDir, '**', '*-hits.npz'),
+                  recursive=True)
+        + glob.glob(os.path.join(self.ReplayFromDir, '**', '*-hits.odwc'),
+                    recursive=True)))
     if not files:
       raise SimulationEnded(f'replay source {self.Label}: no hit files '
                             f'under {self.ReplayFromDir}')
@@ -94,7 +97,8 @@ class ReplaySource(GenericSource):
       path = files[idx]
       if not self._claimFile(path):
         continue
-      data = dict(np.load(path, allow_pickle=True))
+      from ..simulation.results_store import loadResultFile
+      data = loadResultFile(path)
       points = np.asarray(data['points'], float)
       directions = np.asarray(data['directions'], float)
       powers = np.asarray(data.get('powers', np.ones(len(points))), float)

@@ -53,10 +53,12 @@ def initHistograms(histSpec, dtype=jnp.float32):
               counts=jnp.zeros((D, H, W), dtype))
 
 
-@partial(jax.jit, static_argnames=('maxIntersections', 'bins', 'flagsTuple'))
+@partial(jax.jit, static_argnames=('maxIntersections', 'bins', 'flagsTuple',
+                                   'earlyExit'))
 def _traceHistogram(scene, elemToDet, bounds, bins, histograms, origins,
                     directions, powers, wavelengths, maxIntersections,
-                    maxRayLength, distTol, flagsTuple=None, scatterKey=None):
+                    maxRayLength, distTol, flagsTuple=None, scatterKey=None,
+                    earlyExit=True):
   from .batch_tracer import bounceBatch
   N = origins.shape[0]
   H, W = bins
@@ -112,7 +114,16 @@ def _traceHistogram(scene, elemToDet, bounds, bins, histograms, origins,
 
   init = (jnp.zeros((), jnp.int32), state, histograms,
           jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
-  i, state, histograms, segments, hits = lax.while_loop(cond, body, init)
+  if earlyExit:
+    i, state, histograms, segments, hits = lax.while_loop(cond, body, init)
+  else:
+    # fixed-trip-count scan variant: some TPU compiler versions SIGILL on
+    # (vmapped) bounded while-loops over the full-physics body; the batched
+    # scene sweep uses this path
+    def scanBody(carry, _):
+      return body(carry), None
+    (i, state, histograms, segments, hits), _ = lax.scan(
+        scanBody, init, None, length=maxIntersections)
   counters = dict(segments=segments, hits=hits,
                   escaped=jnp.sum(~state[6]))
   return histograms, counters
@@ -120,7 +131,7 @@ def _traceHistogram(scene, elemToDet, bounds, bins, histograms, origins,
 
 def traceHistogram(scene, histSpec, histograms, origins, directions, powers,
                    wavelengths, maxIntersections, maxRayLength, distTol,
-                   scatterKey=None):
+                   scatterKey=None, earlyExit=True):
   '''Trace a batch and scatter-add recorded hits into the histograms.
   Returns (histograms, counters) with counters = dict(segments, hits,
   escaped). Non-array histSpec fields (bins, labels) are split off as
@@ -140,7 +151,8 @@ def traceHistogram(scene, histSpec, histograms, origins, directions, powers,
                          directions, powers, wavelengths,
                          maxIntersections=maxIntersections,
                          maxRayLength=maxRayLength, distTol=distTol,
-                         flagsTuple=flagsTuple, scatterKey=scatterKey)
+                         flagsTuple=flagsTuple, scatterKey=scatterKey,
+                         earlyExit=earlyExit)
 
 
 def makeFusedStep(scene, generator, histSpec, raysPerStep, maxIntersections,

@@ -38,14 +38,16 @@ def scatterScene(tmp, **mirrorKwargs):
 
 
 def loadHits(runPath):
+  from optics_design_workbench_tpu.simulation import results_store as RS
   cols = None
-  for f in glob.glob(f'{runPath}/source-*/object-Detector/*-hits.npz'):
-    data = dict(np.load(f, allow_pickle=True))
-    if cols is None:
-      cols = {k: [v] for k, v in data.items() if v.ndim > 0}
-    else:
-      for k in cols:
-        cols[k].append(data[k])
+  for folder in glob.glob(f'{runPath}/source-*/object-Detector'):
+    for f in RS.resultFilePaths(folder, 'hits'):
+      data = RS.loadResultFile(f)
+      if cols is None:
+        cols = {k: [v] for k, v in data.items() if v.ndim > 0}
+      else:
+        for k in cols:
+          cols[k].append(data[k])
   return None if cols is None else {k: np.concatenate(v)
                                     for k, v in cols.items()}
 

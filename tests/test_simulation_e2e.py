@@ -39,14 +39,16 @@ def sceneAndFolder(tmp_path):
 
 
 def loadAllHits(runPath, source='*', obj='*'):
+  from optics_design_workbench_tpu.simulation import results_store as RS
   cols = None
-  for f in glob.glob(f'{runPath}/source-{source}/object-{obj}/*-hits.npz'):
-    data = dict(np.load(f, allow_pickle=True))
-    if cols is None:
-      cols = {k: [v] for k, v in data.items() if v.ndim > 0}
-    else:
-      for k in cols:
-        cols[k].append(data[k])
+  for folder in glob.glob(f'{runPath}/source-{source}/object-{obj}'):
+    for f in RS.resultFilePaths(folder, 'hits'):
+      data = RS.loadResultFile(f)
+      if cols is None:
+        cols = {k: [v] for k, v in data.items() if v.ndim > 0}
+      else:
+        for k in cols:
+          cols[k].append(data[k])
   if cols is None:
     return None
   return {k: np.concatenate(v) for k, v in cols.items()}
@@ -149,9 +151,10 @@ class TestFansE2E:
     scene, folder = sceneAndFolder
     scene.getObject('Source').RecordRays = True
     runPath = simulation.runSimulation(scene, 'fans')
-    rayFiles = glob.glob(f'{runPath}/source-Source/*-rays.npz')
+    from optics_design_workbench_tpu.simulation import results_store as RS
+    rayFiles = RS.resultFilePaths(f'{runPath}/source-Source', 'rays')
     assert rayFiles
-    data = dict(np.load(rayFiles[0], allow_pickle=True))
+    data = RS.loadResultFile(rayFiles[0])
     offsets = data['offsets']
     nRays = len(offsets) - 1
     assert nRays >= 40   # 2 fans x 21 rays

@@ -45,14 +45,16 @@ def surfaceScene(tmp, kind='plane'):
 
 
 def loadHits(runPath, obj='Detector'):
+  from optics_design_workbench_tpu.simulation import results_store as RS
   cols = None
-  for f in glob.glob(f'{runPath}/source-*/object-{obj}/*-hits.npz'):
-    data = dict(np.load(f, allow_pickle=True))
-    if cols is None:
-      cols = {k: [v] for k, v in data.items() if v.ndim > 0}
-    else:
-      for k in cols:
-        cols[k].append(data[k])
+  for folder in glob.glob(f'{runPath}/source-*/object-{obj}'):
+    for f in RS.resultFilePaths(folder, 'hits'):
+      data = RS.loadResultFile(f)
+      if cols is None:
+        cols = {k: [v] for k, v in data.items() if v.ndim > 0}
+      else:
+        for k in cols:
+          cols[k].append(data[k])
   return None if cols is None else {k: np.concatenate(v)
                                     for k, v in cols.items()}
 
@@ -136,8 +138,9 @@ class TestReplaySource:
     scene.addSimulationSettings(RaysPerIteration=2000,
                                 EnableStoreSingleShotData=True)
     run1 = simulation.runSimulation(scene, 'singletrue', seed=5)
+    from optics_design_workbench_tpu.simulation import results_store as RS
     probeDir = os.path.join(run1, 'source-Src', 'object-Probe')
-    assert glob.glob(probeDir + '/*-hits.npz')
+    assert RS.resultFilePaths(probeDir, 'hits')
 
     # run 2: replay the probe hits in a fresh scene
     scene2 = Scene(label='replayed', path=str(tmp_path / 'replayed'))
