@@ -1,0 +1,118 @@
+'''
+Command-line entry point — the headless analog of the reference's workbench
+toolbar/menu commands (reference: init_gui.py:21-47,
+freecad_elements/simulation_actions.py):
+
+  python -m optics_design_workbench_tpu run <scene> <action>
+      actions: fans, singletrue, singlepseudo, true, pseudo, stop, clear
+      <scene> is a *.scene.pkl or an FCStd project of the reference
+      workbench (ingested without FreeCAD).
+  python -m optics_design_workbench_tpu info <scene>
+  python -m optics_design_workbench_tpu runs <scene>
+  python -m optics_design_workbench_tpu bench
+  python -m optics_design_workbench_tpu dryrun-multichip [n]
+'''
+
+import argparse
+import json
+import sys
+
+
+def _loadScene(path):
+  if path.endswith('.FCStd'):
+    from .models import loadFCStd
+    return loadFCStd(path)
+  from .jupyter_utils import loadScene, Document
+  try:
+    return loadScene(path if path.endswith('.scene.pkl')
+                     else path + '.scene.pkl')
+  except FileNotFoundError:
+    return Document(path).scene
+
+
+def main(argv=None):
+  parser = argparse.ArgumentParser(prog='optics_design_workbench_tpu',
+                                   description=__doc__)
+  sub = parser.add_subparsers(dest='cmd', required=True)
+
+  runP = sub.add_parser('run', help='run a simulation action on a scene')
+  runP.add_argument('scene')
+  runP.add_argument('action', choices=['fans', 'singletrue', 'singlepseudo',
+                                       'true', 'pseudo', 'stop', 'clear'])
+  runP.add_argument('--seed', type=int, default=None)
+  runP.add_argument('--store', action='store_true', default=None,
+                    help='force storing results for single-shot actions')
+
+  infoP = sub.add_parser('info', help='print the scene inventory')
+  infoP.add_argument('scene')
+
+  runsP = sub.add_parser('runs', help='list raw result folders')
+  runsP.add_argument('scene')
+
+  sub.add_parser('bench', help='run the headline benchmark')
+
+  dryP = sub.add_parser('dryrun-multichip', help='multi-chip compile check')
+  dryP.add_argument('n', type=int, nargs='?', default=8)
+
+  args = parser.parse_args(argv)
+
+  if args.cmd == 'run':
+    from . import simulation
+    scene = _loadScene(args.scene)
+    runPath = simulation.runSimulation(scene, args.action, seed=args.seed,
+                                       store=args.store)
+    if runPath:
+      print(runPath)
+    return 0
+
+  if args.cmd == 'info':
+    scene = _loadScene(args.scene)
+    info = scene.collectGlobalInfo()
+    print(json.dumps(dict(
+        label=info['label'],
+        sources={k: v.get('PowerDensity') for k, v in
+                 info['sources'].items()},
+        opticalObjects={k: v.get('OpticalType') for k, v in
+                        info['opticalObjects'].items()},
+        settings=list(info['settings'])), indent=2))
+    return 0
+
+  if args.cmd == 'runs':
+    from . import simulation
+    from .jupyter_utils import rawFolders
+    scene = _loadScene(args.scene)
+    folder = simulation.getResultsFolderPath(scene.path or scene.label,
+                                             ensure=False)
+    for raw in rawFolders(folder):
+      prog = raw.progress()
+      extra = ''
+      if prog:
+        extra = (f"  rays={prog.get('totalTracedRays', 0):g} "
+                 f"hits={prog.get('totalRecordedHits', 0):g}")
+      print(raw.path + extra)
+    return 0
+
+  if args.cmd == 'bench':
+    import runpy
+    import os
+    benchPath = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), 'bench.py')
+    runpy.run_path(benchPath, run_name='__main__')
+    return 0
+
+  if args.cmd == 'dryrun-multichip':
+    import importlib.util
+    import os
+    entry = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), '__graft_entry__.py')
+    spec = importlib.util.spec_from_file_location('graft_entry', entry)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(args.n)
+    return 0
+
+  return 1
+
+
+if __name__ == '__main__':
+  sys.exit(main())
