@@ -1,0 +1,59 @@
+'''
+Resource-stability tests — the TPU analog of the reference's 14-hour
+memory-leak soak (reference: test/90-memory-leak-check): repeated fused
+steps must not grow device buffers or host memory; repeated runSimulation
+calls must not leak lifecycle state.
+'''
+
+import gc
+import os
+
+import numpy as np
+import jax
+import pytest
+
+from optics_design_workbench_tpu import benchmarks, simulation
+from optics_design_workbench_tpu.models import Scene, PointSource, OpticalGroup
+from optics_design_workbench_tpu.geometry import surfaces as S
+from optics_design_workbench_tpu.geometry import transforms as T
+
+
+def test_fused_step_buffer_stability():
+  '''Device buffer count must stay flat over many fused steps (the
+  reference asserts worker RSS growth < 0.01 GB/h; here leaks would show
+  as unbounded live_arrays growth).'''
+  step, hist, meta = benchmarks.makeBenchStep(raysPerStep=8192,
+                                              maxIntersections=4,
+                                              bins=(32, 32), usePallas=False)
+  key = jax.random.PRNGKey(0)
+  hist, counters = step(key, hist)
+  jax.block_until_ready(counters)
+  gc.collect()
+  baseline = len(jax.live_arrays())
+  for i in range(30):
+    hist, counters = step(jax.random.fold_in(key, i), hist)
+  int(counters['segments'])
+  gc.collect()
+  after = len(jax.live_arrays())
+  assert after - baseline < 20, f'device buffers grew {baseline}->{after}'
+
+
+def test_repeated_runs_no_state_leak(tmp_path):
+  '''Back-to-back simulations: run folders increment, flags clear, and the
+  store rejects use-after-cleanup (results_store.py:338-341 analog).'''
+  scene = Scene(label='soak', path=str(tmp_path / 'soak'))
+  scene.addOpticalGroup(OpticalGroup(
+      OpticalType='Absorber', Label='D',
+      surfaces=[S.plane(np.eye(4), elem=0, radius=50.)],
+      placements=[T.translation(0, 0, 10)]))
+  scene.addSource(PointSource(Label='S', PowerDensity='exp(-theta^2/0.01)',
+                              ThetaDomain='0, 0.3',
+                              ThetaResolutionNumericMode='2e3'))
+  scene.addSimulationSettings(RaysPerIteration=500,
+                              EnableStoreSingleShotData=True)
+  paths = [simulation.runSimulation(scene, 'singletrue', seed=i)
+           for i in range(4)]
+  assert len(set(paths)) == 4
+  assert paths[-1].endswith('simulation-run-000003')
+  lc = simulation.Lifecycle(str(tmp_path / 'soak.OpticsDesign'))
+  assert not lc.isRunning() and not lc.isCanceled()
