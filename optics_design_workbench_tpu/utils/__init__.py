@@ -1,2 +1,3 @@
 from . import io
 from . import timing
+from . import profiling
