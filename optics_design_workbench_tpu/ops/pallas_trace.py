@@ -438,10 +438,13 @@ def makePallasTraceStep(scene, histSpec, generator, raysPerStep,
     binF, w, c = binF.reshape(-1), w.reshape(-1), c.reshape(-1)
     flatIdx = jnp.where(binF >= 0, binF, 0.).astype(jnp.int32)
     valid = binF >= 0
-    flat = jnp.stack([histograms['power'].reshape(-1),
-                      histograms['counts'].reshape(-1)], axis=-1)
     payload = jnp.stack([jnp.where(valid, w, 0.),
                          jnp.where(valid, c, 0.)], axis=-1)
+    # NOTE: the scatter is the step's dominant cost (~14 ms per 1e6 updates
+    # into a focused spot). segment_sum and replica-split variants were
+    # measured SLOWER on v5e; a Pallas histogram kernel is the open lever.
+    flat = jnp.stack([histograms['power'].reshape(-1),
+                      histograms['counts'].reshape(-1)], axis=-1)
     flat = flat.at[flatIdx].add(payload)
     hist = dict(power=flat[:, 0].reshape(D, H, W),
                 counts=flat[:, 1].reshape(D, H, W))
