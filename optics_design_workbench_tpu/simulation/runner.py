@@ -189,6 +189,24 @@ def runSimulation(scene, action, endIf=None, seed=None, store=None,
   settings = scene.activeSimulationSettings()
   mode = _actionMode(action)
   continuous = action in CONTINUOUS_ACTIONS
+
+  # WorkerProcessCount -> shard count: an explicit integer > 1 requests the
+  # batch be sharded over that many local devices (the TPU analog of the
+  # reference's N worker processes, simulation_loop.py:387-396). The
+  # 'num_cpus' default keeps single-device execution to avoid surprising
+  # sharding of tiny batches.
+  if mesh is None:
+    raw = getattr(settings, 'WorkerProcessCount', 'num_cpus')
+    try:
+      requested = int(float(raw))
+    except (TypeError, ValueError):
+      requested = 1
+    nDev = jax.local_device_count()
+    if requested > 1 and nDev > 1:
+      from ..parallel import makeMesh
+      mesh = makeMesh(nDevices=min(requested, nDev))
+      io.verb(f'sharding ray batches over {mesh.size} devices '
+              f'(WorkerProcessCount={raw})')
   # store decisions (reference: simulation_loop.py:350-378): continuous runs
   # always store; single-shot only with EnableStoreSingleShotData (or when
   # explicitly requested)
