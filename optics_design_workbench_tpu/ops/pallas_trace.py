@@ -440,9 +440,10 @@ def makePallasTraceStep(scene, histSpec, generator, raysPerStep,
     valid = binF >= 0
     payload = jnp.stack([jnp.where(valid, w, 0.),
                          jnp.where(valid, c, 0.)], axis=-1)
-    # NOTE: the scatter is the step's dominant cost (~14 ms per 1e6 updates
-    # into a focused spot). segment_sum and replica-split variants were
-    # measured SLOWER on v5e; a Pallas histogram kernel is the open lever.
+    # NOTE: the scatter is the step's dominant cost (~17 ns/update, a flat
+    # platform cost independent of the index distribution). segment_sum,
+    # replica-split and sort+unique-scatter variants all measured slower on
+    # v5e; a Pallas bin-major accumulation kernel is the open lever.
     flat = jnp.stack([histograms['power'].reshape(-1),
                       histograms['counts'].reshape(-1)], axis=-1)
     flat = flat.at[flatIdx].add(payload)
