@@ -8,7 +8,6 @@ path, plus the simpler examples/1 source->detector scene.
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 
 from .models import Scene, PointSource, OpticalGroup
 from .geometry import surfaces as S

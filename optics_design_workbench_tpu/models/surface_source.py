@@ -20,7 +20,6 @@ freecad_elements/surface_source.py):
 '''
 
 import numpy as np
-import sympy as sy
 
 from .. import distributions
 from ..geometry import surfaces as GS

@@ -17,8 +17,6 @@ geometry/surfaces.py PACKED_* and tracing/element_table.py EP_*), unrolled
 as compile-time constants over the (static, small) surface count.
 '''
 
-import functools
-
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -27,7 +25,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..geometry import surfaces as GS
-from ..tracing.tracer import MIRROR, LENS, GRATING, ABSORBER, VACUUM
+from ..tracing.tracer import MIRROR, LENS, GRATING, ABSORBER
 
 TILE = 8192
 _BIG = 3.0e38

@@ -7,8 +7,6 @@ reference's N worker processes + filesystem progress protocol
 (simulation_loop.py:449-632; results_store.py:462-539).
 '''
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P

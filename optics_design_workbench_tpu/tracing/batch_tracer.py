@@ -15,8 +15,6 @@ written TPU-first:
     transpose of the packed w2l rotation (placements are rigid).
 '''
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax import lax
