@@ -1,0 +1,96 @@
+'''
+MXU histogram accumulation: scatter-free 2-D binning via factorized one-hot
+matmuls.
+
+An XLA scatter-add on v5e costs a flat ~17 ns/update independent of the
+index distribution (measured; segment_sum / replica-split / sort+unique all
+lower to the same scatter or worse). For histogram shapes where the flat
+bin index factors as `row * numCols + col` with a modest row count, the
+exact same accumulation is a pair of one-hot products contracted over the
+ray axis:
+
+    hist[r, c] = sum_i payload[i] * 1{row_i == r} * 1{col_i == c}
+              = onehotRow.T @ (onehotCol * payload[:, None])
+
+which the MXU executes as dense matmuls — ~4.8x faster than the scatter at
+the bench shape (1M updates into 256x256 bins: 3.6 ms vs 17.3 ms).
+
+Precision: jax's DEFAULT matmul precision on TPU is a single bf16 pass.
+The one-hot factors are exact in bf16 (0/1), so the only loss is bf16
+rounding of the payload — max abs error ~2e-3 relative to the mean bin
+value at 16 updates/bin, orders of magnitude below Monte-Carlo shot noise
+(~25% at that occupancy).  Pass precision='high' (bf16x3, ~5e-8, 1.8x
+slower) or 'highest' (bf16x6, f32-exact, 2x slower) where determinism
+matters.  On CPU all settings are exact f32.
+
+Reference analog: the reference accumulates per-hit into numpy histograms
+on the host after the fact (jupyter_utils/hits.py); here binning is part
+of the fused device step, so its cost is the step's denominator.
+'''
+
+import numpy as np
+import jax.numpy as jnp
+from jax import lax
+
+# rows per matmul chunk: large enough to keep the MXU busy, small enough
+# that the materialized one-hots ((chunk, numRows/numCols) bf16) stay a few
+# MB and fuse well
+DEFAULT_CHUNK = 8192
+
+_PRECISIONS = {
+    'default': lax.Precision.DEFAULT,
+    'high': lax.Precision.HIGH,
+    'highest': lax.Precision.HIGHEST,
+}
+
+
+def matmulAccumulate(flatIdx, payload, numRows, numCols,
+                     chunk=DEFAULT_CHUNK, precision='default'):
+  '''Scatter-free equivalent of
+  `zeros((numRows * numCols, C)).at[flatIdx].add(payload)`.
+
+  flatIdx: (N,) int32 in [0, numRows * numCols); invalid entries must be
+    clamped in-range with their payload zeroed (zero payload contributes
+    nothing — same masking contract as the scatter it replaces).
+  payload: (N, C) float32 accumulation channels (e.g. power + count).
+  Returns (numRows * numCols, C) float32.
+  '''
+  n, c = payload.shape
+  prec = _PRECISIONS[precision]
+  if n % chunk:
+    pad = chunk - n % chunk
+    flatIdx = jnp.concatenate([flatIdx, jnp.zeros((pad,), flatIdx.dtype)])
+    payload = jnp.concatenate([payload, jnp.zeros((pad, c), payload.dtype)])
+    n += pad
+  row = (flatIdx // numCols).astype(jnp.int32)
+  col = (flatIdx % numCols).astype(jnp.int32)
+
+  def body(acc, args):
+    r, cl, p = args
+    iR = lax.broadcasted_iota(jnp.int32, (chunk, numRows), 1)
+    iC = lax.broadcasted_iota(jnp.int32, (chunk, numCols), 1)
+    ohR = (r[:, None] == iR).astype(jnp.float32)          # (chunk, R)
+    ohC = (cl[:, None] == iC).astype(jnp.float32)         # (chunk, W)
+    # stack payload channels along the column axis: one matmul for all
+    colMat = jnp.concatenate([ohC * p[:, k, None] for k in range(c)], 1)
+    part = lax.dot_general(ohR, colMat, (((0,), (0,)), ((), ())),
+                           preferred_element_type=jnp.float32,
+                           precision=prec)                # (R, c*W)
+    return acc + part, None
+
+  chunks = (row.reshape(-1, chunk), col.reshape(-1, chunk),
+            payload.reshape(-1, chunk, c))
+  acc, _ = lax.scan(body, jnp.zeros((numRows, c * numCols), jnp.float32),
+                    chunks)
+  # (R, c*W) -> (R*W, c)
+  return jnp.stack([acc[:, k * numCols:(k + 1) * numCols].reshape(-1)
+                    for k in range(c)], axis=-1)
+
+
+def matmulWorthwhile(numRows, numCols, numUpdates):
+  '''Heuristic: the matmul costs numUpdates * numRows * numCols MACs per
+  channel while the scatter costs ~17 ns * numUpdates flat; at the bench
+  shape (256 rows) the matmul wins ~4.8x, but the advantage dies once the
+  row count grows past ~1-2k (many detectors / fine bins).'''
+  return numRows * numCols <= (1 << 19) and numRows <= 2048 \
+      and numCols <= 2048 and numUpdates >= 4 * numRows

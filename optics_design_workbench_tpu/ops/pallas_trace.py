@@ -9,8 +9,9 @@ fallback): analytic surfaces plane/sphere/cylinder/asphere, element types
 Mirror/Lens/Absorber/Vacuum with constant refractive index, no gratings,
 no stochastic scatter, no sequential mode. Each ray records at most its
 LAST in-bounds detector hit (detectors are terminal absorbers/vacuums in
-practice); the per-ray bin index + power are scattered into the histogram
-by one XLA scatter per step.
+practice); the per-ray bin index + power are accumulated into the
+histogram by the MXU one-hot matmul (ops/histogram.py) when the histogram
+shape allows, else by one XLA scatter per step.
 
 Scene data arrives as one packed f32 row per surface / element (see
 geometry/surfaces.py PACKED_* and tracing/element_table.py EP_*), unrolled
@@ -26,6 +27,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..geometry import surfaces as GS
 from ..tracing.tracer import MIRROR, LENS, GRATING, ABSORBER
+from . import histogram
 
 TILE = 8192
 _BIG = 3.0e38
@@ -394,9 +396,13 @@ def _sceneRows(scene, histSpec):
 
 def makePallasTraceStep(scene, histSpec, generator, raysPerStep,
                         maxIntersections, maxRayLength, distTol,
-                        powerTol=1e-6, stratified=False, tile=TILE):
-  '''Build the fused sample + pallas-trace + scatter step:
-  (key, histograms) -> (histograms, counters). Requires pallasEligible.'''
+                        powerTol=1e-6, stratified=False, tile=TILE,
+                        histPrecision='default'):
+  '''Build the fused sample + pallas-trace + histogram step:
+  (key, histograms) -> (histograms, counters). Requires pallasEligible.
+  histPrecision: matmul precision of the MXU binning pass — 'default'
+  (bf16, ~0.5% per-bin power error, fastest), 'high', or 'highest'
+  (f32-exact); counts are exact at every setting.'''
   if raysPerStep % tile:
     raise ValueError(f'raysPerStep must be a multiple of {tile}')
   H, W = histSpec['bins']
@@ -438,13 +444,17 @@ def makePallasTraceStep(scene, histSpec, generator, raysPerStep,
     valid = binF >= 0
     payload = jnp.stack([jnp.where(valid, w, 0.),
                          jnp.where(valid, c, 0.)], axis=-1)
-    # NOTE: the scatter is the step's dominant cost (~17 ns/update, a flat
-    # platform cost independent of the index distribution). segment_sum,
-    # replica-split and sort+unique-scatter variants all measured slower on
-    # v5e; a Pallas bin-major accumulation kernel is the open lever.
     flat = jnp.stack([histograms['power'].reshape(-1),
                       histograms['counts'].reshape(-1)], axis=-1)
-    flat = flat.at[flatIdx].add(payload)
+    # binning: the XLA scatter costs a flat ~17 ns/update (~17 ms/step at
+    # 1M rays, the step's former dominant cost); the factorized one-hot
+    # matmul (ops/histogram.py) does the same accumulation on the MXU in
+    # ~3.6 ms whenever the detector-row count is modest
+    if histogram.matmulWorthwhile(D * H, W, raysPerStep):
+      flat = flat + histogram.matmulAccumulate(flatIdx, payload, D * H, W,
+                                               precision=histPrecision)
+    else:
+      flat = flat.at[flatIdx].add(payload)
     hist = dict(power=flat[:, 0].reshape(D, H, W),
                 counts=flat[:, 1].reshape(D, H, W))
     counters = dict(segments=jnp.sum(segs).astype(jnp.int32),
