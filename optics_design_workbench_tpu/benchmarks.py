@@ -71,7 +71,7 @@ def buildLensMirrorScene(tmpdir=None):
 
 def makeBenchStep(scene=None, raysPerStep=1 << 20, maxIntersections=6,
                   mesh=None, bins=(256, 256), stratified=False,
-                  usePallas='auto'):
+                  usePallas='auto', histPrecision='default'):
   '''Compile the fused sample+trace+histogram step for a benchmark scene.
   Returns (step, histograms, meta). step: (key, hist) -> (hist, counters).
   With usePallas='auto' the single-chip path uses the fused Pallas kernel
@@ -102,6 +102,7 @@ def makeBenchStep(scene=None, raysPerStep=1 << 20, maxIntersections=6,
       colGen = (src.deviceColumnsGenerator()
                 if hasattr(src, 'deviceColumnsGenerator') else gen)
       step = pallas_trace.makePallasTraceStep(device, histSpec, colGen,
+                                              histPrecision=histPrecision,
                                               **kwargs)
       backend = 'pallas'
     else:

@@ -56,6 +56,9 @@ def matmulAccumulate(flatIdx, payload, numRows, numCols,
   Returns (numRows * numCols, C) float32.
   '''
   n, c = payload.shape
+  if precision not in _PRECISIONS:
+    raise ValueError(f'precision must be one of {sorted(_PRECISIONS)}, '
+                     f'got {precision!r}')
   prec = _PRECISIONS[precision]
   if n % chunk:
     pad = chunk - n % chunk
