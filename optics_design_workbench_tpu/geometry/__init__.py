@@ -1,3 +1,4 @@
 from . import transforms
 from . import surfaces
 from . import intersect
+from . import mesh

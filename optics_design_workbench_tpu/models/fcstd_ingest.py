@@ -13,9 +13,11 @@ and App::Link instances (multi-placement semantics, common.py:36-109).
 
 Geometry built from sketches/booleans (Part::Cut, Part::Revolution,
 PartDesign bodies...) exists only as OpenCASCADE BRep blobs; rebuilding
-those needs an OCC kernel, so such members raise (or are skipped with
-`skipUnsupported=True`) with a pointer to building the scene via the
-models API instead.
+the exact analytic surfaces would need an OCC kernel, but FreeCAD usually
+embeds the display triangulation in the blob — those members load as
+triangle meshes (geometry/mesh.py parseBRepTriangulations). Members with
+neither a primitive type nor a stored triangulation raise (or are skipped
+with `skipUnsupported=True`) with a pointer to the models/mesh APIs.
 '''
 
 import io as _io
@@ -85,6 +87,10 @@ def _parseProperty(prop):
                            ('Px', 'Py', 'Pz', 'Q0', 'Q1', 'Q2', 'Q3')))
   if ptype in ('App::PropertyLink',):
     return c.get('value') or None
+  if ptype == 'Part::PropertyPartShape':
+    # the BRep blob lives in a sibling zip entry; keep its name so the
+    # loader can extract a stored triangulation from it
+    return c.get('file') or None
   if ptype in ('App::PropertyLinkList', 'App::PropertyLinkListHidden'):
     return [e.get('value') for e in c if e.get('value')]
   if ptype == 'App::PropertyLinkSubList':
@@ -186,11 +192,28 @@ _GEOMETRY_BUILDERS = {
     'Part::Cylinder': _cylinderSurfaces,
 }
 
-_SKIP_TYPES = ('Part::Feature', 'App::Origin', 'App::Line', 'App::Plane',
+_SKIP_TYPES = ('App::Origin', 'App::Line', 'App::Plane',
                'App::Point', 'Sketcher::SketchObject')
 
 
-def _collectGeometry(objects, memberNames, elem, label, skipUnsupported):
+def _brepSurfaces(member, elem, readBlob, label):
+  '''Mesh surfaces from a Part::Feature-like object's stored BRep
+  triangulation (geometry/mesh.py parseBRepTriangulations); returns None
+  when the object carries no shape blob.'''
+  shapeFile = member.get('Shape')
+  if not isinstance(shapeFile, str) or readBlob is None:
+    return None
+  try:
+    text = readBlob(shapeFile).decode('latin-1')
+  except KeyError:
+    return None
+  from ..geometry import mesh as M
+  placement = member.get('Placement', np.eye(4))
+  return M.brepMeshSurfaces(text, elem=elem, transform=placement)
+
+
+def _collectGeometry(objects, memberNames, elem, label, skipUnsupported,
+                     readBlob=None):
   surfs = []
   for name in memberNames:
     member = objects.get(name)
@@ -203,30 +226,59 @@ def _collectGeometry(objects, memberNames, elem, label, skipUnsupported):
       if target is not None:
         linkPlacement = member.get('Placement', np.eye(4))
         inner = _collectGeometry(objects, [target.name], elem, label,
-                                 skipUnsupported)
+                                 skipUnsupported, readBlob)
         for s in inner:
           s['transform'] = linkPlacement @ s['transform']
         surfs.extend(inner)
       continue
     builder = _GEOMETRY_BUILDERS.get(member.type)
-    if builder is None:
-      msg = (f'cannot rebuild geometry of {member.label!r} '
-             f'({member.type}) in optical group {label!r}: only elementary '
-             f'Part primitives (Box/Sphere/Cylinder) can be ingested from '
-             f'FCStd without an OpenCASCADE kernel. Build this element with '
-             f'the models API (geometry.surfaces builders) instead.')
-      if skipUnsupported:
-        io.warn(msg)
-        continue
-      raise NotImplementedError(msg)
-    surfs.extend(builder(member, elem))
+    if builder is not None:
+      surfs.extend(builder(member, elem))
+      continue
+    # anything else (booleans, pads, sketch solids, Part::Feature...):
+    # try the stored BRep triangulation -> triangle mesh
+    try:
+      meshSurfs = _brepSurfaces(member, elem, readBlob, label)
+    except ValueError as e:
+      meshSurfs = None
+      brepErr = str(e)
+    else:
+      brepErr = 'object has no Shape blob'
+    if meshSurfs:
+      io.info(f'{member.label!r} ({member.type}) ingested as a triangle '
+              f'mesh ({len(meshSurfs)} triangles) from its stored BRep '
+              f'triangulation')
+      surfs.extend(meshSurfs)
+      continue
+    msg = (f'cannot rebuild geometry of {member.label!r} '
+           f'({member.type}) in optical group {label!r}: not an elementary '
+           f'Part primitive (Box/Sphere/Cylinder) and its BRep gave no '
+           f'usable triangulation ({brepErr}). Build this element with the '
+           f'models API (geometry.surfaces / geometry.mesh) instead.')
+    if skipUnsupported:
+      io.warn(msg)
+      continue
+    raise NotImplementedError(msg)
   return surfs
 
 
 def loadFCStd(path, skipUnsupported=False):
-  '''Load an FCStd project of the reference workbench into a Scene.'''
+  '''Load an FCStd project of the reference workbench into a Scene.
+
+  Geometry sources, in order of fidelity: elementary Part primitives
+  (Box/Sphere/Cylinder) rebuild as exact analytic surfaces; any other
+  solid (booleans, pads, sketch-based shapes) loads as a triangle mesh
+  from the BRep blob's stored triangulation when FreeCAD saved one
+  (geometry/mesh.py); otherwise it raises (or is skipped with
+  skipUnsupported=True) with a pointer to the models/mesh APIs.'''
   with zipfile.ZipFile(path) as z:
     xmlBytes = z.read('Document.xml')
+    blobs = {n: z.read(n) for n in z.namelist()
+             if n.endswith('.brp') or 'Shape' in n}
+
+  def readBlob(name):
+    return blobs[name]
+
   objects = parseDocumentXml(xmlBytes)
   import os
   scene = Scene(label=os.path.splitext(os.path.basename(path))[0],
@@ -270,7 +322,7 @@ def loadFCStd(path, skipUnsupported=False):
       group.OpticalType = fc.get('OpticalType', optType)
       members = fc.get('ElementList', [])
       group.surfaces = _collectGeometry(objects, members, 0, fc.label,
-                                        skipUnsupported)
+                                        skipUnsupported, readBlob)
       group.placements = [fc.get('Placement', np.eye(4))]
       scene.addOpticalGroup(group)
   if not scene.opticalObjects() and not skipUnsupported:
