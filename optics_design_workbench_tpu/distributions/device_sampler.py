@@ -110,13 +110,18 @@ def _tablesFromTransform(vrv, varI, dtype):
     uniform = len(g) > 1 and np.allclose(steps, steps[0], rtol=1e-6)
     gridMeta.append((bool(uniform), float(g[0]),
                      float(steps[0]) if len(g) > 1 else 1., len(g)))
+  # host numpy here — buildDeviceTables post-processes these rows and
+  # transfers everything to device exactly once at the end (device-side
+  # dtype conversions each cost one tiny XLA compile, ~0.5 s over a
+  # remote-compile link)
+  npDtype = np.dtype(dtype.dtype if hasattr(dtype, 'dtype') else dtype)
   return dict(
-      values=jnp.asarray(values, dtype=dtype),
-      cdf=jnp.asarray(cdf, dtype=dtype),
-      laterGrids=tuple(jnp.asarray(g, dtype=dtype) for g in laterGrids),
+      values=np.asarray(values, dtype=npDtype),
+      cdf=np.asarray(cdf, dtype=npDtype),
+      laterGrids=tuple(np.asarray(g, dtype=npDtype) for g in laterGrids),
       laterGridMeta=tuple(gridMeta),
-      discreteVals=jnp.asarray(discreteVals, dtype=dtype),
-      discreteCum=jnp.asarray(np.cumsum(discreteProbs), dtype=dtype),
+      discreteVals=np.asarray(discreteVals, dtype=npDtype),
+      discreteCum=np.cumsum(discreteProbs).astype(npDtype),
   )
 
 
@@ -144,6 +149,7 @@ def buildDeviceTables(vrv, dtype=jnp.float32, quantileRes=4097):
   #   * all rows identical (separable)   -> no row-index conditioning
   #   * (v[j], v[j+1]) pair rows         -> one 2-wide gather, not two
   q = np.linspace(0., 1., quantileRes)
+  npDtype = np.dtype(dtype.dtype if hasattr(dtype, 'dtype') else dtype)
   newTables = []
   for t in tables:
     cdf = np.asarray(t['cdf'], dtype=np.float64)
@@ -157,9 +163,9 @@ def buildDeviceTables(vrv, dtype=jnp.float32, quantileRes=4097):
     lin = np.linspace(inv[0, 0], inv[0, -1], inv.shape[1])
     affine = rowsEqual and bool(
         np.all(np.abs(inv[0] - lin) <= 1e-6 * max(np.ptp(values), 1e-30)))
-    t['invCdf'] = jnp.asarray(inv, dtype=dtype)
+    t['invCdf'] = inv.astype(npDtype)
     pairs = np.stack([inv[:, :-1], inv[:, 1:]], axis=-1)  # (M, Q-1, 2)
-    t['invCdfPairs'] = jnp.asarray(pairs.reshape(-1, 2), dtype=dtype)
+    t['invCdfPairs'] = pairs.reshape(-1, 2).astype(npDtype)
     t['affine'] = (affine, float(inv[0, 0]), float(inv[0, -1]))
     t['rowsEqual'] = rowsEqual
     if rowsEqual and not affine:
@@ -168,8 +174,12 @@ def buildDeviceTables(vrv, dtype=jnp.float32, quantileRes=4097):
       # random gather ~4x on v5e (9 ms -> ~2 ms per 1e6 draws)
       qs = np.linspace(0., 1., _TENT_Q)
       small = np.interp(qs, q, inv[0])
-      t['invCdfSmall'] = jnp.asarray(small, dtype=dtype)
-    newTables.append(t)
+      t['invCdfSmall'] = small.astype(npDtype)
+    # single device transfer per array, already in the target dtype
+    newTables.append({k: (jnp.asarray(v) if isinstance(v, np.ndarray)
+                          else (tuple(jnp.asarray(g) for g in v)
+                                if k == 'laterGrids' else v))
+                      for k, v in t.items()})
   tables = tuple(newTables)
   names = [str(v) for v in vrv._variables]
   if vrv._variableOrder:

@@ -116,24 +116,30 @@ def buildSurfaceTable(surfs, dtype=jnp.float32):
   matsInv = np.stack([np.linalg.inv(m) for m in mats])
   w2lRot, w2lOff = transforms.rotRowsOffsets(matsInv, dtype=np.float32)
   l2wRot, l2wOff = transforms.rotRowsOffsets(mats, dtype=np.float32)
-  table = dict(
-      kind=jnp.asarray([s['kind'] for s in surfs], dtype=jnp.int32),
-      params=jnp.asarray(np.stack([s['params'] for s in surfs]), dtype=dtype),
-      trim=jnp.asarray(np.stack([s['trim'] for s in surfs]), dtype=dtype),
-      w2lRot=jnp.asarray(w2lRot, dtype=dtype),
-      w2lOff=jnp.asarray(w2lOff, dtype=dtype),
-      l2wRot=jnp.asarray(l2wRot, dtype=dtype),
-      l2wOff=jnp.asarray(l2wOff, dtype=dtype),
-      elem=jnp.asarray([s['elem'] for s in surfs], dtype=jnp.int32),
-      orient=jnp.asarray([s['orient'] for s in surfs], dtype=dtype),
+  npDtype = np.dtype(dtype.dtype if hasattr(dtype, 'dtype') else dtype)
+  # assemble EVERYTHING in numpy and transfer each array exactly once:
+  # slicing/converting device arrays here would dispatch one tiny XLA
+  # compile per op, which costs ~0.5 s each over a remote-compile link
+  # (~20 s of scene-compile latency for a 5-surface scene)
+  host = dict(
+      kind=np.asarray([s['kind'] for s in surfs], dtype=np.int32),
+      params=np.stack([s['params'] for s in surfs]).astype(npDtype),
+      trim=np.stack([s['trim'] for s in surfs]).astype(npDtype),
+      w2lRot=np.asarray(w2lRot, dtype=npDtype),
+      w2lOff=np.asarray(w2lOff, dtype=npDtype),
+      l2wRot=np.asarray(l2wRot, dtype=npDtype),
+      l2wOff=np.asarray(l2wOff, dtype=npDtype),
+      elem=np.asarray([s['elem'] for s in surfs], dtype=np.int32),
+      orient=np.asarray([s['orient'] for s in surfs], dtype=npDtype),
   )
-  kinds = np.asarray([s['kind'] for s in surfs])
+  table = {k: jnp.asarray(v) for k, v in host.items()}
+  kinds = host['kind']
   byKind = {}
   for kind in sorted(set(kinds.tolist())):
     sel = np.nonzero(kinds == kind)[0]
     start, stop = int(sel[0]), int(sel[-1]) + 1
     byKind[_KIND_NAMES[kind]] = {
-        k: table[k][start:stop]
+        k: jnp.asarray(host[k][start:stop])
         for k in ('params', 'trim', 'w2lRot', 'w2lOff')}
   table['byKind'] = byKind
   # packed per-surface row for the post-selection hot path: ONE (N, K)

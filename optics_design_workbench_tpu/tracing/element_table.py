@@ -48,25 +48,30 @@ def buildElementTable(elems, dtype=jnp.float32):
   '''Pack element dicts into the SoA device table.'''
   if not elems:
     raise ValueError('scene contains no optical elements')
-  table = dict(
-      optType=jnp.asarray([OPTICAL_TYPES[e['opticalType']] for e in elems],
-                          dtype=jnp.int32),
-      refrIndex=jnp.asarray([e['refractiveIndex'] for e in elems],
-                            dtype=dtype),
-      reflectivity=jnp.asarray([e['reflectivity'] for e in elems],
-                               dtype=dtype),
-      absorptionLength=jnp.asarray([e['absorptionLength'] for e in elems],
-                                   dtype=dtype),
-      gratingType=jnp.asarray([_GRATING_TYPES[e['gratingType']]
-                               for e in elems], dtype=jnp.int32),
-      gratingLpm=jnp.asarray([e['gratingLinesPerMillimeter'] for e in elems],
-                             dtype=dtype),
-      gratingDir=jnp.asarray([e['gratingLinesOrientation'] for e in elems],
-                             dtype=dtype),
-      gratingOrder=jnp.asarray([e['gratingDiffractionOrder'] for e in elems],
-                               dtype=dtype),
-      recordHits=jnp.asarray([e['recordHits'] for e in elems], dtype=bool),
+  # assemble in numpy, transfer once: jnp.asarray(x, dtype=...) lowers the
+  # dtype conversion as an on-device op — one tiny XLA compile each, ~0.5 s
+  # per op over a remote-compile link
+  npDtype = np.dtype(dtype.dtype if hasattr(dtype, 'dtype') else dtype)
+  host = dict(
+      optType=np.asarray([OPTICAL_TYPES[e['opticalType']] for e in elems],
+                         dtype=np.int32),
+      refrIndex=np.asarray([e['refractiveIndex'] for e in elems],
+                           dtype=npDtype),
+      reflectivity=np.asarray([e['reflectivity'] for e in elems],
+                              dtype=npDtype),
+      absorptionLength=np.asarray([e['absorptionLength'] for e in elems],
+                                  dtype=npDtype),
+      gratingType=np.asarray([_GRATING_TYPES[e['gratingType']]
+                              for e in elems], dtype=np.int32),
+      gratingLpm=np.asarray([e['gratingLinesPerMillimeter'] for e in elems],
+                            dtype=npDtype),
+      gratingDir=np.asarray([e['gratingLinesOrientation'] for e in elems],
+                            dtype=npDtype),
+      gratingOrder=np.asarray([e['gratingDiffractionOrder'] for e in elems],
+                              dtype=npDtype),
+      recordHits=np.asarray([e['recordHits'] for e in elems], dtype=bool),
   )
+  table = {k: jnp.asarray(v) for k, v in host.items()}
   # packed per-element row for the batched tracer (one gather per bounce):
   # [optType, refrIndex, reflectivity, absorptionLength, gratingType,
   #  gratingLpm, gratingDir(3), gratingOrder, recordHits]
@@ -78,7 +83,7 @@ def buildElementTable(elems, dtype=jnp.float32):
       *e['gratingLinesOrientation'],
       e['gratingDiffractionOrder'],
       float(bool(e['recordHits']))]) for e in elems])
-  table['packed'] = jnp.asarray(packed, dtype=dtype)
+  table['packed'] = jnp.asarray(packed.astype(npDtype))
   if any(e.get('dispersion') is not None for e in elems):
     grids = [np.asarray(e['dispersion'][0], dtype=float)
              for e in elems if e.get('dispersion') is not None]
@@ -95,7 +100,7 @@ def buildElementTable(elems, dtype=jnp.float32):
       else:
         rows.append(np.full(len(lamGrid), e['refractiveIndex']))
         hasDisp.append(False)
-    table['nLambda'] = jnp.asarray(lamGrid, dtype=dtype)
-    table['nTable'] = jnp.asarray(np.stack(rows), dtype=dtype)
-    table['hasDispersion'] = jnp.asarray(hasDisp, dtype=bool)
+    table['nLambda'] = jnp.asarray(lamGrid.astype(npDtype))
+    table['nTable'] = jnp.asarray(np.stack(rows).astype(npDtype))
+    table['hasDispersion'] = jnp.asarray(np.asarray(hasDisp, dtype=bool))
   return table
