@@ -68,12 +68,24 @@ def main(argv=None):
   if args.cmd == 'info':
     scene = _loadScene(args.scene)
     info = scene.collectGlobalInfo()
+
+    def describeGroup(label):
+      from .geometry.surfaces import _KIND_NAMES
+      for g in scene.opticalObjects():
+        if g.Label == label:
+          kinds = {}
+          for s in g.surfaces:
+            name = _KIND_NAMES.get(s['kind'], str(s['kind']))
+            kinds[name] = kinds.get(name, 0) + 1
+          return ' + '.join(f'{n} {k}' for k, n in sorted(kinds.items()))
+      return ''
+
     print(json.dumps(dict(
         label=info['label'],
         sources={k: v.get('PowerDensity') for k, v in
                  info['sources'].items()},
-        opticalObjects={k: v.get('OpticalType') for k, v in
-                        info['opticalObjects'].items()},
+        opticalObjects={k: f"{v.get('OpticalType')} ({describeGroup(k)})"
+                        for k, v in info['opticalObjects'].items()},
         settings=list(info['settings'])), indent=2))
     return 0
 

@@ -6,8 +6,9 @@ arrays per bounce crossing HBM between XLA fusions.
 
 Scope (the common fast case; the XLA batch tracer remains the general
 fallback): analytic surfaces plane/sphere/cylinder/asphere, element types
-Mirror/Lens/Absorber/Vacuum with constant refractive index, no gratings,
-no stochastic scatter, no sequential mode. Each ray records at most its
+Mirror/Lens/Grating/Absorber/Vacuum with constant refractive index, no
+stochastic scatter, no dispersion, no sequential mode. Each ray records at
+most its
 LAST in-bounds detector hit (detectors are terminal absorbers/vacuums in
 practice); the per-ray bin index + power are accumulated into the
 histogram by the MXU one-hot matmul (ops/histogram.py) when the histogram
@@ -48,8 +49,6 @@ def pallasEligible(scene):
     return False
   if GS.TRIANGLE in kinds:
     return False
-  if GRATING in opts:
-    return False
   return numSurfacesStatic(scene) <= 64
 
 
@@ -71,8 +70,10 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
   H, W = bins
   S = len(surfRows)
 
+  hasGrating = any(er['optF'] == float(GRATING) for er in elemRows)
+
   def kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, pw_ref,
-             *out_refs):
+             wl_ref, *out_refs):
     if histRows is None:
       binOut_ref, wOut_ref, cOut_ref, segOut_ref = out_refs
     else:
@@ -80,6 +81,7 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
     pw = pw_ref[:]
+    wl = wl_ref[:]
     shape = ox.shape
     medium = jnp.full(shape, -1.0)   # element id as float, -1 = vacuum
     # NOTE: never materialize bool arrays directly (Mosaic lowers that as an
@@ -169,6 +171,13 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
       by1 = jnp.ones(shape)
       nMed = jnp.ones(shape)
       absLenMed = jnp.full(shape, _BIG)
+      if hasGrating:
+        gTypeF = jnp.zeros(shape)
+        gLpm = jnp.ones(shape)
+        gDirX = jnp.ones(shape)
+        gDirY = jnp.zeros(shape)
+        gDirZ = jnp.zeros(shape)
+        gOrder = jnp.zeros(shape)
       for e, er in enumerate(elemRows):
         m = elemF == float(e)
         optType = jnp.where(m, er['optF'], optType)
@@ -181,6 +190,13 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
         bx1 = jnp.where(m, er['bx1'], bx1)
         by0 = jnp.where(m, er['by0'], by0)
         by1 = jnp.where(m, er['by1'], by1)
+        if hasGrating:
+          gTypeF = jnp.where(m, er['gratType'], gTypeF)
+          gLpm = jnp.where(m, er['gratLpm'], gLpm)
+          gDirX = jnp.where(m, er['gratDirX'], gDirX)
+          gDirY = jnp.where(m, er['gratDirY'], gDirY)
+          gDirZ = jnp.where(m, er['gratDirZ'], gDirZ)
+          gOrder = jnp.where(m, er['gratOrder'], gOrder)
         mm = medium == float(e)
         nMed = jnp.where(mm, er['n'], nMed)
         absLenMed = jnp.where(mm, er['absLen'], absLenMed)
@@ -211,18 +227,73 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
       isMirror = optType == float(MIRROR)
       isLens = optType == float(LENS)
       isAbsorber = optType == float(ABSORBER)
+      isGrating = optType == float(GRATING)
 
-      ndx = jnp.where(isMirror, mxD, jnp.where(isLens, snx, dx))
-      ndy = jnp.where(isMirror, myD, jnp.where(isLens, sny, dy))
-      ndz = jnp.where(isMirror, mzD, jnp.where(isLens, snz, dz))
+      if hasGrating:
+        # Ludwig-1970 line grating with the incidence-side normal
+        # (tracing/tracer.py gratingDirection; batched form in
+        # batch_tracer.py) — all column math, scene constants baked
+        isReflG = gTypeF == 0.0
+        gn1 = jnp.where(isReflG, n1, 1.)    # n1 = medium index (1 in vacuum)
+        gn2 = jnp.where(isReflG, n1, nElem)
+        gmu = gn1 / gn2
+        nix, niy, niz = -nx, -ny, -nz
+        pgx = gDirY * niz - gDirZ * niy
+        pgy = gDirZ * nix - gDirX * niz
+        pgz = gDirX * niy - gDirY * nix
+        pinv = lax.rsqrt(pgx * pgx + pgy * pgy + pgz * pgz + 1e-20)
+        pgx, pgy, pgz = pgx * pinv, pgy * pinv, pgz * pinv
+        dgx = niy * pgz - niz * pgy
+        dgy = niz * pgx - nix * pgz
+        dgz = nix * pgy - niy * pgx
+        dinv = lax.rsqrt(dgx * dgx + dgy * dgy + dgz * dgz + 1e-20)
+        dgx, dgy, dgz = dgx * dinv, dgy * dinv, dgz * dinv
+        lamUm = wl / 1000.
+        spacing = 1000. / gLpm
+        Tt = gOrder * lamUm / (gn1 * spacing)
+        Vg = gmu * (dx * nix + dy * niy + dz * niz)
+        Wg = (gmu * gmu - 1 + Tt * Tt
+              - 2 * gmu * Tt * (dx * dgx + dy * dgy + dz * dgz))
+        discG = Vg * Vg - Wg
+        evanescent = discG < 0
+        gsq = jnp.sqrt(jnp.maximum(discG, 0.))
+        qg = jnp.where(isReflG, -Vg + gsq, -Vg - gsq)
+        ggx = gmu * dx - Tt * dgx + qg * nix
+        ggy = gmu * dy - Tt * dgy + qg * niy
+        ggz = gmu * dz - Tt * dgz + qg * niz
+        ginv = lax.rsqrt(ggx * ggx + ggy * ggy + ggz * ggz + 1e-20)
+        ggx, ggy, ggz = ggx * ginv, ggy * ginv, ggz * ginv
+        # reflective grating passes non-entering rays through; a
+        # transmissive one exiting the substrate refracts like a lens
+        gratX = jnp.where(isEntering, ggx, jnp.where(isReflG, dx, snx))
+        gratY = jnp.where(isEntering, ggy, jnp.where(isReflG, dy, sny))
+        gratZ = jnp.where(isEntering, ggz, jnp.where(isReflG, dz, snz))
+      else:
+        gratX, gratY, gratZ = dx, dy, dz
+
+      ndx = jnp.where(isMirror, mxD, jnp.where(isLens, snx,
+                      jnp.where(isGrating, gratX, dx)))
+      ndy = jnp.where(isMirror, myD, jnp.where(isLens, sny,
+                      jnp.where(isGrating, gratY, dy)))
+      ndz = jnp.where(isMirror, mzD, jnp.where(isLens, snz,
+                      jnp.where(isGrating, gratZ, dz)))
       inv = lax.rsqrt(ndx * ndx + ndy * ndy + ndz * ndz + 1e-20)
       ndx, ndy, ndz = ndx * inv, ndy * inv, ndz * inv
 
       lensExitToVacuum = isLens & ~isEntering & ~tir & (medium == elemF)
-      newMedium = jnp.where(isLens & isEntering, elemF,
-                            jnp.where(lensExitToVacuum, -1., medium))
+      if hasGrating:
+        gratTransEnter = isGrating & ~isReflG & isEntering
+        gratTransExit = isGrating & ~isReflG & ~isEntering & ~tir
+        newMedium = jnp.where((isLens & isEntering) | gratTransEnter, elemF,
+                              jnp.where(lensExitToVacuum | gratTransExit,
+                                        -1., medium))
+      else:
+        newMedium = jnp.where(isLens & isEntering, elemF,
+                              jnp.where(lensExitToVacuum, -1., medium))
       newPw = jnp.where(isMirror, pw * refl,
                         jnp.where(isAbsorber, 0., pw))
+      if hasGrating:
+        newPw = jnp.where(isGrating & isEntering & evanescent, 0., newPw)
 
       # ---- record the last in-bounds detector hit ----
       fx = (plxA - bx0) / (bx1 - bx0)
@@ -445,7 +516,10 @@ def _sceneRows(scene, histSpec):
         optF=float(ep[e, 0]), n=float(ep[e, 1]), refl=float(ep[e, 2]),
         absLen=absLen if np.isfinite(absLen) else _BIG,
         rec=float(ep[e, 10]), detF=float(det),
-        bx0=float(b[0]), bx1=float(b[1]), by0=float(b[2]), by1=float(b[3])))
+        bx0=float(b[0]), bx1=float(b[1]), by0=float(b[2]), by1=float(b[3]),
+        gratType=float(ep[e, 4]), gratLpm=float(max(ep[e, 5], 1e-9)),
+        gratDirX=float(ep[e, 6]), gratDirY=float(ep[e, 7]),
+        gratDirZ=float(ep[e, 8]), gratOrder=float(ep[e, 9])))
   return surfRows, elemRows
 
 
@@ -493,7 +567,7 @@ def makePallasTraceStep(scene, histSpec, generator, raysPerStep,
     traceCall = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[spec] * 7,
+        in_specs=[spec] * 8,
         out_specs=[histSpecBlock, spec],
         out_shape=[jax.ShapeDtypeStruct((D * H, 2 * W), jnp.float32),
                    jax.ShapeDtypeStruct((totalRows, 128), jnp.float32)],
@@ -502,7 +576,7 @@ def makePallasTraceStep(scene, histSpec, generator, raysPerStep,
     traceCall = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[spec] * 7,
+        in_specs=[spec] * 8,
         out_specs=[spec] * 4,
         out_shape=[jax.ShapeDtypeStruct((totalRows, 128), jnp.float32)] * 4,
     )
@@ -516,12 +590,17 @@ def makePallasTraceStep(scene, histSpec, generator, raysPerStep,
 
     batch = generator(key, raysPerStep, stratified=stratified)
     if 'ox' in batch:   # column-form generator
+      wlCol = batch.get('wl')
+      if wlCol is None:
+        wlCol = jnp.zeros_like(batch['pw'])
+      elif jnp.ndim(wlCol) == 0:
+        wlCol = jnp.full_like(batch['pw'], wlCol)
       cols = (batch['ox'], batch['oy'], batch['oz'],
-              batch['dx'], batch['dy'], batch['dz'], batch['pw'])
+              batch['dx'], batch['dy'], batch['dz'], batch['pw'], wlCol)
     else:
       o, d = batch['origins'], batch['directions']
       cols = (o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
-              batch['powers'])
+              batch['powers'], batch['wavelengths'])
     if inKernelHist:
       delta, segs = traceCall(*[tiled(x) for x in cols])
       hist = dict(

@@ -16,15 +16,19 @@ import numpy as np
 import pytest
 
 import jax
-jax.config.update('jax_platforms', 'cpu')
+# OPTICS_TPU_TESTS_ON_TPU=1 keeps the real TPU backend so the
+# tests/test_pallas_tpu.py suite (skipped on CPU) can run on hardware
+if not os.environ.get('OPTICS_TPU_TESTS_ON_TPU'):
+  jax.config.update('jax_platforms', 'cpu')
 
 # persistent compilation cache: the trace/scan kernels are expensive to
 # compile on the CPU test backend; cache them across test runs
 jax.config.update('jax_compilation_cache_dir', '/root/.cache/jax_test_cache')
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
 
-assert jax.devices()[0].platform == 'cpu' and len(jax.devices()) == 8, \
-    'tests must run on the virtual 8-device CPU mesh'
+if not os.environ.get('OPTICS_TPU_TESTS_ON_TPU'):
+  assert jax.devices()[0].platform == 'cpu' and len(jax.devices()) == 8, \
+      'tests must run on the virtual 8-device CPU mesh'
 
 
 @pytest.fixture(autouse=True)

@@ -11,6 +11,56 @@ pytestmark = pytest.mark.skipif(
     reason='pallas trace kernel requires a TPU backend')
 
 
+def test_grating_matches_xla_tracer():
+  '''Reflective-grating scene: the in-kernel Ludwig-1970 branch must match
+  the XLA batch tracer bin for bin.'''
+  import numpy as np
+  from optics_design_workbench_tpu.models import (Scene, PointSource,
+                                                  OpticalGroup)
+  from optics_design_workbench_tpu.geometry import surfaces as S
+  from optics_design_workbench_tpu.geometry import transforms as T
+  from optics_design_workbench_tpu.ops import pallas_trace
+  from optics_design_workbench_tpu.tracing import fused
+
+  scene = Scene(label='gratpallas')
+  scene.addOpticalGroup(OpticalGroup(
+      OpticalType='Grating', Label='Grat', GratingType='Reflection',
+      GratingLinesPerMillimeter=600., GratingDiffractionOrder=1,
+      GratingLinesOrientation=(1., 0., 0.),
+      surfaces=[S.plane(np.eye(4), elem=0, halfExtents=(30., 30.))],
+      placements=[T.compose(T.translation(0, 0, 100),
+                            T.rotation((1, 0, 0), 20))]))
+  scene.addOpticalGroup(OpticalGroup(
+      OpticalType='Absorber', Label='Det',
+      surfaces=[S.sphere(T.translation(0, 0, 100), elem=0, radius=300.,
+                         orient=-1)],
+      placements=[np.eye(4)]))
+  scene.addSource(PointSource(
+      Label='Src', PowerDensity='exp(-theta^2/0.005)',
+      ThetaDomain='0, 0.2', Wavelength=532.,
+      ThetaResolutionNumericMode='1e4'))
+  scene.addSimulationSettings(RaysPerIteration=1e5, MaxIntersections=3)
+
+  device, info = scene.compile()
+  device['powerTol'] = 1e-6
+  assert pallas_trace.pallasEligible(device)
+  src = scene.lightSources()[0]
+  histSpec = fused.makeHistogramSpec(device, info,
+                                     bounds=(-300., 300., -300., 300.),
+                                     bins=(256, 256))
+  kw = dict(raysPerStep=1 << 14, maxIntersections=3, maxRayLength=1e6,
+            distTol=1e-4)
+  key = jax.random.PRNGKey(9)
+  stepP = pallas_trace.makePallasTraceStep(
+      device, histSpec, src.deviceColumnsGenerator(), **kw)
+  hP, cP = stepP(key, fused.initHistograms(histSpec))
+  stepX = fused.makeFusedStep(device, src.deviceGenerator(), histSpec, **kw)
+  hX, cX = stepX(key, fused.initHistograms(histSpec))
+  assert np.array_equal(np.asarray(hP['counts']), np.asarray(hX['counts']))
+  assert int(cP['hits']) == int(cX['hits'])
+  assert int(cP['segments']) == int(cX['segments'])
+
+
 def test_in_kernel_hist_matches_scatter():
   from optics_design_workbench_tpu import benchmarks
   from optics_design_workbench_tpu.ops import histogram
