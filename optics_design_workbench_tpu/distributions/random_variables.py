@@ -59,28 +59,48 @@ class _Timeout:
   '''Wall-clock guard around sympy calls. sympy swallows ordinary exceptions
   internally, so like the reference we must raise KeyboardInterrupt from a
   SIGALRM handler to reliably abort a hung solve (reference:
-  random_number_generator.py:23-37). Outside the main thread (where signals
-  are unavailable) the guard degrades to a post-hoc deadline check.'''
+  random_number_generator.py:23-37). Hardened beyond the reference's bare
+  `signal.alarm`: the handler is fenced by an `_active` flag so a late alarm
+  delivered after the guarded region (e.g. while the interpreter is inside
+  an XLA GC callback) is a no-op instead of killing the host program; the
+  previous handler is restored on exit; and a raise that gets swallowed by
+  an unraisable-exception context (gc.callbacks) re-arms a short retry timer
+  so the hung solve is still interrupted at the next bytecode boundary in a
+  normal frame. Outside the main thread (where signals are unavailable) the
+  guard degrades to a post-hoc deadline check.'''
 
   def __init__(self, deadline):
     self.deadline = deadline
     self._installed = False
+    self._active = False
+    self._prevHandler = None
 
   def __enter__(self):
     remaining = self.deadline - time.time()
     if remaining <= 0:
-      raise KeyboardInterrupt('time is up')
+      raise RuntimeError('time is up')
     if threading.current_thread() is threading.main_thread():
       def handler(sig, frame):
+        if not self._active or time.time() < self.deadline:
+          return  # late or spurious alarm: never interrupt unrelated code
+        # re-arm before raising: if this raise lands in a context that
+        # swallows exceptions (gc callback), the retry still fires
+        signal.setitimer(signal.ITIMER_REAL, .25)
         raise KeyboardInterrupt('time is up')
-      signal.signal(signal.SIGALRM, handler)
-      signal.alarm(int(remaining) + 1)
+      self._prevHandler = signal.signal(signal.SIGALRM, handler)
+      self._active = True
+      signal.setitimer(signal.ITIMER_REAL, remaining)
       self._installed = True
     return self
 
   def __exit__(self, exc_type, exc, tb):
     if self._installed:
-      signal.alarm(0)
+      self._active = False
+      signal.setitimer(signal.ITIMER_REAL, 0)
+      try:
+        signal.signal(signal.SIGALRM, self._prevHandler)
+      except (TypeError, ValueError):
+        signal.signal(signal.SIGALRM, signal.SIG_DFL)
     if exc_type is KeyboardInterrupt and str(exc) == 'time is up':
       raise RuntimeError('time is up')
     return False

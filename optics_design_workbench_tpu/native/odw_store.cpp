@@ -119,7 +119,16 @@ void workerLoop() {
       gQueue.pop_front();
     }
     if (writeJob(job) != 0) gErrors.fetch_add(1);
-    if (gPending.fetch_sub(1) == 1) gCvDone.notify_all();
+    // The pending decrement must be ordered with odw_spool_drain's
+    // predicate re-check under gMutex; a bare atomic decrement + notify can
+    // slip between drain's predicate evaluation and its block, losing the
+    // final wakeup and hanging drain() forever.
+    bool last;
+    {
+      std::lock_guard<std::mutex> lk(gMutex);
+      last = gPending.fetch_sub(1) == 1;
+    }
+    if (last) gCvDone.notify_all();
   }
 }
 

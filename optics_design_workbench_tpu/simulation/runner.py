@@ -376,7 +376,10 @@ def runSimulation(scene, action, endIf=None, seed=None, store=None,
       if perfTimer.check():
         io.info(results.performanceDescription())
       if chunkTimer.check():
-        results_store.chunkFiles(results.runPath())
+        try:
+          results_store.chunkFiles(results.runPath())
+        except Exception as e:
+          io.warn(f'result-file chunking failed (run continues): {e}')
       lifecycle.touchRunning()
       if progress['reachedEnd'] or lifecycle.isCanceled() \
           or lifecycle.isFinished():

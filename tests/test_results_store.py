@@ -1,0 +1,176 @@
+'''
+Results-store regression tests: chunk merging keeps data visible across
+repeated merges, progress aggregation keys workers stably and prunes master
+snapshots, and the sympy timeout guard never fires outside its region.
+(reference semantics: simulation/results_store.py:74-181, 462-603.)
+'''
+
+import os
+import pickle
+import time
+
+import numpy as np
+import pytest
+
+from optics_design_workbench_tpu.simulation import results_store
+from optics_design_workbench_tpu.utils import native_store
+
+
+def _makeStore(tmp_path, **kw):
+  return results_store.SimulationResults(
+      simulationType='true', basePath=str(tmp_path / 'x.OpticsDesign'),
+      simulationRunFolder='raw/simulation-run-000000', **kw)
+
+
+def _addHits(store, n, src='S', obj='D'):
+  store.addHitBatch(src, obj, np.random.rand(n, 3), np.random.rand(n, 3),
+                    np.ones(n), np.ones(n, dtype=np.int8),
+                    {'initTheta': np.random.rand(n)})
+
+
+def _visibleRows(runPath):
+  total = 0
+  for folder, _d, _f in os.walk(runPath):
+    for p in results_store.resultFilePaths(folder, 'hits'):
+      total += len(results_store.loadResultFile(p)['points'])
+  return total
+
+
+def test_chunk_files_twice_keeps_data_visible(tmp_path):
+  '''Re-merging chunks must not produce a -chunk-chunk name that the loader
+  globs never match (round-1 advisor finding: data silently vanished after
+  the second hourly merge).'''
+  store = _makeStore(tmp_path)
+  for _ in range(3):
+    _addHits(store, 5)
+    store.flush()
+    time.sleep(.01)
+  store.cleanup()
+  run = store.runPath()
+  assert _visibleRows(run) == 15
+  # first merge
+  merged = results_store.chunkFiles(run, olderThanSeconds=0)
+  assert merged == 3
+  assert _visibleRows(run) == 15
+  # add more files and merge again — the chunk from merge 1 participates
+  store2 = _makeStore(tmp_path)
+  for _ in range(2):
+    _addHits(store2, 5)
+    store2.flush()
+    time.sleep(.01)
+  store2.cleanup()
+  assert _visibleRows(run) == 25
+  results_store.chunkFiles(run, olderThanSeconds=0)
+  assert _visibleRows(run) == 25
+  # and a third time, exercising chunk+chunk merging
+  results_store.chunkFiles(run, olderThanSeconds=0)
+  assert _visibleRows(run) == 25
+  for folder, _d, files in os.walk(run):
+    for f in files:
+      assert '-chunk-chunk' not in f, f
+
+
+def test_chunk_files_pads_multidim_metadata(tmp_path):
+  '''A (n, 3) metadata column missing from one file must nan-pad with the
+  full trailing shape instead of crashing np.concatenate.'''
+  store = _makeStore(tmp_path)
+  store.addHitBatch('S', 'D', np.zeros((4, 3)), np.zeros((4, 3)),
+                    np.ones(4), np.ones(4, dtype=np.int8),
+                    {'extra3d': np.zeros((4, 3))})
+  store.flush()
+  time.sleep(.01)
+  store.addHitBatch('S', 'D', np.zeros((2, 3)), np.zeros((2, 3)),
+                    np.ones(2), np.ones(2, dtype=np.int8))
+  store.flush()
+  store.cleanup()
+  results_store.chunkFiles(store.runPath(), olderThanSeconds=0)
+  run = store.runPath()
+  assert _visibleRows(run) == 6
+  for folder, _d, _f in os.walk(run):
+    for p in results_store.resultFilePaths(folder, 'hits'):
+      d = results_store.loadResultFile(p)
+      assert d['extra3d'].shape == (6, 3)
+      assert np.isnan(d['extra3d'][-2:]).all()
+
+
+def test_progress_worker_keying_replaces_not_sums(tmp_path):
+  '''Repeated cumulative dumps from one worker must REPLACE its entry, not
+  accumulate (reference keys by pid: results_store.py:558-599).'''
+  worker = _makeStore(tmp_path)
+  master = _makeStore(tmp_path)
+  worker.totalTracedRays = 100
+  worker.dumpProgress()
+  time.sleep(.01)
+  worker.totalTracedRays = 250
+  worker.dumpProgress()
+  total = master.getProgress()
+  assert total['totalTracedRays'] == 250, \
+      'cumulative worker dumps were summed instead of replaced'
+  # explicit workerId keying too
+  worker.totalTracedRays = 400
+  worker.dumpProgress(workerId='w7')
+  time.sleep(.01)
+  worker.totalTracedRays = 500
+  worker.dumpProgress(workerId='w7')
+  total = master.getProgress()
+  # 250 entry (pid-keyed) was already consumed&retained; w7 adds 500
+  assert total['totalTracedRays'] == 750
+
+
+def test_master_progress_throttled_and_pruned(tmp_path):
+  '''Master snapshots are throttled to ~0.5 s and old ones pruned, so
+  progress/ cannot grow without bound (round-1 advisor finding).'''
+  store = _makeStore(tmp_path)
+  for _ in range(20):
+    store.getProgress()
+  folder = os.path.join(store.runPath(), 'progress')
+  masters = [f for f in os.listdir(folder) if f.startswith('master-')]
+  assert len(masters) <= 2
+  # snapshot content is a valid progress dict
+  with open(os.path.join(folder, sorted(masters)[-1]), 'rb') as f:
+    data = pickle.load(f)
+  assert 'totalTracedRays' in data and 'reachedEnd' in data
+
+
+def test_native_drain_under_many_jobs(tmp_path):
+  '''Spool many small writes then drain; exercises the final-notify ordering
+  (lost-wakeup fix in odw_store.cpp workerLoop).'''
+  lib = native_store.loadNativeLib()
+  if lib is None:
+    pytest.skip('no native toolchain')
+  for i in range(200):
+    native_store.writeColumns(str(tmp_path / f'f{i:03d}.odwc'),
+                              {'a': np.arange(10.)}, asynchronous=True)
+  t0 = time.time()
+  native_store.drain()
+  assert time.time() - t0 < 30
+  assert len(list(tmp_path.glob('f*.odwc'))) == 200
+  d = native_store.readColumns(str(tmp_path / 'f199.odwc'))
+  assert np.allclose(d['a'], np.arange(10.))
+
+
+def test_timeout_never_fires_outside_region():
+  '''A _Timeout whose deadline passes must not leave a live alarm behind:
+  after the with-block, no KeyboardInterrupt may hit unrelated code
+  (round-1: a late SIGALRM aborted pytest from inside an XLA GC callback).'''
+  import signal
+  from optics_design_workbench_tpu.distributions.random_variables import \
+      _Timeout
+
+  with pytest.raises(RuntimeError, match='time is up'):
+    with _Timeout(time.time() + .2):
+      t0 = time.time()
+      while time.time() - t0 < 2:   # hung-solve stand-in
+        pass
+  # region exited: wait past any would-be re-arm; nothing may fire
+  time.sleep(.6)
+  assert signal.getitimer(signal.ITIMER_REAL) == (0.0, 0.0)
+
+  # a timeout that never triggers restores the previous handler
+  prev = signal.signal(signal.SIGALRM, signal.SIG_IGN)
+  try:
+    with _Timeout(time.time() + 60):
+      pass
+    assert signal.getsignal(signal.SIGALRM) is signal.SIG_IGN
+  finally:
+    signal.signal(signal.SIGALRM, prev)
