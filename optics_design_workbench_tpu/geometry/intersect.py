@@ -36,6 +36,18 @@ def allDistances(table, o, d, tMin, seqAllowed=None):
     sub = table['byKind'][kindName]
     fn = S.KIND_INTERSECTORS[kindName]
 
+    if 'trimMaskIdx' in sub:
+      masks = table['trimMasks']
+
+      def oneMasked(params, trim, w2lRot, w2lOff, mIdx, fn=fn):
+        lo, ld = _toLocal(w2lRot, w2lOff, o, d)
+        return fn(params, trim, lo, ld, tMin, mask=masks[mIdx])
+
+      parts.append(jax.vmap(oneMasked)(sub['params'], sub['trim'],
+                                       sub['w2lRot'], sub['w2lOff'],
+                                       sub['trimMaskIdx']))
+      continue
+
     def one(params, trim, w2lRot, w2lOff, fn=fn):
       lo, ld = _toLocal(w2lRot, w2lOff, o, d)
       return fn(params, trim, lo, ld, tMin)

@@ -20,6 +20,8 @@ kind (int32):
               a6 r^6 + a8 r^8 with c=params[0] (curvature, 1/R), k=params[1],
               a4..a8 = params[2:5]. Covers conics (parabola k=-1, sphere k=0).
   4 TRIANGLE  vertices in params[0:9] (local frame usually identity).
+  5 CONE      axis = local z, radius(z) = params[0] + z * params[1]
+              (params[1] = tan of the semi-angle; OCC cone analog).
 
 trim (float32[6]): per-kind trim window (OCC face trimming analog,
 ray.py:375-382):
@@ -28,7 +30,17 @@ ray.py:375-382):
   SPHERE:   z in [trim[1], trim[2]] (cap/zone selection)
   CYLINDER: z in [trim[1], trim[2]]
   ASPHERE:  r in [trim[1], trim[2]]
+  CONE:     z in [trim[1], trim[2]]
   TRIANGLE: unused (barycentric test is the trim)
+
+Bitmap trims: trim[0] == 2 selects a per-face UV occupancy bitmap instead
+of the closed-form window (exact OCC face boundaries that are neither
+rectangles, discs, annuli nor parameter bands — e.g. a boolean-cut slot;
+built by geometry/brep.py). trim[1:5] = (u0, v0, 1/du, 1/dv) map the
+kind's UV chart onto bitmap pixels: plane (x, y); sphere/cylinder/cone
+(atan2(y, x), z); asphere (atan2(y, x), r). The bitmaps ride along as a
+`trimMask` array per kind slice; scenes without bitmap trims never touch
+them (kernels take mask=None and skip the gather entirely).
 
 orient (float32, +1/-1): multiplies the canonical normal to yield the
 *outward-of-solid* normal, which defines the entering/exiting decision
@@ -43,10 +55,10 @@ from jax import lax
 
 from . import transforms
 
-PLANE, SPHERE, CYLINDER, ASPHERE, TRIANGLE = 0, 1, 2, 3, 4
+PLANE, SPHERE, CYLINDER, ASPHERE, TRIANGLE, CONE = 0, 1, 2, 3, 4, 5
 N_PARAMS, N_TRIM = 9, 6
 _KIND_NAMES = {0: 'plane', 1: 'sphere', 2: 'cylinder', 3: 'asphere',
-               4: 'triangle'}
+               4: 'triangle', 5: 'cone'}
 KIND_CODES = {name: code for code, name in _KIND_NAMES.items()}
 
 
@@ -100,6 +112,12 @@ def triangle(v0, v1, v2, elem, orient=+1):
                np.eye(4), elem, orient)
 
 
+def cone(transform, elem, radius, tanAngle, zRange, orient=+1):
+  '''Cone of local radius(z) = radius + z * tanAngle (OCC gp_Cone analog).'''
+  return _surf(CONE, (radius, tanAngle), (0., zRange[0], zRange[1]),
+               transform, elem, orient)
+
+
 def buildSurfaceTable(surfs, dtype=jnp.float32):
   '''Pack a list of surface dicts into a SoA device table (a pytree dict).
 
@@ -112,6 +130,25 @@ def buildSurfaceTable(surfs, dtype=jnp.float32):
   if not surfs:
     raise ValueError('scene contains no surfaces')
   surfs = sorted(surfs, key=lambda s: s['kind'])
+  # bitmap trims (exact-BRep face boundaries, geometry/brep.py): pack every
+  # face bitmap into one zero-padded (S, R, R) stack; surfaces without a
+  # bitmap get an all-ones row (their trim flag never selects it). The trim
+  # row of a bitmap face encodes its own UV->pixel map, so zero padding
+  # beyond a smaller bitmap's own resolution correctly reads "outside".
+  bitmapSurfs = [(i, s) for i, s in enumerate(surfs) if 'trimBitmap' in s]
+  maskStack = None
+  maskIdx = None
+  if bitmapSurfs:
+    res = max(s['trimBitmap']['mask'].shape[0] for _i, s in bitmapSurfs)
+    maskStack = np.zeros((len(bitmapSurfs), res, res), dtype=np.uint8)
+    maskIdx = np.zeros(len(surfs), dtype=np.int32)
+    for row, (i, s) in enumerate(bitmapSurfs):
+      bm = s['trimBitmap']
+      m = bm['mask']
+      maskStack[row, :m.shape[0], :m.shape[1]] = m
+      maskIdx[i] = row
+      s['trim'] = np.array([2., bm['u0'], bm['v0'], bm['invDu'],
+                            bm['invDv'], 0.])
   mats = np.stack([s['transform'] for s in surfs])
   matsInv = np.stack([np.linalg.inv(m) for m in mats])
   w2lRot, w2lOff = transforms.rotRowsOffsets(matsInv, dtype=np.float32)
@@ -141,7 +178,13 @@ def buildSurfaceTable(surfs, dtype=jnp.float32):
     byKind[_KIND_NAMES[kind]] = {
         k: jnp.asarray(host[k][start:stop])
         for k in ('params', 'trim', 'w2lRot', 'w2lOff')}
+    if maskIdx is not None and (host['trim'][start:stop, 0] > 1.5).any():
+      byKind[_KIND_NAMES[kind]]['trimMaskIdx'] = jnp.asarray(
+          maskIdx[start:stop])
   table['byKind'] = byKind
+  if maskStack is not None:
+    table['trimMasks'] = jnp.asarray(maskStack)
+    table['trimMaskIdx'] = jnp.asarray(maskIdx)
   # packed per-surface row for the post-selection hot path: ONE (N, K)
   # gather instead of many small-minor-dim gathers — (N,3,3) gathers +
   # matvecs have pathological T(4,128) layouts on TPU (40-60 ms per 1e6
@@ -174,19 +217,49 @@ def numSurfaces(table):
 _BIG = jnp.inf
 
 
-def _trimPlane(trim, p):
+def _maskLookup(trim, mask, u, v):
+  '''Bitmap trim sample: maps UV-chart coordinates onto the (R, R) face
+  occupancy bitmap (v-major). Conservative clip at the window border.'''
+  R = mask.shape[0]
+  iu = jnp.clip(jnp.floor((u - trim[1]) * trim[3]).astype(jnp.int32),
+                0, R - 1)
+  iv = jnp.clip(jnp.floor((v - trim[2]) * trim[4]).astype(jnp.int32),
+                0, R - 1)
+  inWindow = ((u - trim[1]) * trim[3] >= 0) \
+      & ((u - trim[1]) * trim[3] < R) \
+      & ((v - trim[2]) * trim[4] >= 0) \
+      & ((v - trim[2]) * trim[4] < R)
+  return inWindow & (mask[iv, iu] > 0)
+
+
+def _trimBandOk(trim, mask, p, v):
+  '''Shared trim for the axis-symmetric kinds: closed-form band
+  trim[1] <= v <= trim[2], or the UV bitmap when trim[0] == 2
+  (u = azimuth).'''
+  band = (trim[1] <= v) & (v <= trim[2])
+  if mask is None:
+    return band
+  u = jnp.arctan2(p[1], p[0])
+  return jnp.where(trim[0] > 1.5, _maskLookup(trim, mask, u, v), band)
+
+
+def _trimPlane(trim, p, mask=None):
   isRect = trim[0] > 0.5
   rect = (jnp.abs(p[0]) <= trim[1]) & (jnp.abs(p[1]) <= trim[2])
   r = jnp.sqrt(p[0] ** 2 + p[1] ** 2)
   ring = (trim[1] <= r) & (r <= trim[2])
-  return jnp.where(isRect, rect, ring)
+  closed = jnp.where(isRect, rect, ring)
+  if mask is None:
+    return closed
+  return jnp.where(trim[0] > 1.5, _maskLookup(trim, mask, p[0], p[1]),
+                   closed)
 
 
-def _intersectPlane(params, trim, o, d, tMin):
+def _intersectPlane(params, trim, o, d, tMin, mask=None):
   dz = jnp.where(jnp.abs(d[2]) < 1e-12, 1e-12, d[2])
   t = -o[2] / dz
   p = o + t * d
-  ok = (t > tMin) & _trimPlane(trim, p)
+  ok = (t > tMin) & _trimPlane(trim, p, mask)
   return jnp.where(ok, t, _BIG)
 
 
@@ -212,20 +285,20 @@ def _pickRoot(t1, t2, valid1, valid2):
   return jnp.minimum(t1, t2)
 
 
-def _intersectSphere(params, trim, o, d, tMin):
+def _intersectSphere(params, trim, o, d, tMin, mask=None):
   R = params[0]
   b = 2 * jnp.dot(o, d)
   c = jnp.dot(o, o) - R * R
   t1, t2 = _quadraticRoots(jnp.dot(d, d), b, c)
 
   def zOk(t):
-    z = o[2] + t * d[2]
-    return (trim[1] <= z) & (z <= trim[2])
+    p = o + t * d
+    return _trimBandOk(trim, mask, p, p[2])
 
   return _pickRoot(t1, t2, (t1 > tMin) & zOk(t1), (t2 > tMin) & zOk(t2))
 
 
-def _intersectCylinder(params, trim, o, d, tMin):
+def _intersectCylinder(params, trim, o, d, tMin, mask=None):
   R = params[0]
   a = d[0] ** 2 + d[1] ** 2
   b = 2 * (o[0] * d[0] + o[1] * d[1])
@@ -233,10 +306,29 @@ def _intersectCylinder(params, trim, o, d, tMin):
   t1, t2 = _quadraticRoots(a, b, c)
 
   def zOk(t):
-    z = o[2] + t * d[2]
-    return (trim[1] <= z) & (z <= trim[2])
+    p = o + t * d
+    return _trimBandOk(trim, mask, p, p[2])
 
   return _pickRoot(t1, t2, (t1 > tMin) & zOk(t1), (t2 > tMin) & zOk(t2))
+
+
+def _intersectCone(params, trim, o, d, tMin, mask=None):
+  '''Cone |(x, y)| = r0 + z*tanA (OCC gp_Cone analog; params = (r0, tanA)).
+  Quadratic in t with the linear radius term w(t) = w0 + t*wd; only the
+  nappe with w >= 0 is real surface.'''
+  r0, tanA = params[0], params[1]
+  w0 = r0 + o[2] * tanA
+  wd = d[2] * tanA
+  a = d[0] ** 2 + d[1] ** 2 - wd * wd
+  b = 2 * (o[0] * d[0] + o[1] * d[1] - w0 * wd)
+  c = o[0] ** 2 + o[1] ** 2 - w0 * w0
+  t1, t2 = _quadraticRoots(a, b, c)
+
+  def ok(t):
+    p = o + t * d
+    return (w0 + t * wd >= 0) & _trimBandOk(trim, mask, p, p[2])
+
+  return _pickRoot(t1, t2, (t1 > tMin) & ok(t1), (t2 > tMin) & ok(t2))
 
 
 def _sag(params, r2):
@@ -257,7 +349,7 @@ def _sagPrimeOverR(params, r2):
   return base + poly
 
 
-def _intersectAsphere(params, trim, o, d, tMin):
+def _intersectAsphere(params, trim, o, d, tMin, mask=None):
   '''Newton iterations on f(t) = z(t) - sag(r(t)); seeded at the tangent
   plane (or best-fit sphere when curvature dominates). Finds the first
   crossing in the common optics regime (one intersection per ray within the
@@ -294,12 +386,12 @@ def _intersectAsphere(params, trim, o, d, tMin):
   r2 = p[0] ** 2 + p[1] ** 2
   resid = jnp.abs(p[2] - _sag(params, r2))
   r = jnp.sqrt(r2)
-  ok = ((t > tMin) & (resid < 1e-4) & (trim[1] <= r) & (r <= trim[2])
+  ok = ((t > tMin) & (resid < 1e-4) & _trimBandOk(trim, mask, p, r)
         & jnp.isfinite(t))
   return jnp.where(ok, t, _BIG)
 
 
-def _intersectTriangle(params, trim, o, d, tMin):
+def _intersectTriangle(params, trim, o, d, tMin, mask=None):
   v0 = params[0:3]
   e1 = params[3:6] - v0
   e2 = params[6:9] - v0
@@ -320,17 +412,27 @@ def _intersectTriangle(params, trim, o, d, tMin):
 KIND_INTERSECTORS = {
     'plane': _intersectPlane, 'sphere': _intersectSphere,
     'cylinder': _intersectCylinder, 'asphere': _intersectAsphere,
-    'triangle': _intersectTriangle}
+    'triangle': _intersectTriangle, 'cone': _intersectCone}
 
 
-def intersectLocal(kind, params, trim, o, d, tMin):
+def intersectLocal(kind, params, trim, o, d, tMin, mask=None):
   '''Nearest valid intersection parameter t of a local-frame ray with one
   surface; +inf when there is none. Switch-based single-surface form; the
   batched sweep uses the per-kind kernels directly (see
   intersect.allDistances).'''
+  if mask is None:
+    return lax.switch(kind, [
+        _intersectPlane, _intersectSphere, _intersectCylinder,
+        _intersectAsphere, _intersectTriangle, _intersectCone],
+        params, trim, o, d, tMin)
   return lax.switch(kind, [
-      _intersectPlane, _intersectSphere, _intersectCylinder,
-      _intersectAsphere, _intersectTriangle], params, trim, o, d, tMin)
+      lambda *a: _intersectPlane(*a[:5], mask=a[5]),
+      lambda *a: _intersectSphere(*a[:5], mask=a[5]),
+      lambda *a: _intersectCylinder(*a[:5], mask=a[5]),
+      lambda *a: _intersectAsphere(*a[:5], mask=a[5]),
+      lambda *a: _intersectTriangle(*a[:5], mask=a[5]),
+      lambda *a: _intersectCone(*a[:5], mask=a[5])],
+      params, trim, o, d, tMin, mask)
 
 
 def normalLocal(kind, params, p):
@@ -355,5 +457,11 @@ def normalLocal(kind, params, p):
     e2 = params[6:9] - params[0:3]
     return transforms.normalize(jnp.cross(e1, e2))
 
-  return lax.switch(kind, [nPlane, nSphere, nCylinder, nAsphere, nTriangle],
-                    params, p)
+  def nCone(params, p):
+    r = jnp.sqrt(p[0] ** 2 + p[1] ** 2)
+    rSafe = jnp.where(r < 1e-12, 1e-12, r)
+    return transforms.normalize(jnp.array(
+        [p[0] / rSafe, p[1] / rSafe, -params[1]]))
+
+  return lax.switch(kind, [nPlane, nSphere, nCylinder, nAsphere, nTriangle,
+                           nCone], params, p)

@@ -87,6 +87,9 @@ def _parseProperty(prop):
                            ('Px', 'Py', 'Pz', 'Q0', 'Q1', 'Q2', 'Q3')))
   if ptype in ('App::PropertyLink',):
     return c.get('value') or None
+  if ptype in ('App::PropertyXLink', 'App::PropertyXLinkSub'):
+    # <XLink file="" name="Obj"/> — in-document cross link
+    return c.get('name') or c.get('value') or None
   if ptype == 'Part::PropertyPartShape':
     # the BRep blob lives in a sibling zip entry; keep its name so the
     # loader can extract a stored triangulation from it
@@ -196,10 +199,33 @@ _SKIP_TYPES = ('App::Origin', 'App::Line', 'App::Plane',
                'App::Point', 'Sketcher::SketchObject')
 
 
-def _brepSurfaces(member, elem, readBlob, label):
-  '''Mesh surfaces from a Part::Feature-like object's stored BRep
-  triangulation (geometry/mesh.py parseBRepTriangulations); returns None
-  when the object carries no shape blob.'''
+def _brepAnalytic(member, elem, readBlob, label):
+  '''Exact analytic surfaces (+ per-face tessellation fallbacks) from an
+  object's stored BRep blob (geometry/brep.py). Returns None when the
+  object carries no shape blob.'''
+  shapeFile = member.get('Shape')
+  if not isinstance(shapeFile, str) or readBlob is None:
+    return None
+  try:
+    text = readBlob(shapeFile).decode('latin-1')
+  except KeyError:
+    return None
+  from ..geometry import brep as B
+  # NOTE: FreeCAD saves Part shapes WITH their placement baked in as the
+  # BRep root location (verified: Cut.Shape.brp root loc == Cut.Placement),
+  # so the member placement must NOT be applied again here
+  surfs, notes = B.brepToSurfaces(text, elem=elem, transform=np.eye(4),
+                                  label=member.label)
+  nAna = sum(1 for s in surfs if s['kind'] != S.TRIANGLE)
+  nTri = len(surfs) - nAna
+  io.verb(f'{member.label!r} ({member.type}): {nAna} analytic faces'
+          + (f' + {nTri} fallback triangles' if nTri else ''))
+  return surfs
+
+
+def _brepMesh(member, elem, readBlob, label):
+  '''Mesh surfaces from a stored BRep display triangulation
+  (geometry/mesh.py); None when the object carries no shape blob.'''
   shapeFile = member.get('Shape')
   if not isinstance(shapeFile, str) or readBlob is None:
     return None
@@ -212,8 +238,91 @@ def _brepSurfaces(member, elem, readBlob, label):
   return M.brepMeshSurfaces(text, elem=elem, transform=placement)
 
 
+_CONTAINER_TYPES = ('App::Part', 'App::LinkGroup', 'App::LinkGroupPython',
+                    'App::DocumentObjectGroup', 'PartDesign::Body')
+
+_PLACEMENT_CONTAINERS = ('App::Part', 'App::DocumentObjectGroup',
+                         'App::LinkGroup')
+
+
+def _groupChildren(obj):
+  '''Names claimed by a container: Group for containers, ElementList for
+  link groups.'''
+  out = list(obj.get('Group', []) or [])
+  out += list(obj.get('ElementList', []) or [])
+  return out
+
+
+def allPlacementsAndPaths(objects, name, ignoreLinks=False, _depth=0):
+  '''Every global placement of object `name`, resolved through nested
+  containers (App::Part / DocumentObjectGroup) and App::Link instances —
+  one object can exist at several global transforms (reference:
+  common.py:36-109; CI-asserted as 8 exact matrices for test/22's
+  ShiftedCube). Returns [(4x4 matrix, "dot.path")]. Semantics validated
+  against the reference fixture:
+    * a container parent contributes parentGlobal @ ownPlacement;
+    * a DocumentObjectGroup carries no placement (transparent);
+    * App::Link with LinkTransform=False REPLACES the target's own
+      placement by the link's, True composes link @ target;
+    * transitively-duplicated container parents (a Part lists the members
+      of a group nested inside it) are resolved to the DEEPEST parent so
+      each physical path is counted once.'''
+  if _depth > 64:
+    raise RuntimeError('placement recursion depth exceeded')
+  obj = objects[name]
+  own = np.asarray(obj.get('Placement', np.eye(4)), dtype=float)
+
+  parents = [p for p in objects.values()
+             if p.type in _PLACEMENT_CONTAINERS
+             and name in _groupChildren(p)]
+  # drop a parent that also (transitively) contains another parent of ours:
+  # its listing is the transitive duplicate
+  def containsTransitively(a, b, seen=None):
+    seen = seen or set()
+    if a.name in seen:
+      return False
+    seen.add(a.name)
+    kids = _groupChildren(a)
+    if b.name in kids:
+      return True
+    return any(containsTransitively(objects[k], b, seen) for k in kids
+               if k in objects
+               and objects[k].type in _PLACEMENT_CONTAINERS)
+  parents = [p for p in parents
+             if not any(q is not p and containsTransitively(p, q)
+                        for q in parents)]
+
+  results = []
+  if not parents:
+    results.append((own, name))
+  for p in parents:
+    for gp, path in allPlacementsAndPaths(objects, p.name,
+                                          ignoreLinks=ignoreLinks,
+                                          _depth=_depth + 1):
+      results.append((gp @ own, f'{path}.{name}'))
+
+  if not ignoreLinks:
+    for link in objects.values():
+      if link.type != 'App::Link' or link.get('LinkedObject') != name:
+        continue
+      for gl, path in allPlacementsAndPaths(objects, link.name,
+                                            _depth=_depth + 1):
+        if link.get('LinkTransform', False):
+          results.append((gl @ own, f'{path}.{name}'))
+        else:
+          results.append((gl, f'{path}.{name}'))
+  return sorted(results, key=lambda e: e[1])
+
+
 def _collectGeometry(objects, memberNames, elem, label, skipUnsupported,
-                     readBlob=None):
+                     readBlob=None, _depth=0):
+  '''Resolve member objects to device surfaces, mirroring how FreeCAD
+  resolves an optical group's compound shape (reference: ray.py:342 uses
+  cachedShape(group); App::Part containers contribute their VISIBLE
+  children recursively, App::Links their target at the link placement,
+  booleans/bodies their stored evaluated BRep).'''
+  if _depth > 32:
+    raise RuntimeError('containment recursion depth exceeded')
   surfs = []
   for name in memberNames:
     member = objects.get(name)
@@ -222,43 +331,63 @@ def _collectGeometry(objects, memberNames, elem, label, skipUnsupported,
     if member.type in _SKIP_TYPES:
       continue
     if member.type == 'App::Link':
-      target = objects.get(member.get('LinkedObject'))
+      targetName = member.get('LinkedObject')
+      target = objects.get(targetName) if isinstance(targetName, str) \
+          else None
       if target is not None:
         linkPlacement = member.get('Placement', np.eye(4))
         inner = _collectGeometry(objects, [target.name], elem, label,
-                                 skipUnsupported, readBlob)
+                                 skipUnsupported, readBlob, _depth + 1)
+        # LinkTransform=False (default): the link's own placement REPLACES
+        # the target's placement
+        if not member.get('LinkTransform', False):
+          targetPlacement = target.get('Placement', np.eye(4))
+          linkPlacement = linkPlacement @ np.linalg.inv(targetPlacement)
         for s in inner:
           s['transform'] = linkPlacement @ s['transform']
         surfs.extend(inner)
+      continue
+    if member.type == 'App::Part' or (
+        member.type in _CONTAINER_TYPES and not member.get('Shape')):
+      # container: visible children, placed by the container's placement
+      children = [n for n in member.get('Group', [])
+                  if objects.get(n) is not None
+                  and objects[n].get('Visibility', True)]
+      inner = _collectGeometry(objects, children, elem, label,
+                               skipUnsupported, readBlob, _depth + 1)
+      placement = member.get('Placement', np.eye(4))
+      for s in inner:
+        s['transform'] = placement @ s['transform']
+      surfs.extend(inner)
       continue
     builder = _GEOMETRY_BUILDERS.get(member.type)
     if builder is not None:
       surfs.extend(builder(member, elem))
       continue
-    # anything else (booleans, pads, sketch solids, Part::Feature...):
-    # try the stored BRep triangulation -> triangle mesh
-    try:
-      meshSurfs = _brepSurfaces(member, elem, readBlob, label)
-    except ValueError as e:
-      meshSurfs = None
-      brepErr = str(e)
+    # anything else with a shape blob (booleans, bodies, pads, scaled
+    # shapes, Part::Feature...): exact analytic BRep ingestion, falling
+    # back to the stored display triangulation, then to error/skip
+    errs = []
+    for attempt in (_brepAnalytic, _brepMesh):
+      try:
+        got = attempt(member, elem, readBlob, label)
+      except Exception as e:
+        errs.append(f'{attempt.__name__}: {e}')
+        continue
+      if got:
+        surfs.extend(got)
+        break
+      errs.append(f'{attempt.__name__}: no shape blob')
     else:
-      brepErr = 'object has no Shape blob'
-    if meshSurfs:
-      io.info(f'{member.label!r} ({member.type}) ingested as a triangle '
-              f'mesh ({len(meshSurfs)} triangles) from its stored BRep '
-              f'triangulation')
-      surfs.extend(meshSurfs)
-      continue
-    msg = (f'cannot rebuild geometry of {member.label!r} '
-           f'({member.type}) in optical group {label!r}: not an elementary '
-           f'Part primitive (Box/Sphere/Cylinder) and its BRep gave no '
-           f'usable triangulation ({brepErr}). Build this element with the '
-           f'models API (geometry.surfaces / geometry.mesh) instead.')
-    if skipUnsupported:
-      io.warn(msg)
-      continue
-    raise NotImplementedError(msg)
+      msg = (f'cannot rebuild geometry of {member.label!r} '
+             f'({member.type}) in optical group {label!r}: not an '
+             f'elementary Part primitive and its BRep could not be '
+             f'ingested ({"; ".join(errs)}). Build this element with the '
+             f'models API (geometry.surfaces / geometry.mesh) instead.')
+      if skipUnsupported:
+        io.warn(msg)
+        continue
+      raise NotImplementedError(msg)
   return surfs
 
 
@@ -291,6 +420,12 @@ def loadFCStd(path, skipUnsupported=False):
         setattr(instance, key, fc.props[key])
     instance.Label = fc.label
 
+  def sourcePlacement(fc):
+    '''Sources resolve their global placement through containers but not
+    links (reference: generic_source.py:53 uses the WithoutLinks variant).'''
+    paths = allPlacementsAndPaths(objects, fc.name, ignoreLinks=True)
+    return paths[0][0] if paths else fc.get('Placement', np.eye(4))
+
   for fc in objects.values():
     if fc.type != 'App::LinkGroupPython' and fc.type != 'Part::FeaturePython':
       continue
@@ -300,19 +435,27 @@ def loadFCStd(path, skipUnsupported=False):
       popProps(fc, settings)
       scene.addSimulationSettings(settings=settings)
     elif 'PointSource' in name:
-      src = PointSource(placement=fc.get('Placement', np.eye(4)))
+      src = PointSource(placement=sourcePlacement(fc))
       popProps(fc, src)
       scene.addSource(src)
     elif 'SurfaceSource' in name:
-      src = SurfaceSource(placement=fc.get('Placement', np.eye(4)))
+      src = SurfaceSource(placement=sourcePlacement(fc))
       popProps(fc, src)
       active = fc.get('ActiveSurfaces', [])
-      src.ActiveSurfaces = [objects[o].label if isinstance(o, str)
-                            and o in objects else o
-                            for (o, _subs) in active] if active else []
+      # keep the reference's (object, subElements) selection: whole bodies
+      # or explicitly picked FaceN subs (surface_source.py:437-457)
+      resolved = []
+      for entry in (active or []):
+        obj, subs = entry if isinstance(entry, tuple) else (entry, [])
+        label = objects[obj].label if isinstance(obj, str) \
+            and obj in objects else obj
+        faceIdx = [int(s[4:]) - 1 for s in (subs or [])
+                   if isinstance(s, str) and s.startswith('Face')]
+        resolved.append((label, faceIdx) if faceIdx else label)
+      src.ActiveSurfaces = resolved
       scene.addSource(src)
     elif 'ReplaySource' in name:
-      src = ReplaySource(placement=fc.get('Placement', np.eye(4)))
+      src = ReplaySource(placement=sourcePlacement(fc))
       popProps(fc, src)
       scene.addSource(src)
     elif any(f'Optical{t}Group' in name for t in OPTICAL_TYPES):
@@ -323,7 +466,11 @@ def loadFCStd(path, skipUnsupported=False):
       members = fc.get('ElementList', [])
       group.surfaces = _collectGeometry(objects, members, 0, fc.label,
                                         skipUnsupported, readBlob)
-      group.placements = [fc.get('Placement', np.eye(4))]
+      # multi-placement semantics: the group (one shape) may exist at
+      # several global transforms through containers and Links
+      # (reference: common.py:36-109)
+      group.placements = [m for m, _p in
+                          allPlacementsAndPaths(objects, fc.name)]
       scene.addOpticalGroup(group)
   if not scene.opticalObjects() and not skipUnsupported:
     raise ValueError(f'no optical groups could be ingested from {path}')

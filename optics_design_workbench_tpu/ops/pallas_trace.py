@@ -47,8 +47,10 @@ def pallasEligible(scene):
     return False
   if 'nTable' in scene['elements']:
     return False
-  if GS.TRIANGLE in kinds:
+  if GS.TRIANGLE in kinds or GS.CONE in kinds:
     return False
+  if 'trimMasks' in scene['surfaces']:
+    return False   # UV-bitmap face trims (geometry/brep.py) -> XLA path
   return numSurfacesStatic(scene) <= 64
 
 

@@ -53,7 +53,7 @@ def allDistancesBatch(table, ox, oy, oz, dx, dy, dz, tMin, seqAllowed=None):
     sub = table['byKind'][kindName]
     fn = S.KIND_INTERSECTORS[kindName]
 
-    def oneSurface(params, trim, rot, off):
+    def oneSurface(params, trim, rot, off, mask=None):
       lox = rot[0, 0] * ox + rot[0, 1] * oy + rot[0, 2] * oz + off[0]
       loy = rot[1, 0] * ox + rot[1, 1] * oy + rot[1, 2] * oz + off[1]
       loz = rot[2, 0] * ox + rot[2, 1] * oy + rot[2, 2] * oz + off[2]
@@ -62,11 +62,20 @@ def allDistancesBatch(table, ox, oy, oz, dx, dy, dz, tMin, seqAllowed=None):
       ldz = rot[2, 0] * dx + rot[2, 1] * dy + rot[2, 2] * dz
       lo = jnp.stack([lox, loy, loz], axis=-1)
       ld = jnp.stack([ldx, ldy, ldz], axis=-1)
-      return jax.vmap(lambda o, d: fn(params, trim, o, d, tMin))(lo, ld)
+      return jax.vmap(lambda o, d: fn(params, trim, o, d, tMin,
+                                      mask=mask))(lo, ld)
 
     # vmap over the surfaces of this kind -> (S_k, N)
-    parts.append(jax.vmap(oneSurface)(sub['params'], sub['trim'],
-                                      sub['w2lRot'], sub['w2lOff']))
+    if 'trimMaskIdx' in sub:
+      masks = table['trimMasks']
+      parts.append(jax.vmap(
+          lambda p, t, r, o, mi, f=oneSurface: f(p, t, r, o, masks[mi]))(
+          sub['params'], sub['trim'], sub['w2lRot'], sub['w2lOff'],
+          sub['trimMaskIdx']))
+    else:
+      parts.append(jax.vmap(
+          lambda p, t, r, o: oneSurface(p, t, r, o))(
+          sub['params'], sub['trim'], sub['w2lRot'], sub['w2lOff']))
   t = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
   if seqAllowed is not None:
     # seqAllowed is (S, N) or (S, 1), matching t's (S, N) layout here
@@ -113,16 +122,23 @@ def _localNormal(kindf, prm, plx, ply, plz):
   e2x, e2y, e2z = prm[:, 6] - prm[:, 0], prm[:, 7] - prm[:, 1], prm[:, 8] - prm[:, 2]
   tx, ty, tz = _norm3(*_cross3(e1x, e1y, e1z, e2x, e2y, e2z))
 
+  # cone: radial out, tipped by -tanAngle along z (params[:, 1])
+  r = jnp.sqrt(r2)
+  rSafe = jnp.where(r < 1e-12, 1e-12, r)
+  kx, ky, kz = _norm3(plx / rSafe, ply / rSafe,
+                      -prm[:, 1] * jnp.ones_like(plz))
+
   isS = kindf == S.SPHERE
   isC = kindf == S.CYLINDER
   isA = kindf == S.ASPHERE
   isT = kindf == S.TRIANGLE
+  isK = kindf == S.CONE
   nx = jnp.where(isS, sx, jnp.where(isC, cx, jnp.where(isA, ax,
-                 jnp.where(isT, tx, 0.))))
+                 jnp.where(isT, tx, jnp.where(isK, kx, 0.)))))
   ny = jnp.where(isS, sy, jnp.where(isC, cy, jnp.where(isA, ay,
-                 jnp.where(isT, ty, 0.))))
+                 jnp.where(isT, ty, jnp.where(isK, ky, 0.)))))
   nz = jnp.where(isS, sz, jnp.where(isC, 0., jnp.where(isA, az,
-                 jnp.where(isT, tz, 1.))))
+                 jnp.where(isT, tz, jnp.where(isK, kz, 1.)))))
   return nx, ny, nz
 
 

@@ -119,9 +119,11 @@ def _traceHistogram(scene, elemToDet, bounds, bins, histograms, origins,
   else:
     # fixed-trip-count scan variant: some TPU compiler versions SIGILL on
     # (vmapped) bounded while-loops over the full-physics body; the batched
-    # scene sweep uses this path
+    # scene sweep uses this path. A cond inside the scan still skips the
+    # expensive sweep once every ray is dead.
     def scanBody(carry, _):
-      return body(carry), None
+      return lax.cond(jnp.any(carry[1][6]), body,
+                      lambda c: (c[0] + 1,) + c[1:], carry), None
     (i, state, histograms, segments, hits), _ = lax.scan(
         scanBody, init, None, length=maxIntersections)
   counters = dict(segments=segments, hits=hits,

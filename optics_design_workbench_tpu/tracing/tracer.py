@@ -252,13 +252,30 @@ def trace(scene, origins, directions, powers, wavelengths,
   keys = (None if key is None
           else jax.random.split(key, maxIntersections))
 
-  def body(state, bounceKey):
+  def bounce(state, bounceKey):
     newState, rec = bounceBatch(scene, distTol, maxRayLength, *state,
                                 key=bounceKey)
     if not recordSegments:
       rec = {k: v for k, v in rec.items()
              if not (k.startswith('seg') or k in ('oX', 'oY', 'oZ'))}
     return newState, rec
+
+  # early exit: once every ray is dead the (expensive) intersection sweep
+  # is skipped — essential when MaxIntersections is large (the reference
+  # default is 100, ray.py:96-98) but typical scenes finish in ~6 bounces
+  recSpec = jax.eval_shape(
+      bounce, state, keys[0] if keys is not None else None)[1]
+  zeroRec = {k: (jnp.full(v.shape, -1, v.dtype)
+                 if k in ('hitElem', 'hitSurface')
+                 else jnp.zeros(v.shape, v.dtype))
+             for k, v in recSpec.items()}
+
+  def body(state, bounceKey):
+    return lax.cond(
+        jnp.any(state[6]),
+        lambda s: bounce(s, bounceKey),
+        lambda s: (s, zeroRec),
+        state)
 
   finalState, rec = lax.scan(body, state, keys, length=maxIntersections)
 

@@ -1,0 +1,193 @@
+'''
+BRep ASCII parser + analytic face extraction tests (geometry/brep.py),
+validated against the reference project files' evaluated OCC geometry
+(reference: freecad_elements/ray.py:357-383 intersects these exact trimmed
+surfaces through FreeCAD/OCC).
+'''
+
+import os
+import zipfile
+
+import numpy as np
+import pytest
+
+from optics_design_workbench_tpu.geometry import brep as B
+from optics_design_workbench_tpu.geometry import surfaces as S
+
+_EX2 = '/root/reference/examples/2-lens-and-mirror/main.FCStd'
+_LAMBERT = '/root/reference/test/50-old-tests/lambert-source.FCStd'
+
+
+def _blob(fcstd, name):
+  if not os.path.exists(fcstd):
+    pytest.skip('reference FCStd not available')
+  with zipfile.ZipFile(fcstd) as z:
+    return z.read(name).decode('latin-1')
+
+
+def _kinds(surfs):
+  out = {}
+  for s in surfs:
+    out[s['kind']] = out.get(s['kind'], 0) + 1
+  return out
+
+
+def test_box_is_six_exact_rects():
+  surfs, notes = B.brepToSurfaces(_blob(_EX2, 'Box.Shape.brp'), elem=0)
+  assert _kinds(surfs) == {S.PLANE: 6}
+  assert all(n == 'rect' for n in notes)
+  # slot box is Length 3 x Width 18 x Height 40: exact half extents
+  halfExtents = sorted({(round(float(s['trim'][1]), 6),
+                         round(float(s['trim'][2]), 6)) for s in surfs})
+  dims = {d for he in halfExtents for d in he}
+  assert dims == {1.5, 9.0, 20.0}, halfExtents
+
+
+def test_sphere_full_zrange():
+  surfs, notes = B.brepToSurfaces(_blob(_EX2, 'Sphere.Shape.brp'), elem=0)
+  assert _kinds(surfs) == {S.SPHERE: 1}
+  s = surfs[0]
+  R = float(s['params'][0])
+  assert R == pytest.approx(20.)
+  assert float(s['trim'][1]) <= -R * .999 and float(s['trim'][2]) >= R * .999
+
+
+def test_lens_common_sphere_cap_cylinder_disc():
+  '''Common = Sphere(R20) AND Cylinder(R9, z>=14): spherical cap (zRange),
+  cylinder band, flat disc.'''
+  surfs, notes = B.brepToSurfaces(_blob(_EX2, 'Common.Shape.brp'), elem=0)
+  assert _kinds(surfs) == {S.SPHERE: 1, S.CYLINDER: 1, S.PLANE: 1}
+  cap = next(s for s in surfs if s['kind'] == S.SPHERE)
+  # cap above the cylinder intersection circle: z in [sqrt(20^2-9^2), 20]
+  zLo = np.sqrt(20. ** 2 - 9. ** 2)
+  assert float(cap['trim'][1]) == pytest.approx(zLo, abs=.3)
+  disc = next(s for s in surfs if s['kind'] == S.PLANE)
+  assert float(disc['trim'][0]) == 0.          # annulus/disc flag
+  assert float(disc['trim'][2]) == pytest.approx(9., abs=.01)
+
+
+def test_revolve_paraboloid_exact():
+  '''Revolve = parabola meridian around the y axis -> ASPHERE k=-1 whose
+  sag matches the OCC revolution surface to float precision.'''
+  text = _blob(_EX2, 'Revolve.Shape.brp')
+  surfs, notes = B.brepToSurfaces(text, elem=0)
+  asph = next(s for s in surfs if s['kind'] == S.ASPHERE)
+  assert float(asph['params'][1]) == -1.
+  br = B.parseBRep(text)
+  rec = next(r for r in br.surfaces if r['type'] == 'revolution')
+  P = B.evalSurface(rec, np.linspace(0, 2 * np.pi, 9),
+                    np.linspace(.5, 20, 7)).reshape(-1, 3)
+  inv = np.linalg.inv(asph['transform'])
+  pl = P @ inv[:3, :3].T + inv[:3, 3]
+  c = float(asph['params'][0])
+  r2 = pl[:, 0] ** 2 + pl[:, 1] ** 2
+  sag = c * r2 / 2.                       # parabola: k=-1
+  assert np.abs(pl[:, 2] - sag).max() < 1e-9
+
+
+def test_cut_slot_bitmap_excludes_slot():
+  '''The boolean slot through the parabolic mirror becomes a UV bitmap
+  trim: the center (small r, all azimuths) is excluded, the outer zone is
+  mostly included.'''
+  surfs, notes = B.brepToSurfaces(_blob(_EX2, 'Cut.Shape.brp'), elem=0)
+  asph = next(s for s in surfs if s['kind'] == S.ASPHERE)
+  assert 'trimBitmap' in asph
+  bm = asph['trimBitmap']
+  m = bm['mask']
+  ivLow = int((0.5 - bm['v0']) * bm['invDv'])
+  assert m[ivLow].sum() == 0, 'slot through the vertex must be excluded'
+  ivHigh = int((20. - bm['v0']) * bm['invDv'])
+  frac = m[ivHigh].mean()
+  assert .9 < frac < 1., f'outer zone should be mostly included ({frac})'
+
+
+def test_cone_record_and_kind():
+  surfs, notes = B.brepToSurfaces(_blob(_LAMBERT, 'Cone.Shape.brp'), elem=0)
+  kinds = _kinds(surfs)
+  assert kinds.get(S.CONE) == 1, (kinds, notes)
+  cone = next(s for s in surfs if s['kind'] == S.CONE)
+  # Cone.Shape: r=2 at z=0, semiangle atan(-2) -> radius 0 at z=1
+  assert float(cone['params'][0]) == pytest.approx(2.)
+  assert float(cone['params'][1]) == pytest.approx(-2., abs=1e-6)
+
+
+def test_scaled_lens_tessellates_nonuniform():
+  '''Part::Scale with (2, 4, 3) produces elliptic NURBS: must tessellate,
+  and the exact rational periodic bsplines must evaluate without NaNs.'''
+  text = _blob(_EX2, 'Scale.Shape.brp')
+  br = B.parseBRep(text)
+  rec = next(r for r in br.surfaces if r['type'] == 'bspline')
+  pts = B.evalSurface(rec, np.linspace(rec['uknots'][0], rec['uknots'][-1],
+                                       17),
+                      np.linspace(rec['vknots'][0], rec['vknots'][-1], 5))
+  assert np.isfinite(pts).all()
+  surfs, notes = B.brepToSurfaces(text, elem=0, tessRes=16)
+  assert _kinds(surfs).get(S.TRIANGLE, 0) > 100
+
+
+def test_exact_nurbs_sphere_detected_in_eval():
+  '''One of the Scale faces is an exact NURBS sphere (R=20, untouched by
+  the anisotropic scale along its symmetry): evaluation must reproduce it
+  to float precision.'''
+  text = _blob(_EX2, 'Scale.Shape.brp')
+  br = B.parseBRep(text)
+  best = np.inf
+  for rec in br.surfaces:
+    if rec['type'] != 'bspline':
+      continue
+    u = np.linspace(rec['uknots'][0], rec['uknots'][-1], 21)
+    v = np.linspace(rec['vknots'][0], rec['vknots'][-1], 7)
+    pts = B.evalSurface(rec, u, v).reshape(-1, 3)
+    A = np.concatenate([2 * pts, np.ones((len(pts), 1))], axis=1)
+    b = (pts ** 2).sum(axis=1)
+    sol, *_ = np.linalg.lstsq(A, b, rcond=None)
+    c = sol[:3]
+    R = np.sqrt(sol[3] + c @ c)
+    best = min(best, np.abs(np.linalg.norm(pts - c, axis=1) - R).max())
+  assert best < 1e-9
+
+
+def test_bitmap_trim_kernel_agrees_with_mask():
+  '''Device-side bitmap trim: rays aimed at slot vs mirror zone of the Cut
+  paraboloid hit exactly where the mask says.'''
+  import jax
+  import jax.numpy as jnp
+  from optics_design_workbench_tpu.geometry import intersect as I
+  surfs, _notes = B.brepToSurfaces(_blob(_EX2, 'Cut.Shape.brp'), elem=0)
+  table = S.buildSurfaceTable([dict(s) for s in surfs])
+  assert 'trimMasks' in table
+  # central ray passes through the slot: no asphere hit
+  o = jnp.zeros(3)
+  dC = jnp.array([0., 0., 1.])
+  tC = np.asarray(I.allDistances(table, o, dC, 1e-6))
+  kinds = np.asarray(table['kind'])
+  assert not np.isfinite(tC[kinds == S.ASPHERE]).any()
+  # off-axis ray hits the mirror zone
+  dO = jnp.array([.15, 0., .99])
+  dO = dO / jnp.linalg.norm(dO)
+  tO = np.asarray(I.allDistances(table, o, dO, 1e-6))
+  assert np.isfinite(tO[kinds == S.ASPHERE]).any()
+
+
+def test_all_reference_fcstds_parse():
+  '''Every .brp blob in every reference FCStd parses and yields faces.'''
+  import glob
+  files = glob.glob('/root/reference/**/*.FCStd', recursive=True)
+  if not files:
+    pytest.skip('reference not available')
+  parsed, failed = 0, []
+  for f in files:
+    with zipfile.ZipFile(f) as z:
+      for n in z.namelist():
+        if not n.endswith('.brp'):
+          continue
+        text = z.read(n).decode('latin-1')
+        if 'TShapes' not in text:
+          continue
+        try:
+          br = B.parseBRep(text)
+          parsed += 1
+        except Exception as e:
+          failed.append((os.path.basename(f), n, str(e)))
+  assert parsed > 50
+  assert not failed, failed[:5]

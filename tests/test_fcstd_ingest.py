@@ -70,14 +70,87 @@ def test_ingested_scene_simulates(tmp_path):
   assert np.abs(pts[:, 0]).max() <= 5.01 and np.abs(pts[:, 1]).max() <= 5.01
 
 
-def test_unsupported_geometry_message(tmp_path):
+def test_example2_loads_and_traces(tmp_path):
+  '''The reference's flagship example (slotted parabolic mirrors, spherical
+  lenses incl. a non-uniformly scaled one, box detector) ingests via exact
+  BRep analytic surfaces (geometry/brep.py) and produces detector hits
+  (reference: examples/2-lens-and-mirror).'''
   ref2 = '/root/reference/examples/2-lens-and-mirror/main.FCStd'
   if not os.path.exists(ref2):
     pytest.skip('reference FCStd not available')
   src = tmp_path / 'main2.FCStd'
   shutil.copy(ref2, src)
-  with pytest.raises(NotImplementedError):
-    loadFCStd(str(src))
-  # permissive mode loads what it can
-  scene = loadFCStd(str(src), skipUnsupported=True)
+  scene = loadFCStd(str(src))
   assert scene.lightSources()
+  groups = scene.opticalObjects()
+  byLabel = {g.Label: g for g in groups}
+  assert 'OpticalMirrorGroup' in byLabel
+  assert 'OpticalAbsorberGroup' in byLabel
+  # the slotted parabolic mirror must carry an analytic paraboloid
+  # (ASPHERE k=-1) with a bitmap trim for the slot, not a mesh
+  from optics_design_workbench_tpu.geometry import surfaces as S
+  mirrorKinds = [s['kind'] for s in byLabel['OpticalMirrorGroup'].surfaces]
+  assert S.ASPHERE in mirrorKinds
+  asph = [s for s in byLabel['OpticalMirrorGroup'].surfaces
+          if s['kind'] == S.ASPHERE][0]
+  assert asph['params'][1] == -1.           # parabola conic
+  # detector = box body: 6 exact rectangles
+  detKinds = [s['kind'] for s in byLabel['OpticalAbsorberGroup'].surfaces]
+  assert detKinds == [S.PLANE] * 6
+  # trace and require recorded hits on the detector (~2% of rays complete
+  # the full lens -> slotted mirror -> mirror -> detector train)
+  settings = scene.getObject('OpticalSimulationSettings')
+  settings.RaysPerIteration = 4000
+  settings.MaxIntersections = 8    # CPU-suite tractability (TPU uses 100)
+  runPath = simulation.runSimulation(scene, 'singletrue', seed=5,
+                                     store=True)
+  from optics_design_workbench_tpu.jupyter_utils import RawFolder
+  hits = RawFolder(runPath).loadHits('*')
+  assert len(hits) > 30, 'example 2 scene produced almost no detector hits'
+
+
+def test_all_placements_and_paths_matches_reference_matrices():
+  '''Port of the reference CI's exact-placement assertion: 'ShiftedCube' in
+  test/22-global-placement/main.FCStd is reachable through nested
+  App::Part/DocumentObjectGroup containers and several App::Link chains and
+  must resolve to exactly these 8 global matrices (reference:
+  z-freecad-placements.py:42-73; common.py:36-109).'''
+  import zipfile
+  from optics_design_workbench_tpu.models import fcstd_ingest as FI
+  path = '/root/reference/test/22-global-placement/main.FCStd'
+  if not os.path.exists(path):
+    pytest.skip('reference FCStd not available')
+  with zipfile.ZipFile(path) as z:
+    objects = FI.parseDocumentXml(z.read('Document.xml'))
+  name = next(n for n, o in objects.items() if o.label == 'ShiftedCube')
+  res = FI.allPlacementsAndPaths(objects, name)
+  expected = [
+      np.array(((1, 0, 0, 0), (0, 1, 0, 0), (0, 0, 1, -100), (0, 0, 0, 1))),
+      np.array(((1, 0, 0, 3), (0, 1, 0, 3), (0, 0, 1, -100), (0, 0, 0, 1))),
+      np.array(((1, 0, 0, 3), (0, 1, 0, 0), (0, 0, 1, -100), (0, 0, 0, 1))),
+      np.array(((1, 0, 0, 3), (0, 1, 0, -27), (0, 0, 1, -100), (0, 0, 0, 1))),
+      np.array(((1, 0, 0, 3), (0, 1, 0, -27), (0, 0, 1, -100), (0, 0, 0, 1))),
+      np.array(((1, 0, 0, 3), (0, 1, 0, 3), (0, 0, 1, -97), (0, 0, 0, 1))),
+      np.array(((1, 0, 0, 0), (0, 1, 0, 0), (0, 0, 1, -100), (0, 0, 0, 1))),
+      np.array(((1, 0, 0, 0), (0, 1, 0, -30), (0, 0, 1, -100), (0, 0, 0, 1))),
+  ]
+  assert len(res) == 8
+  found = sorted(np.round(m, 6).tobytes() for m, _p in res)
+  want = sorted(np.round(m.astype(float), 6).tobytes() for m in expected)
+  assert found == want
+
+
+def test_active_surfaces_subface_selection(tmp_path):
+  '''ActiveSurfaces LinkSubList with picked FaceN entries resolves to
+  (label, [faceIndices]) (reference: surface_source.py:437-457).'''
+  from optics_design_workbench_tpu.models.fcstd_ingest import _parseProperty
+  import xml.etree.ElementTree as ET
+  xml = ET.fromstring('''
+    <Property name="ActiveSurfaces" type="App::PropertyLinkSubList">
+      <LinkSubList count="1">
+        <Link obj="Box" sub="Face3"/>
+        <Link obj="Box" sub="Face5"/>
+      </LinkSubList>
+    </Property>''')
+  val = _parseProperty(xml)
+  assert val is not None
