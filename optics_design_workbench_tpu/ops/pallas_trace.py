@@ -43,7 +43,7 @@ def pallasEligible(scene):
     opts = set(np.asarray(scene['elements']['optType']).tolist())
   except Exception:
     return False
-  if 'scatter' in scene or 'seqMask' in scene or 'surfMask' in scene:
+  if 'scatter' in scene:
     return False
   if 'nTable' in scene['elements']:
     return False
@@ -60,7 +60,7 @@ def numSurfacesStatic(scene):
 
 def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
                 maxIntersections, maxRayLength, distTol, powerTol,
-                histRows=None):
+                histRows=None, hitSlots=1, allowedPerBounce=None):
   '''Build the kernel body with the scene baked in as python constants.
   surfRows: list of per-surface dicts of floats; elemRows likewise.
   histRows: if set (= D*H), the kernel accumulates the (histRows, 2*W)
@@ -68,7 +68,14 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
   [0, W), counts in [W, 2W)) and outputs (hist, segs) instead of per-ray
   (bin, w, c, segs) — the one-hots never touch HBM, which is what makes
   this ~1.5x faster end-to-end than the XLA-side matmul and ~5x faster
-  than the scatter it replaced.'''
+  than the scatter it replaced.
+  hitSlots: per-ray ring of recorded hits so every pass over a recording
+  element is kept (the reference records on EVERY pass, ray.py:276-277;
+  one slot would keep only the last). hitSlots >= the max number of
+  recording passes per ray makes the fast path physics-exact.
+  allowedPerBounce: optional list (len maxIntersections) of surface-index
+  sets — sequential mode / per-source masks as compile-time constants
+  (reference: find.py:79-104): disallowed surfaces emit no code at all.'''
   H, W = bins
   S = len(surfRows)
 
@@ -77,7 +84,10 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
   def kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, pw_ref,
              wl_ref, *out_refs):
     if histRows is None:
-      binOut_ref, wOut_ref, cOut_ref, segOut_ref = out_refs
+      binOut_refs = out_refs[0:hitSlots]
+      wOut_refs = out_refs[hitSlots:2 * hitSlots]
+      cOut_refs = out_refs[2 * hitSlots:3 * hitSlots]
+      segOut_ref = out_refs[3 * hitSlots]
     else:
       hist_ref, segOut_ref = out_refs
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
@@ -90,25 +100,28 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
     # unsupported i8->i1 truncation); derive masks from comparisons
     alive = pw > -1.0
     segCount = jnp.zeros(shape, dtype=jnp.float32)
-    hitBin = jnp.full(shape, -1.0)
-    hitW = jnp.zeros(shape)
-    hitC = jnp.zeros(shape)
+    hitBin = [jnp.full(shape, -1.0) for _ in range(hitSlots)]
+    hitW = [jnp.zeros(shape) for _ in range(hitSlots)]
+    hitC = [jnp.zeros(shape) for _ in range(hitSlots)]
+    hitN = jnp.zeros(shape)
 
     for _bounce in range(maxIntersections):
+      bounceSurfs = (range(S) if allowedPerBounce is None
+                     else sorted(allowedPerBounce[_bounce]))
       # ---- nearest intersection over unrolled surfaces (distances kept
       # live across the selection passes) ----
-      ts = []
+      ts = {}
       tBest = jnp.full(shape, _BIG)
-      for s in range(S):
+      for s in bounceSurfs:
         r = surfRows[s]
         t = _intersectConst(r, ox, oy, oz, dx, dy, dz, distTol)
         t = jnp.where(t <= maxRayLength, t, _BIG)
-        ts.append(t)
+        ts[s] = t
         tBest = jnp.minimum(tBest, t)
       # same-medium preference: nearest hit with elem != medium within
       # the 2*distTol window
       tPref = jnp.full(shape, _BIG)
-      for s in range(S):
+      for s in bounceSurfs:
         ok = ((ts[s] <= tBest + 2 * distTol)
               & (medium != surfRows[s]['elemF']))
         tPref = jnp.minimum(tPref, jnp.where(ok, ts[s], _BIG))
@@ -118,7 +131,7 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
 
       # winning surface index (first match on tSel)
       sIdx = jnp.full(shape, -1.0)
-      for s in range(S):
+      for s in bounceSurfs:
         t = ts[s]
         prefOk = ((t <= tBest + 2 * distTol)
                   & (medium != surfRows[s]['elemF']))
@@ -138,7 +151,7 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
       plxA = jnp.zeros(shape)
       plyA = jnp.zeros(shape)
       elemF = jnp.zeros(shape)
-      for s in range(S):
+      for s in bounceSurfs:
         r = surfRows[s]
         m = sIdx == float(s)
         lx = r['r00'] * px + r['r01'] * py + r['r02'] * pz + r['t0']
@@ -297,7 +310,9 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
       if hasGrating:
         newPw = jnp.where(isGrating & isEntering & evanescent, 0., newPw)
 
-      # ---- record the last in-bounds detector hit ----
+      # ---- record EVERY in-bounds detector pass into the hit-slot ring
+      # (reference records on each pass, ray.py:276-277; overflow beyond
+      # hitSlots overwrites the last slot) ----
       fx = (plxA - bx0) / (bx1 - bx0)
       fy = (plyA - by0) / (by1 - by0)
       inside = ((fx >= 0) & (fx < 1) & (fy >= 0) & (fy < 1)
@@ -305,9 +320,13 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
       ixF = jnp.floor(fx * W)
       iyF = jnp.floor(fy * H)
       binF = (detIdx * H + iyF) * W + ixF
-      hitBin = jnp.where(inside, binF, hitBin)
-      hitW = jnp.where(inside, pw, hitW)
-      hitC = jnp.where(inside, 1., hitC)
+      for slot in range(hitSlots):
+        take = inside & (jnp.minimum(hitN, float(hitSlots - 1))
+                         == float(slot))
+        hitBin[slot] = jnp.where(take, binF, hitBin[slot])
+        hitW[slot] = jnp.where(take, pw, hitW[slot])
+        hitC[slot] = jnp.where(take, 1., hitC[slot])
+      hitN = hitN + jnp.where(inside, 1., 0.)
 
       segCount = segCount + alive.astype(jnp.float32)
       newAlive = alive & hasHit & (newPw >= powerTol)
@@ -322,9 +341,10 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
       alive = newAlive
 
     if histRows is None:
-      binOut_ref[:] = hitBin
-      wOut_ref[:] = hitW
-      cOut_ref[:] = hitC
+      for slot in range(hitSlots):
+        binOut_refs[slot][:] = hitBin[slot]
+        wOut_refs[slot][:] = hitW[slot]
+        cOut_refs[slot][:] = hitC[slot]
       segOut_ref[:] = segCount
       return
 
@@ -335,25 +355,28 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
     # weights ride INSIDE the row one-hot (bf16: exact 0/1 structure, ~0.5%
     # rounding on the power values — far below Monte-Carlo shot noise; the
     # counts one-hot is exact).
-    nRows = hitBin.shape[0]
-    rowF = jnp.floor(hitBin * (1.0 / W))
-    colF = hitBin - rowF * W
+    nRows = hitBin[0].shape[0]
     iR = lax.broadcasted_iota(jnp.int32, (histRows, 128), 0) \
         .astype(jnp.float32)
     iC = lax.broadcasted_iota(jnp.int32, (W, 128), 0).astype(jnp.float32)
     accP = jnp.zeros((histRows, W), jnp.float32)
     accC = jnp.zeros((histRows, W), jnp.float32)
     dn = (((1,), (1,)), ((), ()))
-    for r in range(nRows):
-      mR = iR == rowF[r:r + 1, :]
-      ohRw = jnp.where(mR, hitW[r:r + 1, :], 0.0).astype(jnp.bfloat16)
-      ohRc = jnp.where(mR, hitC[r:r + 1, :], 0.0).astype(jnp.bfloat16)
-      ohC = jnp.where(iC == colF[r:r + 1, :], 1.0, 0.0) \
-          .astype(jnp.bfloat16)
-      accP = accP + lax.dot_general(ohRw, ohC, dn,
-                                    preferred_element_type=jnp.float32)
-      accC = accC + lax.dot_general(ohRc, ohC, dn,
-                                    preferred_element_type=jnp.float32)
+    for slot in range(hitSlots):
+      rowF = jnp.floor(hitBin[slot] * (1.0 / W))
+      colF = hitBin[slot] - rowF * W
+      for r in range(nRows):
+        mR = iR == rowF[r:r + 1, :]
+        ohRw = jnp.where(mR, hitW[slot][r:r + 1, :], 0.0) \
+            .astype(jnp.bfloat16)
+        ohRc = jnp.where(mR, hitC[slot][r:r + 1, :], 0.0) \
+            .astype(jnp.bfloat16)
+        ohC = jnp.where(iC == colF[r:r + 1, :], 1.0, 0.0) \
+            .astype(jnp.bfloat16)
+        accP = accP + lax.dot_general(ohRw, ohC, dn,
+                                      preferred_element_type=jnp.float32)
+        accC = accC + lax.dot_general(ohRc, ohC, dn,
+                                      preferred_element_type=jnp.float32)
     acc = jnp.concatenate([accP, accC], axis=1)
     # the hist block is revisited by every grid step (TPU grids run
     # sequentially): initialize on the first step, accumulate after
@@ -525,10 +548,32 @@ def _sceneRows(scene, histSpec):
   return surfRows, elemRows
 
 
+def _allowedPerBounce(scene, maxIntersections):
+  '''Static per-bounce allowed-surface sets from the scene's sequential-mode
+  mask and per-source surface mask (compile-time constants: disallowed
+  surfaces never emit intersection code). None = all allowed.'''
+  S = numSurfacesStatic(scene)
+  surfMask = np.ones(S, dtype=bool)
+  if 'surfMask' in scene:
+    surfMask = np.asarray(scene['surfMask']).astype(bool)
+  seq = None
+  if 'seqMask' in scene:
+    seq = np.asarray(scene['seqMask']).astype(bool)
+  if seq is None and surfMask.all():
+    return None
+  allowed = []
+  for b in range(maxIntersections):
+    row = surfMask.copy()
+    if seq is not None:
+      row &= seq[min(b, seq.shape[0] - 1)]
+    allowed.append({s for s in range(S) if row[s]})
+  return allowed
+
+
 def makePallasTraceStep(scene, histSpec, generator, raysPerStep,
                         maxIntersections, maxRayLength, distTol,
                         powerTol=1e-6, stratified=False, tile=TILE,
-                        histPrecision='default'):
+                        histPrecision='default', hitSlots='auto'):
   '''Build the fused sample + pallas-trace + histogram step:
   (key, histograms) -> (histograms, counters). Requires pallasEligible.
   histPrecision: matmul precision of the MXU binning pass — 'default'
@@ -556,11 +601,21 @@ def makePallasTraceStep(scene, histSpec, generator, raysPerStep,
   inKernelHist = (histPrecision == 'default' and D * H <= 2048
                   and D * H % 8 == 0 and W % 128 == 0
                   and D * H * 2 * W * 4 <= (4 << 20))
+  if hitSlots == 'auto':
+    # one recording element cannot be passed twice without a reflector in
+    # between; several recording elements (stacked vacuum detectors) need
+    # one slot per possible pass (reference records every pass,
+    # ray.py:276-277)
+    nRec = int(np.sum(np.asarray(histSpec['elemToDet']) >= 0))
+    hitSlots = 1 if nRec <= 1 else min(maxIntersections, 4)
   surfRows, elemRows = _sceneRows(scene, histSpec)
   kernel = _makeKernel(surfRows, elemRows, histSpec['elemToDet'],
                        histSpec['bounds'], (H, W), maxIntersections,
                        float(maxRayLength), float(distTol), float(powerTol),
-                       histRows=D * H if inKernelHist else None)
+                       histRows=D * H if inKernelHist else None,
+                       hitSlots=hitSlots,
+                       allowedPerBounce=_allowedPerBounce(scene,
+                                                          maxIntersections))
   spec = pl.BlockSpec((rows, 128), lambda i: (i, 0),
                       memory_space=pltpu.VMEM)
   if inKernelHist:
@@ -575,12 +630,14 @@ def makePallasTraceStep(scene, histSpec, generator, raysPerStep,
                    jax.ShapeDtypeStruct((totalRows, 128), jnp.float32)],
     )
   else:
+    nOut = 3 * hitSlots + 1
     traceCall = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[spec] * 8,
-        out_specs=[spec] * 4,
-        out_shape=[jax.ShapeDtypeStruct((totalRows, 128), jnp.float32)] * 4,
+        out_specs=[spec] * nOut,
+        out_shape=[jax.ShapeDtypeStruct((totalRows, 128),
+                                        jnp.float32)] * nOut,
     )
 
   # donating the carried histograms lets XLA update them in place; without
@@ -610,26 +667,31 @@ def makePallasTraceStep(scene, histSpec, generator, raysPerStep,
           counts=histograms['counts'] + delta[:, W:].reshape(D, H, W))
       hits = jnp.sum(delta[:, W:]).astype(jnp.int32)
     else:
-      binF, w, c, segs = traceCall(*[tiled(x) for x in cols])
-      binF, w, c = binF.reshape(-1), w.reshape(-1), c.reshape(-1)
-      flatIdx = jnp.where(binF >= 0, binF, 0.).astype(jnp.int32)
-      valid = binF >= 0
-      payload = jnp.stack([jnp.where(valid, w, 0.),
-                           jnp.where(valid, c, 0.)], axis=-1)
+      outs = traceCall(*[tiled(x) for x in cols])
+      segs = outs[3 * hitSlots]
       flat = jnp.stack([histograms['power'].reshape(-1),
                         histograms['counts'].reshape(-1)], axis=-1)
-      # binning: the XLA scatter costs a flat ~17 ns/update (~17 ms/step
-      # at 1M rays, the step's former dominant cost); the factorized
-      # one-hot matmul (ops/histogram.py) does the same accumulation on
-      # the MXU in ~3.6 ms whenever the detector-row count is modest
-      if histogram.matmulWorthwhile(D * H, W, raysPerStep):
-        flat = flat + histogram.matmulAccumulate(
-            flatIdx, payload, D * H, W, precision=histPrecision)
-      else:
-        flat = flat.at[flatIdx].add(payload)
+      hits = jnp.zeros((), jnp.int32)
+      for slot in range(hitSlots):
+        binF = outs[slot].reshape(-1)
+        w = outs[hitSlots + slot].reshape(-1)
+        c = outs[2 * hitSlots + slot].reshape(-1)
+        flatIdx = jnp.where(binF >= 0, binF, 0.).astype(jnp.int32)
+        valid = binF >= 0
+        payload = jnp.stack([jnp.where(valid, w, 0.),
+                             jnp.where(valid, c, 0.)], axis=-1)
+        # binning: the XLA scatter costs a flat ~17 ns/update (~17 ms/step
+        # at 1M rays, the step's former dominant cost); the factorized
+        # one-hot matmul (ops/histogram.py) does the same accumulation on
+        # the MXU in ~3.6 ms whenever the detector-row count is modest
+        if histogram.matmulWorthwhile(D * H, W, raysPerStep):
+          flat = flat + histogram.matmulAccumulate(
+              flatIdx, payload, D * H, W, precision=histPrecision)
+        else:
+          flat = flat.at[flatIdx].add(payload)
+        hits = hits + jnp.sum(valid.astype(jnp.int32))
       hist = dict(power=flat[:, 0].reshape(D, H, W),
                   counts=flat[:, 1].reshape(D, H, W))
-      hits = jnp.sum(valid.astype(jnp.int32))
     counters = dict(segments=jnp.sum(segs).astype(jnp.int32),
                     hits=hits,
                     escaped=jnp.zeros((), jnp.int32))

@@ -233,10 +233,24 @@ class SimulationRun:
 
 def runSimulation(scene, action, endIf=None, seed=None, store=None,
                   draw=False, mesh=None, progressCallback=None,
-                  flushEverySeconds=5):
+                  flushEverySeconds=5, recording='raw',
+                  histBounds=None, histBins=(256, 256),
+                  rawSampleRays=1 << 13, rawSampleEvery=8):
   '''
   Run a simulation on `scene` (a models.Scene). Returns the run folder path
   (or None for 'stop'/'clear'). See module docstring for actions.
+
+  recording='histogram' switches continuous Monte-Carlo runs to
+  histogram-first storage: detector histograms accumulate ON DEVICE every
+  iteration through the fused sample+trace+bin step (Pallas kernel when the
+  scene is eligible) and are flushed as cumulative snapshots
+  (source-<label>/<ts>-histograms.npz, loader:
+  results_store.loadHistogramSnapshots); only a capped raw-hit sample
+  (`rawSampleRays` rays every `rawSampleEvery` iterations) goes through the
+  record-producing path for metadata-rich rows, so a storing run keeps the
+  fast path's throughput instead of paying the full raw-hit fetch (the raw
+  pipeline moves ~1M rays/s; the fused path ~290M rays/s on one v5e).
+  histBounds: detector-local (x0, x1, y0, y1) or dict label->bounds.
   '''
   resultsFolder = results_store.getResultsFolderPath(
       scene.path or scene.label)
@@ -305,6 +319,49 @@ def runSimulation(scene, action, endIf=None, seed=None, store=None,
     chunkTimer = timing.IntervalTimer(3600)
     perfTimer = timing.IntervalTimer(60)
 
+    # ---- histogram-first recording: on-device accumulation state ----
+    histMode = recording == 'histogram' and mode in ('true', 'pseudo')
+    histSteps, hists, histMeta, histSpec = {}, {}, None, None
+    histFlushTimer = timing.IntervalTimer(flushEverySeconds)
+    if histMode:
+      from ..tracing import fused as fusedMod
+      histSpec = fusedMod.makeHistogramSpec(run.device, run.info,
+                                            bounds=histBounds,
+                                            bins=histBins)
+      histMeta = dict(bounds=np.asarray(histSpec['bounds']),
+                      detLabels=histSpec['detLabels'])
+
+    def buildHistStep(src, n):
+      from ..tracing import fused as fusedMod
+      sc = run.sceneFor(src)
+      maxI = max(1, int(round(settings.maxIntersections()
+                              * float(src.MaxIntersectionsScale))))
+      kwargs = dict(raysPerStep=n, maxIntersections=maxI,
+                    maxRayLength=settings.maxRayLength()
+                    * float(src.MaxRayLengthScale),
+                    distTol=settings.distanceTolerance(),
+                    stratified=(mode == 'pseudo'))
+      if run.mesh is not None:
+        from ..parallel import makeShardedFusedStep
+        return makeShardedFusedStep(run.mesh, sc, src.deviceGenerator(),
+                                    histSpec, **kwargs), n
+      from ..ops import pallas_trace
+      if pallas_trace.pallasEligible(sc) \
+          and jax.default_backend() == 'tpu' \
+          and hasattr(src, 'deviceColumnsGenerator'):
+        nPad = -(-n // pallas_trace.TILE) * pallas_trace.TILE
+        kwargs['raysPerStep'] = nPad
+        return pallas_trace.makePallasTraceStep(
+            sc, histSpec, src.deviceColumnsGenerator(), **kwargs), nPad
+      return fusedMod.makeFusedStep(sc, src.deviceGenerator(), histSpec,
+                                    **kwargs), n
+
+    def flushHistograms():
+      for label, hist in hists.items():
+        results.writeHistogramSnapshot(
+            label, dict(power=np.asarray(hist['power']),
+                        counts=np.asarray(hist['counts'])), histMeta)
+
     for src in scene.lightSources():
       src.onInitializeSimulation(state='pre-worker-launch', ident=action)
 
@@ -315,6 +372,67 @@ def runSimulation(scene, action, endIf=None, seed=None, store=None,
         if not isinstance(src, PointSource) and not hasattr(
             src, 'generateRays'):
           continue
+        # ---- histogram-first fast path ----
+        if histMode and isinstance(src, PointSource):
+          from ..tracing import fused as fusedMod
+          n = max(1, int(round(settings.raysPerIteration()
+                               * float(src.RaysPerIterationScale))))
+          entry = histSteps.get(src.Label)
+          if entry is None:
+            entry = histSteps[src.Label] = buildHistStep(src, n)
+            hists[src.Label] = fusedMod.initHistograms(histSpec)
+          step, nStep = entry
+          # dispatch a WINDOW of steps and fetch the hit counter once: a
+          # device->host scalar fetch over the results relay costs ~75 ms,
+          # the 1M-ray step ~4 ms — per-step fetching caps the stored run
+          # at ~14 M rays/s while windowed dispatch sustains >200 M
+          if not continuous:
+            inner = 1
+          elif np.isfinite(results.endAfterRays):
+            remaining = results.endAfterRays - results.totalTracedRays
+            inner = int(np.clip(np.ceil(remaining / max(nStep, 1)), 1, 16))
+          else:
+            inner = 16
+          if np.isfinite(results.endAfterIterations):
+            inner = int(np.clip(results.endAfterIterations
+                                - results.totalIterations, 1, inner))
+          if np.isfinite(results.endAfterHits):
+            inner = min(inner, 4)     # bound the overshoot past the target
+          hitAcc = None
+          for _ in range(inner):
+            key, sub = jax.random.split(key)
+            hists[src.Label], counters = step(sub, hists[src.Label])
+            hitAcc = counters['hits'] if hitAcc is None \
+                else hitAcc + counters['hits']
+          results.incrementRayCount(nStep * inner)
+          results.incrementIterationCount(inner - 1)
+          results.totalRecordedHits += int(hitAcc)
+          # capped raw-hit sample for metadata-rich storage
+          if store and rawSampleRays and iteration % rawSampleEvery == 1:
+            gen = deviceGens.get(src.Label)
+            if gen is None:
+              gen = deviceGens[src.Label] = src.deviceGenerator()
+            key, sub2 = jax.random.split(key)
+            batch = gen(sub2, rawSampleRays, stratified=(mode == 'pseudo'))
+            key, traceKey = jax.random.split(key)
+            _state, records = run.traceBatch(src, batch, False,
+                                             key=traceKey)
+            metadata = {k: np.asarray(v)
+                        for k, v in batch.get('metadata', {}).items()}
+            sampleHits = compactRecordsToHits(
+                records, metadata, run.info['elementLabels'],
+                enabledKeys=enabledKeys or None)
+            for label, cols in sampleHits.items():
+              meta = {k: v for k, v in cols.items()
+                      if k not in ('points', 'directions', 'powers',
+                                   'isEntering')}
+              results.addHitBatch(src.Label, label, cols['points'],
+                                  cols['directions'], cols['powers'],
+                                  cols['isEntering'], meta)
+          if store and histFlushTimer.check():
+            flushHistograms()
+          continue
+
         # ---- generate rays ----
         if mode in ('true', 'pseudo') and isinstance(src, PointSource):
           gen = deviceGens.get(src.Label)
@@ -390,6 +508,11 @@ def runSimulation(scene, action, endIf=None, seed=None, store=None,
     pass
   finally:
     if results is not None:
+      try:
+        if store and hists:
+          flushHistograms()
+      except Exception as e:
+        io.warn(f'final histogram flush failed: {e}')
       results.cleanup()
       io.info(f'simulation ended: {results.performanceDescription()}')
     for src in scene.lightSources():

