@@ -1,0 +1,143 @@
+'''
+OS-process worker pool — the host-level analog of the reference's
+master/worker architecture (reference: simulation/processes/
+simulation_loop.py:449-632, worker_process.py). Where the reference spawns
+`FreeCAD -c` children driven over stdin, here each worker is a plain python
+subprocess that unpickles the scene and re-enters
+`simulation.runSimulation(action, slaveInfo=...)` in worker role:
+
+  * the master creates the run folder + lifecycle flags and aggregates the
+    workers' atomic progress dumps (`SimulationResults.getProgress`,
+    reference: results_store.py:462-550);
+  * workers flush their own result files into the shared run folder (the
+    folder contract keys files by pid so writers never collide) and dump
+    cumulative progress (`dumpProgress(workerId=...)`);
+  * end criteria are evaluated by the master over the SUMMED counters; the
+    `simulation-is-done` flag stops every worker; a dead master (parent
+    pid probe) stops them too.
+
+On a TPU host this pool is for CPU-bound scenes and multi-host layouts;
+single-host device parallelism goes through jax.sharding instead
+(parallel/sharded.py).
+'''
+
+import os
+import pickle
+import subprocess
+import sys
+import tempfile
+import time
+
+from ..utils import io
+
+
+_WORKER_SNIPPET = '''
+import pickle, sys
+import jax
+if {forceCpu!r}:
+  jax.config.update('jax_platforms', 'cpu')
+with open({scenePath!r}, 'rb') as f:
+  scene = pickle.load(f)
+from optics_design_workbench_tpu import simulation
+simulation.runSimulation(
+    scene, {action!r},
+    slaveInfo=dict(simulationRunFolder={runFolder!r},
+                   workerId={workerId!r}, parentPid={parentPid!r},
+                   workerIndex={workerIndex!r}, workerCount={workerCount!r}),
+    store=True, recording={recording!r})
+'''
+
+
+def runMultiprocess(scene, action, workerCount=2, pollSeconds=.5,
+                    timeoutSeconds=3600, forceCpu=False, recording='raw',
+                    env=None):
+  '''Run `action` on `scene` with `workerCount` OS worker processes writing
+  into one shared run folder; returns the run folder path. The master
+  process does no tracing itself (the reference's lazy-master mainloop B,
+  simulation_loop.py:634-707).'''
+  from ..simulation import results_store
+  from ..simulation.lifecycle import Lifecycle
+
+  resultsFolder = results_store.getResultsFolderPath(
+      scene.path or scene.label)
+  lifecycle = Lifecycle(resultsFolder)
+  if lifecycle.isRunning():
+    raise RuntimeError('a simulation is already running for this document')
+  settings = scene.activeSimulationSettings()
+
+  runFolder = results_store.generateSimulationFolderName(resultsFolder)
+  results = results_store.SimulationResults(
+      simulationType=action, basePath=resultsFolder,
+      simulationRunFolder=runFolder,
+      endAfterIterations=settings.endAfterIterations(),
+      endAfterRays=settings.endAfterRays(),
+      endAfterHits=settings.endAfterHits())
+  results.dumpGlobalInfo(scene.collectGlobalInfo())
+  lifecycle.clearAll()
+  lifecycle.setIsRunning(True)
+
+  sceneFile = tempfile.NamedTemporaryFile(
+      suffix='.scene.pkl', delete=False)
+  with sceneFile as f:
+    pickle.dump(scene, f)
+
+  procs = []
+  try:
+    childEnv = dict(os.environ)
+    childEnv['PYTHONPATH'] = os.pathsep.join(
+        p for p in [os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))),
+            childEnv.get('PYTHONPATH', '')] if p)
+    if env:
+      childEnv.update(env)
+    for w in range(int(workerCount)):
+      code = _WORKER_SNIPPET.format(
+          forceCpu=bool(forceCpu), scenePath=sceneFile.name,
+          action=action, runFolder=runFolder, workerId=f'w{w}',
+          parentPid=os.getpid(), recording=recording,
+          workerIndex=w, workerCount=int(workerCount))
+      procs.append(subprocess.Popen([sys.executable, '-c', code],
+                                    env=childEnv))
+
+    t0 = time.time()
+    while True:
+      progress = results.getProgress()
+      lifecycle.touchRunning()
+      if progress['reachedEnd']:
+        lifecycle.setIsFinished(True)
+        break
+      if lifecycle.isCanceled():
+        break
+      if all(p.poll() is not None for p in procs):
+        # every worker exited on its own (single-shot actions)
+        break
+      if time.time() - t0 > timeoutSeconds:
+        io.warn('multiprocess run timed out; stopping workers')
+        lifecycle.setIsCanceled(True)
+        break
+      time.sleep(pollSeconds)
+
+    # drain: workers see the done flag and exit; escalate after a grace
+    # period (reference: worker_process.py:200-221 quit->terminate->kill)
+    deadline = time.time() + 30
+    for p in procs:
+      try:
+        p.wait(timeout=max(.1, deadline - time.time()))
+      except subprocess.TimeoutExpired:
+        p.terminate()
+        try:
+          p.wait(timeout=5)
+        except subprocess.TimeoutExpired:
+          p.kill()
+    # final aggregation over the workers' last cumulative dumps
+    results.getProgress()
+  finally:
+    lifecycle.setIsFinished(True)
+    lifecycle.setIsRunning(False)
+    lifecycle.setIsCanceled(False)
+    try:
+      os.unlink(sceneFile.name)
+    except OSError:
+      pass
+    io.gatherWorkerLogs()
+  return results.runPath()

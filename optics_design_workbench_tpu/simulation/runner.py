@@ -18,6 +18,7 @@ Actions (reference: simulation_actions.py:22-37, simulation_loop.py:341-348):
   'clear'        stop + clear drawn rays (GUI no-op here)
 '''
 
+import os
 import time
 from functools import partial
 
@@ -205,12 +206,36 @@ class SimulationRun:
     return sc
 
   def _shard(self, batch):
+    '''Shard the rays axis over the mesh. Batches whose size does not
+    divide the mesh (deterministic fans with arbitrary ray counts) are
+    padded with throwaway rays aimed at infinity (they escape on bounce 1
+    and record nothing) so fan work splits statically across every device
+    — the TPU analog of the reference's initial-conditions file queue
+    (results_store.py:679-738).'''
     if self.sharding is None:
       return batch
+    n = len(batch['origins'])
+    m = self.mesh.size
+    pad = (-n) % m
+    if pad:
+      batch = dict(batch)
+      far = np.broadcast_to(np.array([1e7, 1e7, 1e7]), (pad, 3))
+      up = np.broadcast_to(np.array([0., 0., 1.]), (pad, 3))
+      batch['origins'] = np.concatenate(
+          [np.asarray(batch['origins']), far])
+      batch['directions'] = np.concatenate(
+          [np.asarray(batch['directions']), up])
+      batch['powers'] = np.concatenate(
+          [np.asarray(batch['powers']), np.zeros(pad)])
+      batch['wavelengths'] = np.concatenate(
+          [np.asarray(batch['wavelengths']),
+           np.full(pad, np.asarray(batch['wavelengths']).flat[0]
+                   if n else 550.)])
+
     def put(x):
-      if hasattr(x, 'shape') and x.ndim >= 1 \
-          and x.shape[0] % self.mesh.size == 0:
-        return jax.device_put(x, self.sharding)
+      if hasattr(x, 'shape') and getattr(x, 'ndim', 0) >= 1 \
+          and x.shape[0] % m == 0:
+        return jax.device_put(jnp.asarray(x), self.sharding)
       return x
     return {k: (put(v) if k != 'metadata' else v) for k, v in batch.items()}
 
@@ -231,11 +256,29 @@ class SimulationRun:
     return state, records
 
 
+def _sliceBatch(batch, index, count):
+  '''Strided slice [index::count] of every per-ray column in a generated
+  ray batch (origins/directions/powers/wavelengths + metadata arrays).'''
+  n = len(batch['origins'])
+  out = {}
+  for k, v in batch.items():
+    if k == 'metadata':
+      out[k] = {mk: (np.asarray(mv)[index::count]
+                     if hasattr(mv, '__len__') and len(mv) == n else mv)
+                for mk, mv in v.items()}
+    elif hasattr(v, '__len__') and len(v) == n:
+      out[k] = np.asarray(v)[index::count]
+    else:
+      out[k] = v
+  return out
+
+
 def runSimulation(scene, action, endIf=None, seed=None, store=None,
                   draw=False, mesh=None, progressCallback=None,
                   flushEverySeconds=5, recording='raw',
                   histBounds=None, histBins=(256, 256),
-                  rawSampleRays=1 << 13, rawSampleEvery=8):
+                  rawSampleRays=1 << 13, rawSampleEvery=8,
+                  slaveInfo=None):
   '''
   Run a simulation on `scene` (a models.Scene). Returns the run folder path
   (or None for 'stop'/'clear'). See module docstring for actions.
@@ -265,7 +308,7 @@ def runSimulation(scene, action, endIf=None, seed=None, store=None,
   if action not in SINGLE_SHOT_ACTIONS + CONTINUOUS_ACTIONS:
     raise ValueError(f'unknown action {action!r}')
 
-  if lifecycle.isRunning():
+  if slaveInfo is None and lifecycle.isRunning():
     raise RuntimeError('a simulation is already running for this document')
 
   settings = scene.activeSimulationSettings()
@@ -295,9 +338,23 @@ def runSimulation(scene, action, endIf=None, seed=None, store=None,
   if store is None:
     store = continuous or bool(settings.EnableStoreSingleShotData)
 
+  # worker role (reference: simulation_loop.py slaveInfo, :291, :555-632):
+  # a worker joins an EXISTING run folder, reports progress via atomic
+  # per-worker dumps instead of aggregating, never touches lifecycle
+  # flags, and exits when the master sets done/canceled or its parent dies
+  isWorker = slaveInfo is not None
+  workerId = (slaveInfo or {}).get('workerId')
+  parentPid = (slaveInfo or {}).get('parentPid')
+  workerIndex = int((slaveInfo or {}).get('workerIndex', 0))
+  workerCount = int((slaveInfo or {}).get('workerCount', 1))
+  if isWorker and seed is None:
+    # workers need decorrelated streams even when spawned in the same ms
+    seed = (int(time.time() * 1e3) + os.getpid() * 7919) % (2 ** 31)
+
   key = setupRandomSeed(seed)
-  lifecycle.clearAll()
-  lifecycle.setIsRunning(True)
+  if not isWorker:
+    lifecycle.clearAll()
+    lifecycle.setIsRunning(True)
 
   deviceGens = {}
   results = None
@@ -306,13 +363,15 @@ def runSimulation(scene, action, endIf=None, seed=None, store=None,
     results = results_store.SimulationResults(
         simulationType=action,
         basePath=resultsFolder,
-        simulationRunFolder=results_store.generateSimulationFolderName(
-            resultsFolder),
+        simulationRunFolder=(slaveInfo['simulationRunFolder'] if isWorker
+                             else results_store.generateSimulationFolderName(
+                                 resultsFolder)),
         flushEverySeconds=flushEverySeconds,
         endAfterIterations=endIter,
         endAfterRays=settings.endAfterRays() if continuous else np.inf,
         endAfterHits=settings.endAfterHits() if continuous else np.inf)
-    results.dumpGlobalInfo(scene.collectGlobalInfo())
+    if not isWorker:
+      results.dumpGlobalInfo(scene.collectGlobalInfo())
 
     run = SimulationRun(scene, settings, mesh=mesh)
     enabledKeys = settings.enabledMetadataKeys()
@@ -446,6 +505,14 @@ def runSimulation(scene, action, endIf=None, seed=None, store=None,
           batch = gen(sub, n, stratified=(mode == 'pseudo'))
         else:
           batch = src.generateRays(mode, settings=settings)
+          if isWorker and not continuous and workerCount > 1:
+            # deterministic work split across OS workers: each worker keeps
+            # the strided slice [workerIndex::workerCount] of the fan's
+            # initial conditions — the host analog of the reference's
+            # initial-conditions file queue (results_store.py:679-738,
+            # simulation_loop.py:640-666); strided so every worker sees
+            # every fan (ray counts per fan need not divide workerCount)
+            batch = _sliceBatch(batch, workerIndex, workerCount)
           n = len(batch['origins'])
           if n == 0:
             continue
@@ -486,6 +553,22 @@ def runSimulation(scene, action, endIf=None, seed=None, store=None,
 
       results.incrementIterationCount()
       results.writeDiskIfNeeded()
+      if isWorker:
+        # worker: atomic progress dumps for the master to consume+sum
+        # (reference: results_store.py:462-480); exit on the master's
+        # flags or a dead parent (simulation_loop.py:571-577)
+        results.dumpProgressIfNeeded(workerId=workerId)
+        if parentPid is not None:
+          try:
+            os.kill(int(parentPid), 0)
+          except OSError:
+            io.warn('parent process died; worker exiting')
+            break
+        if lifecycle.isCanceled() or lifecycle.isFinished():
+          break
+        if not continuous:
+          break
+        continue
       progress = results.getProgress()
       if progressCallback is not None:
         progressCallback(progress)
@@ -513,14 +596,20 @@ def runSimulation(scene, action, endIf=None, seed=None, store=None,
           flushHistograms()
       except Exception as e:
         io.warn(f'final histogram flush failed: {e}')
+      if isWorker:
+        try:
+          results.dumpProgress(workerId=workerId)    # final cumulative dump
+        except Exception:
+          pass
       results.cleanup()
       io.info(f'simulation ended: {results.performanceDescription()}')
     for src in scene.lightSources():
       src.onExitSimulation(ident=action)
-    lifecycle.setIsFinished(True)
-    lifecycle.setIsRunning(False)
-    lifecycle.setIsCanceled(False)
-    io.gatherWorkerLogs()
+    if not isWorker:
+      lifecycle.setIsFinished(True)
+      lifecycle.setIsRunning(False)
+      lifecycle.setIsCanceled(False)
+      io.gatherWorkerLogs()
   return results.runPath()
 
 

@@ -1,0 +1,126 @@
+'''
+OS-process worker pool tests — parity with the reference's master/worker
+architecture (reference: simulation/processes/simulation_loop.py:449-707,
+worker_process.py, results_store.py:462-550):
+
+  * a continuous run with N workers writes into ONE shared run folder,
+    result files keyed by worker pid, and the master stops everyone once
+    the SUMMED progress counters reach the end criteria;
+  * a deterministic single-shot 'fans' run splits the fan initial
+    conditions statically across workers (the host analog of the
+    reference's initial-conditions file queue, results_store.py:679-738)
+    and the union of hits equals the single-process run.
+
+Workers are real subprocesses running the CPU backend (forceCpu).
+'''
+
+import glob
+import os
+import re
+
+import numpy as np
+import pytest
+
+from optics_design_workbench_tpu.models import (Scene, PointSource,
+                                                OpticalGroup,
+                                                SimulationSettings)
+from optics_design_workbench_tpu.geometry import surfaces as S
+from optics_design_workbench_tpu.geometry import transforms as T
+from optics_design_workbench_tpu import simulation
+from optics_design_workbench_tpu.parallel import runMultiprocess
+from optics_design_workbench_tpu.simulation import results_store as RS
+
+
+def makeScene(path, **srcProps):
+  scene = Scene(label='mp', path=path)
+  detector = OpticalGroup(
+      OpticalType='Absorber', Label='Detector',
+      surfaces=[S.plane(np.eye(4), elem=0, halfExtents=(50., 50.))],
+      placements=[T.translation(0, 0, 100)])
+  scene.addOpticalGroup(detector)
+  scene.addSource(PointSource(
+      Label='Source', PowerDensity='exp(-theta^2/0.01)',
+      ThetaDomain='0, pi/4', Wavelength=532.,
+      ThetaResolutionNumericMode='2e4', **srcProps))
+  scene.addSimulationSettings(
+      EndAfterRays='1e4', RaysPerIteration=2000, MaxIntersections=5,
+      MaxRayLength=1000, EnableStoreSingleShotData=True,
+      StoreHitFanIndex=True, StoreHitRayIndex=True)
+  return scene
+
+
+def loadHitColumns(runPath):
+  cols = None
+  for folder in glob.glob(f'{runPath}/source-*/object-*'):
+    for f in RS.resultFilePaths(folder, 'hits'):
+      data = RS.loadResultFile(f)
+      if cols is None:
+        cols = {k: [v] for k, v in data.items() if v.ndim > 0}
+      else:
+        for k in cols:
+          cols[k].append(data[k])
+  if cols is None:
+    return None
+  out = {k: np.concatenate(v) for k, v in cols.items()}
+  n = len(out['points'])
+  return {k: v for k, v in out.items() if len(v) == n}
+
+
+def writerPids(runPath):
+  pids = set()
+  for folder in glob.glob(f'{runPath}/source-*/object-*'):
+    for f in os.listdir(folder):
+      m = re.search(r'-pid(\d+)-', f)
+      if m:
+        pids.add(int(m.group(1)))
+  return pids
+
+
+@pytest.mark.long
+def test_continuous_two_workers_shared_folder(tmp_path):
+  scene = makeScene(str(tmp_path / 'mp'))
+  runPath = runMultiprocess(scene, 'true', workerCount=2, forceCpu=True,
+                            pollSeconds=.2, timeoutSeconds=600)
+  assert runPath and os.path.isdir(runPath)
+  # both workers flushed result files into the one shared run folder,
+  # keyed by their pid (the reference folder contract)
+  pids = writerPids(runPath)
+  assert len(pids) >= 2, f'expected >=2 worker pids, got {pids}'
+  assert os.getpid() not in pids   # lazy master traces nothing itself
+  hits = loadHitColumns(runPath)
+  assert hits is not None
+  # summed end criterion: >=1e4 rays traced in total; nearly all land on
+  # the detector, split across the two workers
+  assert len(hits['points']) >= 8000
+  assert np.allclose(hits['points'][:, 2], 100., atol=1e-3)
+  # master wrote progress snapshots and the lifecycle flags are cleared
+  from optics_design_workbench_tpu.simulation.lifecycle import Lifecycle
+  lc = Lifecycle(RS.getResultsFolderPath(scene.path))
+  assert not lc.isRunning(attemptCleanup=False)
+
+
+@pytest.mark.long
+def test_fans_split_across_workers_matches_single_process(tmp_path):
+  sceneA = makeScene(str(tmp_path / 'single'), Fans=4, RaysPerFan=33)
+  singleRun = simulation.runSimulation(sceneA, 'fans', store=True)
+  ref = loadHitColumns(singleRun)
+  assert ref is not None
+
+  sceneB = makeScene(str(tmp_path / 'multi'), Fans=4, RaysPerFan=33)
+  runPath = runMultiprocess(sceneB, 'fans', workerCount=2, forceCpu=True,
+                            pollSeconds=.2, timeoutSeconds=600)
+  got = loadHitColumns(runPath)
+  assert got is not None
+  # no duplicated work: every worker traced a disjoint strided slice, the
+  # union reproduces the single-process fan hit set exactly
+  assert len(got['points']) == len(ref['points'])
+
+  def sortRows(cols):
+    order = np.lexsort((cols['rayIndex'], cols['fanIndex']))
+    return {k: v[order] for k, v in cols.items()}
+
+  refS, gotS = sortRows(ref), sortRows(got)
+  np.testing.assert_allclose(gotS['points'], refS['points'], atol=1e-6)
+  np.testing.assert_array_equal(gotS['fanIndex'], refS['fanIndex'])
+  np.testing.assert_array_equal(gotS['rayIndex'], refS['rayIndex'])
+  assert len(writerPids(runPath)) >= 2

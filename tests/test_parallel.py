@@ -77,3 +77,64 @@ def test_per_shard_rng_streams_differ():
   shards = out.reshape(8, 64, 3)
   # different shards draw different samples
   assert not np.allclose(shards[0], shards[1])
+
+
+def test_fans_shard_with_padding_matches_single_device(tmp_path):
+  '''Deterministic fan batches whose ray count does not divide the mesh
+  (4 fans x 33 rays = 132, 132 % 8 = 4) are padded with throwaway rays and
+  sharded statically over all 8 devices; the recorded hit set must equal
+  the unsharded run exactly (the TPU analog of the reference's
+  initial-conditions queue, results_store.py:679-738).'''
+  import glob
+  from optics_design_workbench_tpu.models import (Scene, PointSource,
+                                                  OpticalGroup)
+  from optics_design_workbench_tpu.geometry import surfaces as S
+  from optics_design_workbench_tpu.geometry import transforms as T
+  from optics_design_workbench_tpu import simulation
+  from optics_design_workbench_tpu.simulation import results_store as RS
+
+  def makeScene(path):
+    scene = Scene(label='fanshard', path=path)
+    scene.addOpticalGroup(OpticalGroup(
+        OpticalType='Absorber', Label='Detector',
+        surfaces=[S.plane(np.eye(4), elem=0, halfExtents=(50., 50.))],
+        placements=[T.translation(0, 0, 100)]))
+    scene.addSource(PointSource(
+        Label='Source', PowerDensity='exp(-theta^2/0.01)',
+        ThetaDomain='0, pi/4', Wavelength=532., Fans=4, RaysPerFan=33,
+        ThetaResolutionNumericMode='2e4'))
+    scene.addSimulationSettings(
+        RaysPerIteration=1000, MaxIntersections=5, MaxRayLength=1000,
+        EnableStoreSingleShotData=True,
+        StoreHitFanIndex=True, StoreHitRayIndex=True)
+    return scene
+
+  def loadHits(runPath):
+    cols = None
+    for folder in glob.glob(f'{runPath}/source-*/object-*'):
+      for f in RS.resultFilePaths(folder, 'hits'):
+        data = RS.loadResultFile(f)
+        if cols is None:
+          cols = {k: [v] for k, v in data.items() if v.ndim > 0}
+        else:
+          for k in cols:
+            cols[k].append(data[k])
+    out = {k: np.concatenate(v) for k, v in cols.items()}
+    n = len(out['points'])
+    return {k: v for k, v in out.items() if len(v) == n}
+
+  single = loadHits(simulation.runSimulation(
+      makeScene(str(tmp_path / 'single')), 'fans', store=True))
+  sharded = loadHits(simulation.runSimulation(
+      makeScene(str(tmp_path / 'sharded')), 'fans', store=True,
+      mesh=makeMesh(nDevices=8)))
+  assert len(sharded['points']) == len(single['points'])
+
+  def sortRows(cols):
+    order = np.lexsort((cols['rayIndex'], cols['fanIndex']))
+    return {k: v[order] for k, v in cols.items()}
+
+  s1, s2 = sortRows(single), sortRows(sharded)
+  np.testing.assert_allclose(s2['points'], s1['points'], atol=1e-5)
+  np.testing.assert_array_equal(s2['fanIndex'], s1['fanIndex'])
+  np.testing.assert_array_equal(s2['rayIndex'], s1['rayIndex'])
