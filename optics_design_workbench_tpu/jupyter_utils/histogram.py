@@ -36,12 +36,17 @@ class Histogram:
       dx, dy = self.X - self.origin[0], self.Y - self.origin[1]
       r = np.hypot(dx, dy)
       phi = np.arctan2(dy, dx)
-      if radius is None:
-        radius = np.quantile(r, 0.99) if len(r) else 1.
       if np.isscalar(bins):
         bins = (bins, bins)
+      # radius=None spans the DATA's radial range like the reference's
+      # numpy-default binning (histogram.py:74-76) — an annular hit cloud
+      # gets bins over (rMin, rMax), not (0, rMax), so empty inner bins
+      # don't exist
+      rRange = [r.min(), r.max()] if len(r) else [0., 1.]
+      if radius is not None:
+        rRange = [0., radius]
       self.hist, self.phiEdges, self.rEdges = np.histogram2d(
-          phi, r, bins=bins, range=[[-np.pi, np.pi], [0, radius]],
+          phi, r, bins=bins, range=[[-np.pi, np.pi], rRange],
           weights=weights)
       # annular sector areas: dphi/2 * (r2^2 - r1^2)
       dphi = np.diff(self.phiEdges)

@@ -383,6 +383,14 @@ class PointSource(GenericSource):
     off = jnp.asarray(self.placement[:3, 3], dtype=jnp.float32)
     wavelength = float(self.Wavelength)
 
+    # f=inf: the beam direction is CONSTANT — rotate it host-side. Building
+    # it as broadcast_to(const, (N,3)) @ R.T on device SIGILLs this TPU
+    # toolchain's fusion pass whenever the result feeds the trace scan
+    # (degenerate constant matmul; reproduced + isolated on v5e).
+    beamDir = jnp.asarray(
+        np.asarray(self.placement[:3, :3]) @ np.array([0., 0., 1.]),
+        jnp.float32)
+
     def generate(key, N, stratified=False):
       tp = deviceDraw(tables, key, N, stratified=stratified)
       t, p = tp[0], tp[1]
@@ -391,13 +399,13 @@ class PointSource(GenericSource):
         d = jnp.stack([st * jnp.sin(p), -st * jnp.cos(p), ct], axis=-1)
         o = (jnp.array([0., 0., 1.]) - d) * f
         theta, radius = t, jnp.tan(t) * f
+        directions = d @ R.T
       else:
-        d = jnp.broadcast_to(jnp.array([0., 0., 1.]), (N, 3))
         o = jnp.stack([t * jnp.cos(p), -t * jnp.sin(p),
                        jnp.zeros_like(t)], axis=-1)
         theta, radius = jnp.full_like(t, jnp.nan), t
+        directions = jnp.broadcast_to(beamDir, (N, 3))
       origins = o @ R.T + off
-      directions = d @ R.T
       return dict(origins=origins.astype(jnp.float32),
                   directions=directions.astype(jnp.float32),
                   powers=jnp.ones((N,), jnp.float32),

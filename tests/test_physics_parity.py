@@ -167,11 +167,13 @@ class TestGlobalPlacements:
         OpticalType='Absorber', Label='D',
         surfaces=[S.plane(inner, elem=0, halfExtents=(4., 2.))],
         placements=[outer]))
+    # source 40mm above the detector center (-5, 0, 80), aimed straight
+    # down: the 0.4 rad cone covers the 4x2 plate with margin
     scene.addSource(PointSource(Label='S', PowerDensity='1',
                                 ThetaDomain='0, 0.4', FanPhi0='0',
                                 ThetaResolutionNumericMode='4e3',
                                 placement=T.compose(
-                                    T.translation(0, 0, 80),
+                                    T.translation(-5, 0, 120),
                                     T.rotation((1, 0, 0), 180))))
     scene.addSimulationSettings(RaysPerIteration=20000,
                                 EnableStoreSingleShotData=True,
@@ -184,9 +186,7 @@ class TestGlobalPlacements:
     assert np.allclose(center, [-5, 0, 80], atol=1e-9)
     runPath = simulation.runSimulation(scene, 'singletrue', seed=13)
     hits = RawFolder(runPath).loadHits('D')
-    if len(hits) == 0:
-      pytest.skip('source cone missed the offset detector (geometry sanity '
-                  'covered by the matrix assertion above)')
+    assert len(hits) > 500, 'aimed source must hit the nested detector'
     pts = hits.points()
     assert np.allclose(pts[:, 2], 80., atol=1e-3)
     assert np.abs(pts[:, 0] + 5).max() < 2.01 + 1e-3   # global x extent = 2
