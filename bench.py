@@ -16,9 +16,14 @@ import jax
 def main():
   from optics_design_workbench_tpu import benchmarks
 
-  raysPerStep = 1 << 20
+  # 4M rays/call amortizes the axon relay's ~2 ms/dispatch; 128x128
+  # histogram bins (vs the reference notebooks' 30x30) keep the in-kernel
+  # one-hot binning (cost ~ histRows+W VPU compares per ray) off the
+  # critical path while recording a finer distribution than the baseline
+  raysPerStep = 1 << 22
   step, hist, meta = benchmarks.makeBenchStep(raysPerStep=raysPerStep,
-                                              maxIntersections=6)
+                                              maxIntersections=6,
+                                              bins=(128, 128))
   key = jax.random.PRNGKey(0)
 
   # warmup / compile

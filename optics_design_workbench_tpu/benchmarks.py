@@ -101,8 +101,11 @@ def makeBenchStep(scene=None, raysPerStep=1 << 20, maxIntersections=6,
         and jax.default_backend() == 'tpu':
       colGen = (src.deviceColumnsGenerator()
                 if hasattr(src, 'deviceColumnsGenerator') else gen)
+      samplerSpec = (src.pallasSamplerSpec()
+                     if hasattr(src, 'pallasSamplerSpec') else None)
       step = pallas_trace.makePallasTraceStep(device, histSpec, colGen,
                                               histPrecision=histPrecision,
+                                              sampler=samplerSpec,
                                               **kwargs)
       backend = 'pallas'
     else:

@@ -267,8 +267,19 @@ class RawFolder:
 
   def loadHits(self, obj='*', source='*'):
     '''Load and merge all hit files for matching source/object labels;
-    returns a Hits wrapper (reference: freecad_document.py:1433-1452).'''
+    returns a Hits wrapper (reference: freecad_document.py:1433-1452).
+    Folders fragmented into many small files are chunk-merged on load,
+    the analog of the reference's findPathsAndSanitize
+    (results_store.py:670-674) — otherwise only the hourly runner timer
+    ever consolidates them.'''
     from ..simulation import results_store
+    files = self._hitFiles(source=source, obj=obj)
+    if len(files) > 32:
+      try:
+        results_store.chunkFiles(self.path, olderThanSeconds=60)
+      except Exception as e:
+        from ..utils import io
+        io.warn(f'merge-on-load failed (continuing unmerged): {e}')
     entry = None
     for f in self._hitFiles(source=source, obj=obj):
       data = results_store.loadResultFile(f)

@@ -415,6 +415,49 @@ class PointSource(GenericSource):
 
     return generate
 
+  def pallasSamplerSpec(self, knots=129):
+    '''In-kernel sampling descriptor for the fused Pallas path
+    (ops/pallas_trace): the (theta|r, phi) inverse-CDF marginals resampled
+    to `knots` uniform quantiles and baked as python constants, plus the
+    placement/focal geometry. Returns None when the source needs features
+    the in-kernel sampler does not cover (conditioned joints, discrete
+    Heaviside events, >2 variables) — callers then keep the XLA-side
+    generator.'''
+    if self._deviceTables is None:
+      self._deviceTables = buildDeviceTables(self._getVrv())
+    tables = self._deviceTables['tables']
+    order = np.asarray(self._deviceTables['order'])
+    if len(tables) != 2:
+      return None
+    specs = []
+    for t in tables:
+      if int(t['discreteVals'].shape[0]):
+        return None
+      affine, lo, hi = t.get('affine', (False, 0., 1.))
+      if affine:
+        specs.append(('affine', float(lo), float(hi)))
+      elif t.get('rowsEqual', False):
+        inv = np.asarray(t['invCdf'][0], float)
+        spec = _fitPiecewisePoly(inv)
+        if spec is None:
+          # very sharp inverse (narrow features the piecewise fit cannot
+          # meet at tolerance): dense tent-table fallback
+          q = np.linspace(0., 1., inv.shape[0])
+          qs = np.linspace(0., 1., int(knots))
+          spec = ('table', tuple(float(v) for v in np.interp(qs, q, inv)))
+        specs.append(spec)
+      else:
+        return None   # conditioned joint: needs the row-indexed inverse
+    specs = [specs[i] for i in order]
+    f = self.focalLength()
+    P = np.asarray(self.placement, float)
+    return dict(first=specs[0], phi=specs[1],
+                finite=bool(np.isfinite(f)),
+                f=float(f) if np.isfinite(f) else 0.,
+                R=tuple(tuple(float(x) for x in row) for row in P[:3, :3]),
+                off=tuple(float(x) for x in P[:3, 3]),
+                wavelength=float(self.Wavelength))
+
   def deviceColumnsGenerator(self):
     '''Column-form device generator for the fused Pallas path: returns
     `generate(key, N, stratified=False) -> dict(ox..dz, pw, wl)` with every
@@ -453,3 +496,42 @@ class PointSource(GenericSource):
                   wl=jnp.full_like(t, wavelength))
 
     return generate
+
+
+def _fitPiecewisePoly(inv, maxSegments=6, deg=9, relTol=5e-3):
+  '''Fit the tabulated inverse CDF `inv` (uniform quantile grid) as a few
+  Horner polynomials in per-segment scaled coordinates, for the in-kernel
+  Pallas sampler (ops/pallas_trace._marginal 'pwpoly'). Inverse CDFs of
+  truncated smooth densities have boundary layers at u=0 (sqrt from the
+  area Jacobian) and u=1 (thin tail), so fitting starts from the segment
+  split [0, .03, .97, 1] and refines the worst segment until the max error
+  is below relTol * range. Returns ('pwpoly', segments, lo, hi) or None
+  if the tolerance is unmet at maxSegments.'''
+  q = np.linspace(0., 1., inv.shape[0])
+  qd = np.linspace(0., 1., 40001)
+  ref = np.interp(qd, q, inv)
+  rng = max(np.ptp(inv), 1e-30)
+  splits = [0., .03, .97, 1.]
+
+  def fit(splits):
+    segs, errs = [], []
+    for a, b in zip(splits[:-1], splits[1:]):
+      m = (qd >= a) & (qd <= b)
+      mid, half = (a + b) / 2., max((b - a) / 2., 1e-9)
+      s = (qd[m] - mid) / half
+      d = min(deg, max(1, m.sum() - 1))
+      c = np.polyfit(s, ref[m], d)[::-1]          # ascending coeffs
+      est = np.polyval(c[::-1], s)
+      segs.append((a, b, mid, half, tuple(float(x) for x in c)))
+      errs.append(float(np.abs(est - ref[m]).max()))
+    return segs, errs
+
+  while True:
+    segs, errs = fit(splits)
+    worst = int(np.argmax(errs))
+    if errs[worst] <= relTol * rng:
+      return ('pwpoly', tuple(segs), float(inv.min()), float(inv.max()))
+    if len(splits) - 1 >= maxSegments:
+      return None
+    a, b = splits[worst], splits[worst + 1]
+    splits = sorted(set(splits) | {(a + b) / 2.})

@@ -60,7 +60,8 @@ def numSurfacesStatic(scene):
 
 def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
                 maxIntersections, maxRayLength, distTol, powerTol,
-                histRows=None, hitSlots=1, allowedPerBounce=None):
+                histRows=None, hitSlots=1, allowedPerBounce=None,
+                sampler=None):
   '''Build the kernel body with the scene baked in as python constants.
   surfRows: list of per-surface dicts of floats; elemRows likewise.
   histRows: if set (= D*H), the kernel accumulates the (histRows, 2*W)
@@ -75,14 +76,90 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
   recording passes per ray makes the fast path physics-exact.
   allowedPerBounce: optional list (len maxIntersections) of surface-index
   sets — sequential mode / per-source masks as compile-time constants
-  (reference: find.py:79-104): disallowed surfaces emit no code at all.'''
+  (reference: find.py:79-104): disallowed surfaces emit no code at all.
+  sampler: optional point-source sampling spec (PointSource
+  .pallasSamplerSpec()) baked as python constants. When set, the kernel
+  takes ONLY a seed (SMEM) input and draws its rays with the on-core PRNG
+  + an inverse-CDF tent interpolation — the 8 (N,) ray columns never
+  exist in HBM and the XLA-side sampling slice (~0.9 ms/step at 1M rays)
+  disappears.'''
   H, W = bins
   S = len(surfRows)
 
   hasGrating = any(er['optF'] == float(GRATING) for er in elemRows)
 
-  def kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, pw_ref,
-             wl_ref, *out_refs):
+  def _marginal(spec, u):
+    '''Inverse-CDF transform of uniform u with the marginal baked as python
+    constants. affine -> one FMA. pwpoly -> piecewise Horner polynomials
+    (few segments x deg<=9: ~35 VPU ops, ~0.1 ms per 1e6 rays, fitted to
+    <5e-3 relative error — tighter than the XLA path's own 257-knot tent).
+    table -> K-knot tent interpolation fallback (K FMA passes — accurate
+    but ~6x the pwpoly cost).'''
+    kind = spec[0]
+    if kind == 'affine':
+      _, lo, hi = spec
+      return lo + u * (hi - lo)
+    if kind == 'pwpoly':
+      _, segs, clampLo, clampHi = spec
+      out = None
+      for a, _b, mid, half, coeffs in segs:   # ascending segments
+        s = (u - float(mid)) * float(1.0 / half)
+        acc = jnp.full_like(u, float(coeffs[-1]))
+        for c in reversed(coeffs[:-1]):
+          acc = acc * s + float(c)
+        out = acc if out is None else jnp.where(u >= float(a), acc, out)
+      return jnp.clip(out, float(clampLo), float(clampHi))
+    _, table = spec
+    K = len(table)
+    pos = u * float(K - 1)
+    acc = jnp.zeros_like(u)
+    for qi, val in enumerate(table):
+      acc = acc + jnp.maximum(0., 1. - jnp.abs(pos - float(qi))) \
+          * float(val)
+    return acc
+
+  def _sampleRays(seed_ref, shape):
+    '''Draw the tile's rays with the on-core PRNG (per-tile stream via
+    program_id) through the baked inverse-CDF marginals, then apply the
+    source placement as python-constant FMAs (the in-kernel analog of
+    point_source.deviceColumnsGenerator).'''
+    pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+    def uniform():
+      bits = pltpu.prng_random_bits(shape)
+      # 23 high bits -> f32 in [0, 1): int32 convert is the supported path
+      i = (pltpu.bitcast(bits, jnp.uint32) >> jnp.uint32(9)) \
+          .astype(jnp.int32)
+      return i.astype(jnp.float32) * (1.0 / (1 << 23))
+    t = _marginal(sampler['first'], uniform())
+    p = _marginal(sampler['phi'], uniform())
+    sp, cp = jnp.sin(p), jnp.cos(p)
+    if sampler['finite']:
+      f = float(sampler['f'])
+      st, ct = jnp.sin(t), jnp.cos(t)
+      ldx, ldy, ldz = st * sp, -st * cp, ct
+      lox, loy, loz = -f * ldx, -f * ldy, f * (1. - ldz)
+    else:
+      ldx = jnp.zeros(shape)
+      ldy = jnp.zeros(shape)
+      ldz = jnp.ones(shape)
+      lox, loy, loz = t * cp, -t * sp, jnp.zeros(shape)
+    R, off = sampler['R'], sampler['off']
+    ox = R[0][0] * lox + R[0][1] * loy + R[0][2] * loz + off[0]
+    oy = R[1][0] * lox + R[1][1] * loy + R[1][2] * loz + off[1]
+    oz = R[2][0] * lox + R[2][1] * loy + R[2][2] * loz + off[2]
+    dx = R[0][0] * ldx + R[0][1] * ldy + R[0][2] * ldz
+    dy = R[1][0] * ldx + R[1][1] * ldy + R[1][2] * ldz
+    dz = R[2][0] * ldx + R[2][1] * ldy + R[2][2] * ldz
+    pw = jnp.ones(shape)
+    wl = jnp.full(shape, float(sampler['wavelength']))
+    return ox, oy, oz, dx, dy, dz, pw, wl
+
+  def kernel(*refs):
+    if sampler is not None:
+      seed_ref, out_refs = refs[0], refs[1:]
+    else:
+      (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, pw_ref,
+       wl_ref), out_refs = refs[:8], refs[8:]
     if histRows is None:
       binOut_refs = out_refs[0:hitSlots]
       wOut_refs = out_refs[hitSlots:2 * hitSlots]
@@ -90,10 +167,14 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
       segOut_ref = out_refs[3 * hitSlots]
     else:
       hist_ref, segOut_ref = out_refs
-    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
-    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
-    pw = pw_ref[:]
-    wl = wl_ref[:]
+    if sampler is not None:
+      ox, oy, oz, dx, dy, dz, pw, wl = _sampleRays(
+          seed_ref, segOut_ref.shape)
+    else:
+      ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+      dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+      pw = pw_ref[:]
+      wl = wl_ref[:]
     shape = ox.shape
     medium = jnp.full(shape, -1.0)   # element id as float, -1 = vacuum
     # NOTE: never materialize bool arrays directly (Mosaic lowers that as an
@@ -572,8 +653,9 @@ def _allowedPerBounce(scene, maxIntersections):
 
 def makePallasTraceStep(scene, histSpec, generator, raysPerStep,
                         maxIntersections, maxRayLength, distTol,
-                        powerTol=1e-6, stratified=False, tile=TILE,
-                        histPrecision='default', hitSlots='auto'):
+                        powerTol=1e-6, stratified=False, tile='auto',
+                        histPrecision='default', hitSlots='auto',
+                        sampler=None, innerSteps=1):
   '''Build the fused sample + pallas-trace + histogram step:
   (key, histograms) -> (histograms, counters). Requires pallasEligible.
   histPrecision: matmul precision of the MXU binning pass — 'default'
@@ -590,14 +672,8 @@ def makePallasTraceStep(scene, histSpec, generator, raysPerStep,
   is undefined. Donation lets XLA update the carried histograms in place;
   without it each step pays device copies that serialize with the kernel
   (~1.9 ms/step at 256x256 bins).'''
-  if raysPerStep % tile:
-    raise ValueError(f'raysPerStep must be a multiple of {tile}')
   H, W = histSpec['bins']
   D = int(np.asarray(histSpec['bounds']).shape[0])
-  # 2-D (rows, 128) tiles — Mosaic mishandles 1-D i1 vectors
-  rows = tile // 128
-  totalRows = raysPerStep // 128
-  grid = (raysPerStep // tile,)
   inKernelHist = (histPrecision == 'default' and D * H <= 2048
                   and D * H % 8 == 0 and W % 128 == 0
                   and D * H * 2 * W * 4 <= (4 << 20))
@@ -608,6 +684,28 @@ def makePallasTraceStep(scene, histSpec, generator, raysPerStep,
     # ray.py:276-277)
     nRec = int(np.sum(np.asarray(histSpec['elemToDet']) >= 0))
     hitSlots = 1 if nRec <= 1 else min(maxIntersections, 4)
+  if tile == 'auto':
+    # biggest power-of-2 tile dividing the step that keeps the live state
+    # inside a ~16 MB VMEM budget: larger tiles amortize grid/PRNG/DMA
+    # bookkeeping (8192 -> 1031 M seg/s vs 131072 -> 1181 M seg/s on the
+    # bench scene, v5e). Live (rows, 128) f32 arrays: ray state +
+    # per-surface distances + hit-slot rings (+ per-ray outputs off the
+    # in-kernel-histogram path).
+    nSurf = numSurfacesStatic(scene)
+    live = 22 + nSurf + 3 * hitSlots + (0 if inKernelHist else 4)
+    maxRows = max(64, (16 << 20) // (live * 128 * 4) // 64 * 64)
+    tile = TILE
+    while tile * 2 <= min(raysPerStep, maxRows * 128) \
+        and raysPerStep % (tile * 2) == 0:
+      tile *= 2
+  if raysPerStep % tile:
+    raise ValueError(f'raysPerStep must be a multiple of {tile}')
+  # 2-D (rows, 128) tiles — Mosaic mishandles 1-D i1 vectors
+  rows = tile // 128
+  totalRows = raysPerStep // 128
+  grid = (raysPerStep // tile,)
+  if stratified:
+    sampler = None    # latin-hypercube draws stay on the XLA side
   surfRows, elemRows = _sceneRows(scene, histSpec)
   kernel = _makeKernel(surfRows, elemRows, histSpec['elemToDet'],
                        histSpec['bounds'], (H, W), maxIntersections,
@@ -615,16 +713,19 @@ def makePallasTraceStep(scene, histSpec, generator, raysPerStep,
                        histRows=D * H if inKernelHist else None,
                        hitSlots=hitSlots,
                        allowedPerBounce=_allowedPerBounce(scene,
-                                                          maxIntersections))
+                                                          maxIntersections),
+                       sampler=sampler)
   spec = pl.BlockSpec((rows, 128), lambda i: (i, 0),
                       memory_space=pltpu.VMEM)
+  inSpecs = ([pl.BlockSpec(memory_space=pltpu.SMEM)] if sampler is not None
+             else [spec] * 8)
   if inKernelHist:
     histSpecBlock = pl.BlockSpec((D * H, 2 * W), lambda i: (0, 0),
                                  memory_space=pltpu.VMEM)
     traceCall = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[spec] * 8,
+        in_specs=inSpecs,
         out_specs=[histSpecBlock, spec],
         out_shape=[jax.ShapeDtypeStruct((D * H, 2 * W), jnp.float32),
                    jax.ShapeDtypeStruct((totalRows, 128), jnp.float32)],
@@ -634,7 +735,7 @@ def makePallasTraceStep(scene, histSpec, generator, raysPerStep,
     traceCall = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[spec] * 8,
+        in_specs=inSpecs,
         out_specs=[spec] * nOut,
         out_shape=[jax.ShapeDtypeStruct((totalRows, 128),
                                         jnp.float32)] * nOut,
@@ -642,32 +743,37 @@ def makePallasTraceStep(scene, histSpec, generator, raysPerStep,
 
   # donating the carried histograms lets XLA update them in place; without
   # it each step pays two f32[D,H,W] copies that serialize with the kernel
-  @partial(jax.jit, donate_argnums=(1,))
-  def step(key, histograms):
+  def _oneStep(key, histograms):
     def tiled(x):
       return x.reshape(totalRows, 128)
 
-    batch = generator(key, raysPerStep, stratified=stratified)
-    if 'ox' in batch:   # column-form generator
-      wlCol = batch.get('wl')
-      if wlCol is None:
-        wlCol = jnp.zeros_like(batch['pw'])
-      elif jnp.ndim(wlCol) == 0:
-        wlCol = jnp.full_like(batch['pw'], wlCol)
-      cols = (batch['ox'], batch['oy'], batch['oz'],
-              batch['dx'], batch['dy'], batch['dz'], batch['pw'], wlCol)
+    if sampler is not None:
+      # one int32 seed per step; tiles decorrelate via program_id
+      inputs = (jax.random.randint(key, (1,), 0, 2 ** 31 - 1,
+                                   dtype=jnp.int32),)
     else:
-      o, d = batch['origins'], batch['directions']
-      cols = (o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
-              batch['powers'], batch['wavelengths'])
+      batch = generator(key, raysPerStep, stratified=stratified)
+      if 'ox' in batch:   # column-form generator
+        wlCol = batch.get('wl')
+        if wlCol is None:
+          wlCol = jnp.zeros_like(batch['pw'])
+        elif jnp.ndim(wlCol) == 0:
+          wlCol = jnp.full_like(batch['pw'], wlCol)
+        cols = (batch['ox'], batch['oy'], batch['oz'],
+                batch['dx'], batch['dy'], batch['dz'], batch['pw'], wlCol)
+      else:
+        o, d = batch['origins'], batch['directions']
+        cols = (o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
+                batch['powers'], batch['wavelengths'])
+      inputs = tuple(tiled(x) for x in cols)
     if inKernelHist:
-      delta, segs = traceCall(*[tiled(x) for x in cols])
+      delta, segs = traceCall(*inputs)
       hist = dict(
           power=histograms['power'] + delta[:, :W].reshape(D, H, W),
           counts=histograms['counts'] + delta[:, W:].reshape(D, H, W))
       hits = jnp.sum(delta[:, W:]).astype(jnp.int32)
     else:
-      outs = traceCall(*[tiled(x) for x in cols])
+      outs = traceCall(*inputs)
       segs = outs[3 * hitSlots]
       flat = jnp.stack([histograms['power'].reshape(-1),
                         histograms['counts'].reshape(-1)], axis=-1)
@@ -697,4 +803,21 @@ def makePallasTraceStep(scene, histSpec, generator, raysPerStep,
                     escaped=jnp.zeros((), jnp.int32))
     return hist, counters
 
-  return step
+  if innerSteps <= 1:
+    return jax.jit(_oneStep, donate_argnums=(1,))
+
+  # amortize the per-dispatch host/relay overhead (~2 ms/call on the axon
+  # relay — comparable to the 1M-ray kernel itself) by scanning innerSteps
+  # kernel launches inside ONE jit; counters return summed
+  @partial(jax.jit, donate_argnums=(1,))
+  def stepScan(key, histograms):
+    keys = jax.random.split(key, innerSteps)
+
+    def body(hist, k):
+      hist, counters = _oneStep(k, hist)
+      return hist, counters
+
+    hist, counters = lax.scan(body, histograms, keys)
+    return hist, jax.tree.map(lambda x: jnp.sum(x, axis=0), counters)
+
+  return stepScan

@@ -410,8 +410,11 @@ def runSimulation(scene, action, endIf=None, seed=None, store=None,
           and hasattr(src, 'deviceColumnsGenerator'):
         nPad = -(-n // pallas_trace.TILE) * pallas_trace.TILE
         kwargs['raysPerStep'] = nPad
+        samplerSpec = (src.pallasSamplerSpec()
+                       if hasattr(src, 'pallasSamplerSpec') else None)
         return pallas_trace.makePallasTraceStep(
-            sc, histSpec, src.deviceColumnsGenerator(), **kwargs), nPad
+            sc, histSpec, src.deviceColumnsGenerator(),
+            sampler=samplerSpec, **kwargs), nPad
       return fusedMod.makeFusedStep(sc, src.deviceGenerator(), histSpec,
                                     **kwargs), n
 

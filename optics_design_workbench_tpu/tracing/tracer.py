@@ -296,6 +296,8 @@ def trace(scene, origins, directions, powers, wavelengths,
 
 
 def totalSegments(records):
-  '''Number of traced ray-segments (the benchmark unit).'''
+  '''Number of traced ray-segments (the benchmark unit). int32 is explicit:
+  per-call record arrays are bounded by maxIntersections * batch (< 2^31);
+  callers accumulate across calls in python ints.'''
   key = 'segValid' if 'segValid' in records else 'isHit'
-  return jnp.sum(records[key].astype(jnp.int64))
+  return jnp.sum(records[key].astype(jnp.int32))

@@ -177,3 +177,45 @@ def test_sequential_mode_masks_in_kernel():
   assert np.array_equal(hP, hX)
   # all recorded hits must be on the FAR detector's histogram rows
   assert hP[0].sum() == 0 or True  # layout checked via equality above
+
+
+def test_in_kernel_sampler_matches_xla_sampling():
+  '''The in-kernel PRNG + piecewise-poly inverse-CDF sampler
+  (PointSource.pallasSamplerSpec + ops/pallas_trace._sampleRays) must
+  reproduce the XLA device sampler's hit distribution: same hit count,
+  centroid and spot spread within Monte-Carlo error at 1M rays.'''
+  from optics_design_workbench_tpu import benchmarks
+  from optics_design_workbench_tpu.ops import pallas_trace
+  from optics_design_workbench_tpu.tracing import fused
+
+  scene = benchmarks.buildLensMirrorScene()
+  N = 1 << 20
+  device, info = scene.compile()
+  device['powerTol'] = 1e-6
+  hs = fused.makeHistogramSpec(device, info, bounds=(-60., 60., -60., 60.),
+                               bins=(128, 128))
+  src = scene.lightSources()[0]
+  settings = scene.activeSimulationSettings()
+  spec = src.pallasSamplerSpec()
+  assert spec is not None and spec['first'][0] in ('pwpoly', 'table')
+  key = jax.random.PRNGKey(7)
+
+  def runOnce(sampler):
+    step = pallas_trace.makePallasTraceStep(
+        device, hs, src.deviceColumnsGenerator(), raysPerStep=N,
+        maxIntersections=6, maxRayLength=settings.maxRayLength(),
+        distTol=1e-4, sampler=sampler)
+    h = fused.initHistograms(hs)
+    h, c = step(key, h)
+    H = np.asarray(h['counts'])[0]
+    n = H.sum()
+    ys, xs = np.indices(H.shape)
+    cy, cx = (H * ys).sum() / n, (H * xs).sum() / n
+    spread = np.sqrt((H * ((ys - cy) ** 2 + (xs - cx) ** 2)).sum() / n)
+    return int(c['hits']), cy, cx, spread
+
+  hitsA, cyA, cxA, spA = runOnce(spec)
+  hitsB, cyB, cxB, spB = runOnce(None)
+  assert abs(hitsA - hitsB) < 0.01 * N
+  assert abs(cyA - cyB) < 0.5 and abs(cxA - cxB) < 0.5
+  assert abs(spA - spB) < 0.02 * max(spA, spB)

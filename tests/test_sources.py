@@ -169,3 +169,31 @@ class TestReplaySource:
                           usedFilesDir=str(tmp_path / 'used'))
     with pytest.raises(ValueError):
       replay.generateRays('fans')
+
+
+def test_fit_piecewise_poly_accuracy():
+  '''_fitPiecewisePoly must reproduce tabulated inverse CDFs (with their
+  sqrt-at-0 and thin-tail boundary layers) to < 5e-3 of the range, and
+  give up (None) on a step it cannot fit.'''
+  from optics_design_workbench_tpu.models.point_source import \
+      _fitPiecewisePoly
+  q = np.linspace(0., 1., 4097)
+  # gaussian-with-jacobian-like inverse: sqrt at 0, steep tail at 1
+  inv = 0.35 * np.sqrt(-np.log1p(-q * (1 - np.exp(-6.))) / 6.)
+  spec = _fitPiecewisePoly(inv)
+  assert spec is not None and spec[0] == 'pwpoly'
+  _, segs, lo, hi = spec
+  qd = np.linspace(0., 1., 100001)
+  ref = np.interp(qd, q, inv)
+  est = np.zeros_like(qd)
+  for a, b, mid, half, coeffs in segs:
+    s = (qd - mid) / half
+    acc = np.full_like(qd, coeffs[-1])
+    for c in reversed(coeffs[:-1]):
+      acc = acc * s + c
+    est = np.where(qd >= a, acc, est)
+  est = np.clip(est, lo, hi)
+  assert np.abs(est - ref).max() < 5e-3 * np.ptp(inv)
+  # a hard step cannot be fit by a few smooth segments
+  step = np.where(q < .5, 0., 1.)
+  assert _fitPiecewisePoly(step) is None
