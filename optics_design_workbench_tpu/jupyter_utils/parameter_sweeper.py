@@ -11,10 +11,10 @@ jupyter_utils/parameter_sweeper.py):
     history ring buffer + periodic dumps, best parameters restored at exit
     (:757-918),
   * `optimizeStrategyStep([...])`: several optimize configs with arg-dict
-    inheritance and global best tracking (:454-746). The reference runs them
-    as OS processes each owning a FreeCAD instance; here the TPU is a single
-    shared resource, so strategies run sequentially against the in-process
-    scene (documented deviation),
+    inheritance run as CONCURRENT OS worker processes with the reference's
+    global-best tracking, worker revival and laggard-quitting policies
+    (:454-746); sequential in-process fallback when the scene/factory/
+    objective cannot pickle,
   * TPU-native addition `evaluateBatched`: an extra leading scene-parameter
     axis — N geometry variants compiled into stacked device tables and
     traced in ONE vmapped fused call (the examples/3 lens-radius sweep runs
@@ -272,27 +272,256 @@ class ParameterSweeper:
     result.bestPenalty = self._bestPenalty
     return result
 
-  def optimizeStrategyStep(self, strategies, **commonKwargs):
+  def optimizeStrategyStep(self, strategies, parallel='auto',
+                           relWaitForParallel=.5, absWaitForParallel=300,
+                           maxWorkerReviveCount=3, workerReviveDelay=1800,
+                           pollSeconds=1., forceCpu=True,
+                           progressCallback=None, **commonKwargs):
     '''Run several optimize() configurations, each inheriting unset keys
-    from the first (reference: parameter_sweeper.py:454-746). The reference
-    parallelizes across OS processes each owning a FreeCAD; on TPU the chip
-    is one shared resource, so strategies run sequentially and the global
-    best survives into each next strategy.'''
+    from the first (reference: parameter_sweeper.py:454-746).
+
+    With parallel (default 'auto'), the strategies run as CONCURRENT OS
+    worker processes — the host analog of the reference's
+    SweeperOptimizeWorker pool — with the reference's policies:
+      * the master polls per-worker history dumps and tracks the global
+        best (parameter_sweeper.py:563-585);
+      * a finished worker is revived as a fresh clone seeded with the
+        current global best, up to maxWorkerReviveCount times, after
+        workerReviveDelay seconds (:645-676);
+      * once a worker finished and nobody improved the penalty for
+        relWaitForParallel*runtime + absWaitForParallel seconds, the
+        remaining laggards are quit with escalating signals (:686-711).
+
+    The scene, the parameters factory and the minimize function must all
+    pickle (module-level functions, not notebook lambdas) for the worker
+    processes to reconstruct the sweeper; when they don't — or with
+    parallel=False — strategies run sequentially in-process with the
+    global best surviving into each next strategy (documented fallback).
+    Workers default to the CPU backend (forceCpu) since the TPU chip is a
+    single shared resource.'''
     if not strategies:
       return []
     base = dict(strategies[0])
-    results = []
-    for i, strat in enumerate(strategies):
-      cfg = {**commonKwargs, **base, **strat}
-      io.info(f'optimize strategy {i + 1}/{len(strategies)}: '
-              f'{cfg.get("method", "Nelder-Mead")}')
+    configs = [{**commonKwargs, **base, **s} for s in strategies]
+
+    job = None
+    if parallel in ('auto', True) and len(configs) > 1:
       try:
-        results.append(self.optimize(**cfg))
+        job = pickle.dumps(dict(factory=self._getParametersFunc,
+                                scene=self.scene, configs=configs))
       except Exception as e:
-        io.warn(f'strategy {i + 1} failed: {e}')
+        if parallel is True:
+          raise ValueError(
+              'parallel optimizeStrategyStep needs picklable scene/'
+              f'parameters-factory/minimizeFunc: {e}') from e
+        io.warn(f'strategy configs are not picklable ({e}); running '
+                f'strategies sequentially in-process')
+    if job is None:
+      results = []
+      for i, cfg in enumerate(configs):
+        io.info(f'optimize strategy {i + 1}/{len(configs)}: '
+                f'{cfg.get("method", "Nelder-Mead")}')
+        try:
+          results.append(self.optimize(**cfg))
+        except Exception as e:
+          io.warn(f'strategy {i + 1} failed: {e}')
+          results.append(None)
+      if self._bestParams is not None:
+        self.set(**self._bestParams)
+      return results
+    return self._optimizeStrategyParallel(
+        configs, relWaitForParallel=relWaitForParallel,
+        absWaitForParallel=absWaitForParallel,
+        maxWorkerReviveCount=maxWorkerReviveCount,
+        workerReviveDelay=workerReviveDelay, pollSeconds=pollSeconds,
+        forceCpu=forceCpu, progressCallback=progressCallback)
+
+  def _optimizeStrategyParallel(self, configs, relWaitForParallel,
+                                absWaitForParallel, maxWorkerReviveCount,
+                                workerReviveDelay, pollSeconds, forceCpu,
+                                progressCallback):
+    import subprocess
+    import sys
+    import tempfile
+
+    workdir = tempfile.mkdtemp(prefix='odw-optimize-')
+
+    class _Worker:
+      def __init__(w, idx, cfg, restartCount=0, startAt=0.,
+                   startParams=None):
+        w.idx, w.cfg = idx, dict(cfg)
+        w.restartCount = restartCount
+        w.startAt = startAt
+        w.startParams = startParams
+        w.proc = None
+        w.wasCloned = False
+        w.tag = f'w{idx}r{restartCount}'
+        w.historyPath = os.path.join(workdir, f'{w.tag}-history.pkl')
+        w.bestPath = os.path.join(workdir, f'{w.tag}-best.pkl')
+
+      def start(w, factory, scene):
+        jobPath = os.path.join(workdir, f'{w.tag}-job.pkl')
+        with open(jobPath, 'wb') as f:
+          pickle.dump(dict(factory=factory, scene=scene, cfg=w.cfg,
+                           startParams=w.startParams,
+                           historyPath=w.historyPath,
+                           bestPath=w.bestPath,
+                           # private results folder per worker: concurrent
+                           # lifecycle flags must not collide (the
+                           # reference works in per-worker temp copies)
+                           scenePath=os.path.join(workdir,
+                                                  f'{w.tag}-scene')), f)
+        code = (
+            "import pickle, jax\n"
+            + ("jax.config.update('jax_platforms', 'cpu')\n"
+               if forceCpu else '')
+            + f"job = pickle.load(open({jobPath!r}, 'rb'))\n"
+            + "from optics_design_workbench_tpu.jupyter_utils import "
+              "parameter_sweeper as PS\n"
+            + "from optics_design_workbench_tpu.utils import io as _io\n"
+            + "sw = PS.ParameterSweeper(job['factory'], "
+              "scene=job['scene'])\n"
+            + "sw.scene.path = job['scenePath']\n"
+            + "if job['startParams']:\n"
+            + "  sw.set(**job['startParams'])\n"
+            + "try:\n"
+            + "  sw.optimize(historyDumpPath=job['historyPath'], "
+              "restoreBestAtExit=False, **job['cfg'])\n"
+            + "finally:\n"
+            + "  _io.atomicWrite(job['bestPath'], pickle.dumps(dict("
+              "params=sw._bestParams, penalty=sw._bestPenalty)))\n")
+        env = dict(os.environ)
+        repoRoot = os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        env['PYTHONPATH'] = os.pathsep.join(
+            p for p in [repoRoot, env.get('PYTHONPATH', '')] if p)
+        w.proc = subprocess.Popen([sys.executable, '-c', code], env=env)
+
+      def isRunning(w):
+        return w.proc is not None and w.proc.poll() is None
+
+      def wasStarted(w):
+        return w.proc is not None
+
+      def fetchHistory(w):
+        try:
+          with open(w.historyPath, 'rb') as f:
+            return pickle.load(f)
+        except Exception:
+          return []
+
+      def escalatingQuit(w, graceSeconds=10):
+        if not w.isRunning():
+          return
+        if getattr(w, '_quitAt', None) is None:
+          w._quitAt = time.time()
+          w.proc.terminate()
+        elif time.time() - w._quitAt > graceSeconds:
+          w.proc.kill()
+
+    factory, scene = self._getParametersFunc, self.scene
+    workers = [_Worker(i, cfg) for i, cfg in enumerate(configs)]
+    t0 = time.time()
+    for w in workers:
+      w.start(factory, scene)
+    activeWorkers = list(workers)
+    bestPenalty, bestParams = math.inf, None
+    lastPenaltyImprovement = t0
+    lastWorkerFinished = math.inf
+    tryToEndWorkersSince = math.inf
+    try:
+      while True:
+        allHist = []
+        for w in workers:
+          allHist.extend(w.fetchHistory())
+        if allHist:
+          bestEntry = min(allHist, key=lambda h: h['penalty'])
+          if bestEntry['penalty'] < bestPenalty:
+            bestPenalty = bestEntry['penalty']
+            bestParams = dict(bestEntry['params'])
+            lastPenaltyImprovement = time.time()
+            io.verb(f'new global best {bestPenalty:g}: {bestParams}')
+            if progressCallback is not None:
+              try:
+                progressCallback(bestParams=bestParams, history=allHist)
+              except Exception as e:
+                io.warn(f'progressCallback raised: {e}')
+
+        # revive finished workers as best-seeded clones (reference policy)
+        for w in list(activeWorkers):
+          if w.wasStarted() and not w.isRunning():
+            lastWorkerFinished = time.time()   # fires once: pruned below
+            if (not w.wasCloned
+                and w.restartCount < maxWorkerReviveCount
+                and sum(1 for o in activeWorkers if o.isRunning()) > 1
+                and not np.isfinite(tryToEndWorkersSince)):
+              w.wasCloned = True
+              clone = _Worker(w.idx, w.cfg,
+                              restartCount=w.restartCount + 1,
+                              startAt=time.time() + workerReviveDelay,
+                              startParams=bestParams)
+              activeWorkers.append(clone)
+              workers.append(clone)
+
+        # start due clones
+        for w in activeWorkers:
+          if not w.wasStarted() and w.startAt <= time.time():
+            w.startParams = bestParams or w.startParams
+            io.info(f'reviving strategy {w.idx} '
+                    f'(restart #{w.restartCount})')
+            w.start(factory, scene)
+
+        activeWorkers = [w for w in activeWorkers
+                         if w.isRunning() or not w.wasStarted()]
+        if not activeWorkers:
+          break
+
+        # laggard quitting (reference: parameter_sweeper.py:686-702)
+        if np.isfinite(lastWorkerFinished) \
+            and not np.isfinite(tryToEndWorkersSince):
+          wait = relWaitForParallel * (lastWorkerFinished - t0) \
+              + absWaitForParallel
+          if time.time() - lastWorkerFinished > wait \
+              and time.time() - lastPenaltyImprovement > wait:
+            io.info('a strategy finished and nobody improved since; '
+                    'quitting remaining workers')
+            tryToEndWorkersSince = time.time()
+            activeWorkers = [w for w in activeWorkers if w.wasStarted()]
+        if time.time() >= tryToEndWorkersSince:
+          for w in activeWorkers:
+            w.escalatingQuit()
+        time.sleep(pollSeconds)
+    finally:
+      for w in workers:
+        while w.isRunning():
+          w.escalatingQuit()
+          time.sleep(.5)
+      # merge worker histories + apply the global best in-process
+      allHist = []
+      for w in workers:
+        allHist.extend(w.fetchHistory())
+      self.history.extend(sorted(allHist, key=lambda h: h['time']))
+      if bestParams is None:
+        for w in workers:
+          try:
+            with open(w.bestPath, 'rb') as f:
+              b = pickle.load(f)
+            if b['params'] and b['penalty'] < bestPenalty:
+              bestPenalty, bestParams = b['penalty'], b['params']
+          except Exception:
+            pass
+      if bestParams is not None:
+        if bestPenalty < self._bestPenalty:
+          self._bestPenalty = bestPenalty
+          self._bestParams = dict(bestParams)
+        self.set(**bestParams)
+    results = []
+    for w in workers[:len(configs)]:
+      try:
+        with open(w.bestPath, 'rb') as f:
+          results.append(pickle.load(f))
+      except Exception:
         results.append(None)
-    if self._bestParams is not None:
-      self.set(**self._bestParams)
     return results
 
   # ------------------------------------------------------- batched evaluation
