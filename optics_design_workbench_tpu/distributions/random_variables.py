@@ -83,8 +83,17 @@ class _Timeout:
       def handler(sig, frame):
         if not self._active or time.time() < self.deadline:
           return  # late or spurious alarm: never interrupt unrelated code
-        # re-arm before raising: if this raise lands in a context that
-        # swallows exceptions (gc callback), the retry still fires
+        # a raise inside a gc callback frame (observed: jax's
+        # _xla_gc_callback) is swallowed as an "unraisable exception" and
+        # noisily printed — don't raise there, just retry shortly so the
+        # interrupt lands at a bytecode boundary in a normal frame
+        name = frame.f_code.co_name if frame is not None else ''
+        if frame is None or name == '_xla_gc_callback' \
+            or frame.f_code.co_filename.endswith('gc.py'):
+          signal.setitimer(signal.ITIMER_REAL, .05)
+          return
+        # re-arm before raising: if this raise still lands in a context
+        # that swallows exceptions, the retry fires regardless
         signal.setitimer(signal.ITIMER_REAL, .25)
         raise KeyboardInterrupt('time is up')
       self._prevHandler = signal.signal(signal.SIGALRM, handler)

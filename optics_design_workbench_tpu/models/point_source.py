@@ -415,14 +415,14 @@ class PointSource(GenericSource):
 
     return generate
 
-  def pallasSamplerSpec(self, knots=129):
+  def pallasSamplerSpec(self):
     '''In-kernel sampling descriptor for the fused Pallas path
-    (ops/pallas_trace): the (theta|r, phi) inverse-CDF marginals resampled
-    to `knots` uniform quantiles and baked as python constants, plus the
+    (ops/pallas_trace): the (theta|r, phi) inverse-CDF marginals as
+    piecewise Horner polynomials baked as python constants, plus the
     placement/focal geometry. Returns None when the source needs features
     the in-kernel sampler does not cover (conditioned joints, discrete
-    Heaviside events, >2 variables) — callers then keep the XLA-side
-    generator.'''
+    Heaviside events, >2 variables, inverses too sharp to fit) — callers
+    then keep the XLA-side generator.'''
     if self._deviceTables is None:
       self._deviceTables = buildDeviceTables(self._getVrv())
     tables = self._deviceTables['tables']
@@ -440,11 +440,11 @@ class PointSource(GenericSource):
         inv = np.asarray(t['invCdf'][0], float)
         spec = _fitPiecewisePoly(inv)
         if spec is None:
-          # very sharp inverse (narrow features the piecewise fit cannot
-          # meet at tolerance): dense tent-table fallback
-          q = np.linspace(0., 1., inv.shape[0])
-          qs = np.linspace(0., 1., int(knots))
-          spec = ('table', tuple(float(v) for v in np.interp(qs, q, inv)))
+          # very sharp inverse (features the piecewise fit cannot meet at
+          # tolerance): keep the XLA-side sampler — the in-kernel dense
+          # tent table is SLOWER than sampling outside the kernel
+          # (129 knots: +2.2 ms/1M rays vs the XLA path's ~0.3 ms)
+          return None
         specs.append(spec)
       else:
         return None   # conditioned joint: needs the row-indexed inverse
@@ -498,7 +498,7 @@ class PointSource(GenericSource):
     return generate
 
 
-def _fitPiecewisePoly(inv, maxSegments=6, deg=9, relTol=5e-3):
+def _fitPiecewisePoly(inv, maxSegments=12, deg=9, relTol=5e-3):
   '''Fit the tabulated inverse CDF `inv` (uniform quantile grid) as a few
   Horner polynomials in per-segment scaled coordinates, for the in-kernel
   Pallas sampler (ops/pallas_trace._marginal 'pwpoly'). Inverse CDFs of
