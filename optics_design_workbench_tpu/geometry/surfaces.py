@@ -50,6 +50,7 @@ right-handed winding.
 '''
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -169,22 +170,21 @@ def buildSurfaceTable(surfs, dtype=jnp.float32):
       elem=np.asarray([s['elem'] for s in surfs], dtype=np.int32),
       orient=np.asarray([s['orient'] for s in surfs], dtype=npDtype),
   )
-  table = {k: jnp.asarray(v) for k, v in host.items()}
+  table = dict(host)
   kinds = host['kind']
   byKind = {}
   for kind in sorted(set(kinds.tolist())):
     sel = np.nonzero(kinds == kind)[0]
     start, stop = int(sel[0]), int(sel[-1]) + 1
     byKind[_KIND_NAMES[kind]] = {
-        k: jnp.asarray(host[k][start:stop])
+        k: host[k][start:stop]
         for k in ('params', 'trim', 'w2lRot', 'w2lOff')}
     if maskIdx is not None and (host['trim'][start:stop, 0] > 1.5).any():
-      byKind[_KIND_NAMES[kind]]['trimMaskIdx'] = jnp.asarray(
-          maskIdx[start:stop])
+      byKind[_KIND_NAMES[kind]]['trimMaskIdx'] = maskIdx[start:stop]
   table['byKind'] = byKind
   if maskStack is not None:
-    table['trimMasks'] = jnp.asarray(maskStack)
-    table['trimMaskIdx'] = jnp.asarray(maskIdx)
+    table['trimMasks'] = maskStack
+    table['trimMaskIdx'] = maskIdx
   # packed per-surface row for the post-selection hot path: ONE (N, K)
   # gather instead of many small-minor-dim gathers — (N,3,3) gathers +
   # matvecs have pathological T(4,128) layouts on TPU (40-60 ms per 1e6
@@ -199,7 +199,15 @@ def buildSurfaceTable(surfs, dtype=jnp.float32):
       np.asarray([[float(s['kind'])] for s in surfs]),
       np.stack([s['params'] for s in surfs]),
   ], axis=1)
-  table['packed'] = jnp.asarray(packed, dtype=dtype)
+  table['packed'] = packed.astype(npDtype)
+  # ONE batched host->device transfer for the whole table: per-array
+  # jnp.asarray calls cost ~0.35 s each over the axon relay (31 arrays =
+  # ~11 s of scene-compile latency)
+  table = jax.device_put(table)
+  # host copy of the (kind-sorted) element indices so callers never pay a
+  # device->host fetch during compilation (the first fetch of a process
+  # costs seconds to minutes over the relay)
+  table['_hostElem'] = host['elem']
   return table
 
 

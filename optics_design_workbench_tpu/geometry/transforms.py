@@ -74,9 +74,13 @@ def applyToDirections(m, dirs):
 def rotRowsOffsets(matrices, dtype=np.float32):
   '''Split a stack of 4x4 matrices into (rot (N,3,3), offset (N,3)) device
   arrays.'''
+  # NUMPY outputs on purpose: scene compilation assembles everything on
+  # host and transfers once. Returning device arrays here made
+  # buildSurfaceTable's np.asarray(..., dtype) round-trips each compile a
+  # tiny convert program over the remote-compile link (~16 s EACH — a
+  # 6-surface scene.compile took 380 s on the axon relay).
   m = np.asarray(matrices, dtype=float)
-  return (jnp.asarray(m[..., :3, :3], dtype=dtype),
-          jnp.asarray(m[..., :3, 3], dtype=dtype))
+  return (m[..., :3, :3].astype(dtype), m[..., :3, 3].astype(dtype))
 
 
 # ------------------------------------------------------------- device helpers

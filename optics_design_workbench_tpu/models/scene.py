@@ -119,6 +119,9 @@ class Scene:
           inst['elem'] = e
           surfs.append(inst)
     table = geomSurfaces.buildSurfaceTable(surfs, dtype=dtype)
+    # host copy of the per-surface element ids: never fetch from device
+    # during compilation (a D2H fetch costs seconds over the axon relay)
+    surfElemHost = table.pop('_hostElem')
     scene = dict(surfaces=table, elements=buildElementTable(elems,
                                                             dtype=dtype))
 
@@ -133,7 +136,7 @@ class Scene:
     if settings is not None and settings.SequentialMode \
         and settings.SequentialModeElements:
       labelToIdx = {g.Label: i for i, g in enumerate(groups)}
-      surfElem = np.asarray(table['elem'])
+      surfElem = surfElemHost
       rows = []
       for labels in settings.SequentialModeElements:
         allowedElems = {labelToIdx[l] for l in labels}
@@ -141,7 +144,7 @@ class Scene:
       scene['seqMask'] = jnp.asarray(np.stack(rows))
 
     surfMasks = {}
-    surfElem = np.asarray(table['elem'])
+    surfElem = surfElemHost
     for src in self.lightSources():
       ignored = set(getattr(src, 'IgnoredOpticalElements', []) or [])
       if ignored:

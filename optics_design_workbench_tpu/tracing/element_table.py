@@ -9,6 +9,7 @@ require gratings).
 '''
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from .tracer import OPTICAL_TYPES, GRATING_REFLECTION, GRATING_TRANSMISSION
@@ -71,7 +72,7 @@ def buildElementTable(elems, dtype=jnp.float32):
                               dtype=npDtype),
       recordHits=np.asarray([e['recordHits'] for e in elems], dtype=bool),
   )
-  table = {k: jnp.asarray(v) for k, v in host.items()}
+  table = dict(host)
   # packed per-element row for the batched tracer (one gather per bounce):
   # [optType, refrIndex, reflectivity, absorptionLength, gratingType,
   #  gratingLpm, gratingDir(3), gratingOrder, recordHits]
@@ -83,7 +84,7 @@ def buildElementTable(elems, dtype=jnp.float32):
       *e['gratingLinesOrientation'],
       e['gratingDiffractionOrder'],
       float(bool(e['recordHits']))]) for e in elems])
-  table['packed'] = jnp.asarray(packed.astype(npDtype))
+  table['packed'] = packed.astype(npDtype)
   if any(e.get('dispersion') is not None for e in elems):
     grids = [np.asarray(e['dispersion'][0], dtype=float)
              for e in elems if e.get('dispersion') is not None]
@@ -100,7 +101,9 @@ def buildElementTable(elems, dtype=jnp.float32):
       else:
         rows.append(np.full(len(lamGrid), e['refractiveIndex']))
         hasDisp.append(False)
-    table['nLambda'] = jnp.asarray(lamGrid.astype(npDtype))
-    table['nTable'] = jnp.asarray(np.stack(rows).astype(npDtype))
-    table['hasDispersion'] = jnp.asarray(np.asarray(hasDisp, dtype=bool))
-  return table
+    table['nLambda'] = lamGrid.astype(npDtype)
+    table['nTable'] = np.stack(rows).astype(npDtype)
+    table['hasDispersion'] = np.asarray(hasDisp, dtype=bool)
+  # ONE batched host->device transfer (per-array jnp.asarray costs ~0.35 s
+  # each over the axon relay)
+  return jax.device_put(table)
