@@ -6,8 +6,10 @@ arrays per bounce crossing HBM between XLA fusions.
 
 Scope (the common fast case; the XLA batch tracer remains the general
 fallback): analytic surfaces plane/sphere/cylinder/asphere, element types
-Mirror/Lens/Grating/Absorber/Vacuum with constant refractive index, no
-stochastic scatter, no dispersion, no sequential mode. Each ray records at
+Mirror/Lens/Grating/Absorber/Vacuum with constant or dispersive (n(lambda)
+fitted as a per-element polynomial, evaluated once per ray) refractive
+index, sequential mode / per-source masks as compile-time constants, no
+stochastic scatter. Each ray records at
 most its
 LAST in-bounds detector hit (detectors are terminal absorbers/vacuums in
 practice); the per-ray bin index + power are accumulated into the
@@ -45,7 +47,7 @@ def pallasEligible(scene):
     return False
   if 'scatter' in scene:
     return False
-  if 'nTable' in scene['elements']:
+  if 'nTable' in scene['elements'] and not dispersionFitsInKernel(scene):
     return False
   if GS.TRIANGLE in kinds or GS.CONE in kinds:
     return False
@@ -186,6 +188,20 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
     hitC = [jnp.zeros(shape) for _ in range(hitSlots)]
     hitN = jnp.zeros(shape)
 
+    # dispersion: n(wavelength) per dispersive element, evaluated ONCE
+    # (wavelength is constant along a ray) as a Horner polynomial in the
+    # scaled wavelength (reference: ray.py wavelength-dependent n via
+    # optical_group dispersion tables)
+    nOfElem = {}
+    for e, er in enumerate(elemRows):
+      if er.get('nPoly') is not None:
+        mid, half, coeffs = er['nPoly']
+        sW = (wl - float(mid)) * float(1.0 / half)
+        acc = jnp.full(shape, float(coeffs[-1]))
+        for c in reversed(coeffs[:-1]):
+          acc = acc * sW + float(c)
+        nOfElem[e] = acc
+
     for _bounce in range(maxIntersections):
       bounceSurfs = (range(S) if allowedPerBounce is None
                      else sorted(allowedPerBounce[_bounce]))
@@ -276,8 +292,9 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
         gOrder = jnp.zeros(shape)
       for e, er in enumerate(elemRows):
         m = elemF == float(e)
+        nVal = nOfElem.get(e, er['n'])
         optType = jnp.where(m, er['optF'], optType)
-        nElem = jnp.where(m, er['n'], nElem)
+        nElem = jnp.where(m, nVal, nElem)
         refl = jnp.where(m, er['refl'], refl)
         if er['rec'] > 0.5:
           recFlag = recFlag | m
@@ -294,7 +311,7 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
           gDirZ = jnp.where(m, er['gratDirZ'], gDirZ)
           gOrder = jnp.where(m, er['gratOrder'], gOrder)
         mm = medium == float(e)
-        nMed = jnp.where(mm, er['n'], nMed)
+        nMed = jnp.where(mm, nVal, nMed)
         absLenMed = jnp.where(mm, er['absLen'], absLenMed)
 
       # Beer-Lambert
@@ -613,6 +630,11 @@ def _sceneRows(scene, histSpec):
   ep = np.asarray(scene['elements']['packed'], dtype=float)
   elemToDet = np.asarray(histSpec['elemToDet'])
   boundsArr = np.asarray(histSpec['bounds'])
+  # dispersion n(lambda) rows fitted as per-element Horner polynomials in a
+  # scaled wavelength (Sellmeier-like curves fit to <1e-5 at deg<=10);
+  # evaluated ONCE per kernel call (wavelength is constant per ray), so a
+  # dispersive scene costs ~deg FMAs per dispersive element, not per bounce
+  nPolys = _dispersionPolys(scene)
   elemRows = []
   for e in range(ep.shape[0]):
     det = int(elemToDet[e])
@@ -622,11 +644,50 @@ def _sceneRows(scene, histSpec):
         optF=float(ep[e, 0]), n=float(ep[e, 1]), refl=float(ep[e, 2]),
         absLen=absLen if np.isfinite(absLen) else _BIG,
         rec=float(ep[e, 10]), detF=float(det),
+        nPoly=nPolys.get(e),
         bx0=float(b[0]), bx1=float(b[1]), by0=float(b[2]), by1=float(b[3]),
         gratType=float(ep[e, 4]), gratLpm=float(max(ep[e, 5], 1e-9)),
         gratDirX=float(ep[e, 6]), gratDirY=float(ep[e, 7]),
         gratDirZ=float(ep[e, 8]), gratOrder=float(ep[e, 9])))
   return surfRows, elemRows
+
+
+def _dispersionPolys(scene, deg=12, tol=2e-5):
+  '''{elemIdx: (mid, half, coeffsAscending)} for dispersive elements, or
+  raise if a row cannot be fitted to `tol` (callers gate eligibility via
+  dispersionFitsInKernel).'''
+  elements = scene['elements']
+  if 'nTable' not in elements:
+    return {}
+  lam = np.asarray(elements['nLambda'], dtype=float)
+  nTab = np.asarray(elements['nTable'], dtype=float)
+  hasDisp = np.asarray(elements['hasDispersion'])
+  mid, half = (lam[0] + lam[-1]) / 2., max((lam[-1] - lam[0]) / 2., 1e-9)
+  s = (lam - mid) / half
+  out = {}
+  for e in range(nTab.shape[0]):
+    if not hasDisp[e]:
+      continue
+    for d in range(4, deg + 1, 2):
+      c = np.polyfit(s, nTab[e], d)
+      if np.abs(np.polyval(c, s) - nTab[e]).max() <= tol:
+        out[e] = (float(mid), float(half),
+                  tuple(float(x) for x in c[::-1]))
+        break
+    else:
+      raise ValueError(f'dispersion row of element {e} cannot be fitted '
+                       f'to {tol} by a degree-{deg} polynomial')
+  return out
+
+
+def dispersionFitsInKernel(scene):
+  '''True when every dispersive n(lambda) row fits the in-kernel
+  polynomial representation.'''
+  try:
+    _dispersionPolys(scene)
+    return True
+  except ValueError:
+    return False
 
 
 def _allowedPerBounce(scene, maxIntersections):

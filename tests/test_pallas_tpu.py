@@ -219,3 +219,65 @@ def test_in_kernel_sampler_matches_xla_sampling():
   assert abs(hitsA - hitsB) < 0.01 * N
   assert abs(cyA - cyB) < 0.5 and abs(cxA - cxB) < 0.5
   assert abs(spA - spB) < 0.02 * max(spA, spB)
+
+
+def test_dispersive_lens_matches_xla_tracer():
+  '''In-kernel dispersion: a lens with n(lambda) must land chromatic spots
+  where the XLA batch path (jnp.interp over the dispersion table) puts
+  them. The kernel bakes each dispersive element's n(lambda) as a Horner
+  polynomial evaluated once per ray.'''
+  import numpy as np
+  from optics_design_workbench_tpu import benchmarks
+  from optics_design_workbench_tpu.ops import pallas_trace
+  from optics_design_workbench_tpu.tracing import fused
+
+  def stats(h):
+    H = np.asarray(h['counts'])[0]
+    n = H.sum()
+    ys, xs = np.indices(H.shape)
+    cy, cx = (H * ys).sum() / n, (H * xs).sum() / n
+    spread = np.sqrt((H * ((ys - cy) ** 2 + (xs - cx) ** 2)).sum() / n)
+    return cy, cx, spread
+
+  results = {}
+  for wl in (450., 650.):
+    scene = benchmarks.buildLensMirrorScene()
+    scene.getObject('Lens').RefractiveIndex = '1.4 + 2e4/wavelength**2'
+    scene.getObject('Source').Wavelength = wl
+    device, info = scene.compile()
+    device['powerTol'] = 1e-6
+    assert 'nTable' in device['elements']
+    assert pallas_trace.pallasEligible(device)
+    hs = fused.makeHistogramSpec(device, info,
+                                 bounds=(-60., 60., -60., 60.),
+                                 bins=(128, 128))
+    src = scene.lightSources()[0]
+    settings = scene.activeSimulationSettings()
+    N = 1 << 18
+    key = jax.random.PRNGKey(3)
+    cents = {}
+    for tag, sampler in (('pallas', src.pallasSamplerSpec()),
+                         ('xla', 'fused')):
+      h = fused.initHistograms(hs)
+      if tag == 'pallas':
+        step = pallas_trace.makePallasTraceStep(
+            device, hs, src.deviceColumnsGenerator(), raysPerStep=N,
+            maxIntersections=6, maxRayLength=settings.maxRayLength(),
+            distTol=1e-4, sampler=sampler)
+      else:
+        step = fused.makeFusedStep(device, src.deviceGenerator(), hs,
+                                   raysPerStep=N, maxIntersections=6,
+                                   maxRayLength=settings.maxRayLength(),
+                                   distTol=1e-4)
+      h, c = step(key, h)
+      assert int(c['hits']) > 0.8 * N
+      cents[tag] = stats(h)
+    # pallas matches the XLA dispersion within MC error
+    assert abs(cents['pallas'][0] - cents['xla'][0]) < 1.0
+    assert abs(cents['pallas'][1] - cents['xla'][1]) < 1.0
+    assert abs(cents['pallas'][2] - cents['xla'][2]) \
+        < 0.03 * max(cents['xla'][2], 1.)
+    results[wl] = cents['pallas']
+  # chromatic focal shift: n(450) > n(650) -> different defocus blur on
+  # the fixed detector; the spread must differ measurably between colors
+  assert abs(results[450.][2] - results[650.][2]) > 0.5
