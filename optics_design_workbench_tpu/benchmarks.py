@@ -111,7 +111,20 @@ def makeBenchStep(scene=None, raysPerStep=1 << 20, maxIntersections=6,
     else:
       step = fused.makeFusedStep(device, gen, histSpec, **kwargs)
   else:
-    from .parallel import makeShardedFusedStep
-    step = makeShardedFusedStep(mesh, device, gen, histSpec, **kwargs)
+    from .ops import pallas_trace
+    from .parallel import makeShardedFusedStep, makeShardedPallasStep
+    perShard = raysPerStep // mesh.size
+    if usePallas in ('auto', True) and pallas_trace.pallasEligible(device) \
+        and perShard % pallas_trace.TILE == 0 \
+        and jax.default_backend() == 'tpu':
+      colGen = (src.deviceColumnsGenerator()
+                if hasattr(src, 'deviceColumnsGenerator') else gen)
+      samplerSpec = (src.pallasSamplerSpec()
+                     if hasattr(src, 'pallasSamplerSpec') else None)
+      step = makeShardedPallasStep(mesh, device, histSpec, colGen,
+                                   sampler=samplerSpec, **kwargs)
+      backend = 'pallas-sharded'
+    else:
+      step = makeShardedFusedStep(mesh, device, gen, histSpec, **kwargs)
   return step, hist, dict(scene=scene, device=device, info=info,
                           histSpec=histSpec, backend=backend)

@@ -716,7 +716,7 @@ def makePallasTraceStep(scene, histSpec, generator, raysPerStep,
                         maxIntersections, maxRayLength, distTol,
                         powerTol=1e-6, stratified=False, tile='auto',
                         histPrecision='default', hitSlots='auto',
-                        sampler=None, innerSteps=1):
+                        sampler=None, innerSteps=1, jitWrap=True):
   '''Build the fused sample + pallas-trace + histogram step:
   (key, histograms) -> (histograms, counters). Requires pallasEligible.
   histPrecision: matmul precision of the MXU binning pass — 'default'
@@ -864,6 +864,10 @@ def makePallasTraceStep(scene, histSpec, generator, raysPerStep,
                     escaped=jnp.zeros((), jnp.int32))
     return hist, counters
 
+  if not jitWrap:
+    # raw traced function for embedding in an outer transform (shard_map in
+    # parallel/sharded.py); the caller owns jit/donation
+    return _oneStep
   if innerSteps <= 1:
     return jax.jit(_oneStep, donate_argnums=(1,))
 

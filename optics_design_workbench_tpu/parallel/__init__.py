@@ -1,3 +1,3 @@
 from .mesh import makeMesh, raysSharding
-from .sharded import makeShardedFusedStep
+from .sharded import makeShardedFusedStep, makeShardedPallasStep
 from .multiprocess import runMultiprocess

@@ -60,3 +60,50 @@ def makeShardedFusedStep(mesh, scene, generator, histSpec, raysPerStep,
     return sharded(keys, histograms)
 
   return step
+
+
+def makeShardedPallasStep(mesh, scene, histSpec, columnsGenerator,
+                          raysPerStep, maxIntersections, maxRayLength,
+                          distTol, sampler=None, stratified=False,
+                          axisName='rays'):
+  '''Multi-chip variant of the fused PALLAS step: every chip runs the
+  Mosaic kernel on its shard (with its own in-kernel PRNG stream via the
+  shard-folded seed) and the histograms/counters ride one psum over ICI —
+  per-chip throughput matches the single-chip kernel instead of the XLA
+  fallback. TPU backend only (Mosaic kernels cannot run on the CPU test
+  mesh; tests exercise this composition on a 1-device TPU mesh and the
+  multi-device semantics through makeShardedFusedStep).'''
+  from ..ops import pallas_trace
+  nShards = mesh.shape[axisName]
+  if raysPerStep % nShards:
+    raise ValueError(f'raysPerStep={raysPerStep} must be divisible by the '
+                     f'mesh size {nShards}')
+  perShard = raysPerStep // nShards
+  inner = pallas_trace.makePallasTraceStep(
+      scene, histSpec, columnsGenerator, raysPerStep=perShard,
+      maxIntersections=maxIntersections, maxRayLength=maxRayLength,
+      distTol=distTol, sampler=sampler, stratified=stratified,
+      jitWrap=False)
+
+  def shardStep(key, histograms):
+    shardIdx = jax.lax.axis_index(axisName)
+    key = jax.random.fold_in(key[0], shardIdx)
+    local = jax.tree.map(jnp.zeros_like, histograms)
+    delta, counters = inner(key, local)
+    delta = jax.tree.map(lambda h: jax.lax.psum(h, axisName), delta)
+    counters = jax.tree.map(lambda c: jax.lax.psum(c, axisName), counters)
+    hist = jax.tree.map(jnp.add, histograms, delta)
+    return hist, counters
+
+  sharded = shard_map(
+      shardStep, mesh=mesh,
+      in_specs=(P(axisName), P()),
+      out_specs=(P(), P()),
+      check_rep=False)
+
+  @jax.jit
+  def step(key, histograms):
+    keys = jax.random.split(key, nShards)
+    return sharded(keys, histograms)
+
+  return step

@@ -401,7 +401,18 @@ def runSimulation(scene, action, endIf=None, seed=None, store=None,
                     distTol=settings.distanceTolerance(),
                     stratified=(mode == 'pseudo'))
       if run.mesh is not None:
-        from ..parallel import makeShardedFusedStep
+        from ..ops import pallas_trace
+        from ..parallel import makeShardedFusedStep, makeShardedPallasStep
+        perShard = n // run.mesh.size
+        if pallas_trace.pallasEligible(sc) \
+            and jax.default_backend() == 'tpu' \
+            and perShard % pallas_trace.TILE == 0 \
+            and hasattr(src, 'deviceColumnsGenerator'):
+          samplerSpec = (src.pallasSamplerSpec()
+                         if hasattr(src, 'pallasSamplerSpec') else None)
+          return makeShardedPallasStep(
+              run.mesh, sc, histSpec, src.deviceColumnsGenerator(),
+              sampler=samplerSpec, **kwargs), n
         return makeShardedFusedStep(run.mesh, sc, src.deviceGenerator(),
                                     histSpec, **kwargs), n
       from ..ops import pallas_trace

@@ -281,3 +281,45 @@ def test_dispersive_lens_matches_xla_tracer():
   # chromatic focal shift: n(450) > n(650) -> different defocus blur on
   # the fixed detector; the spread must differ measurably between colors
   assert abs(results[450.][2] - results[650.][2]) > 0.5
+
+
+def test_sharded_pallas_step_matches_single_device():
+  '''shard_map + Mosaic composition: the sharded Pallas step on a 1-device
+  TPU mesh (seed folding, local-zero + psum + add histogram protocol) must
+  reproduce the single-device Pallas step's statistics. Multi-device
+  semantics of the same protocol are covered on the 8-CPU mesh by
+  makeShardedFusedStep (tests/test_parallel.py).'''
+  import numpy as np
+  from optics_design_workbench_tpu import benchmarks
+  from optics_design_workbench_tpu.parallel import makeMesh
+  from optics_design_workbench_tpu.tracing import fused
+
+  mesh = makeMesh(nDevices=1)
+  N = 1 << 18
+  stepS, histS, metaS = benchmarks.makeBenchStep(
+      raysPerStep=N, maxIntersections=6, mesh=mesh, bins=(128, 128))
+  assert metaS['backend'] == 'pallas-sharded'
+  key = jax.random.PRNGKey(11)
+  histS, cS = stepS(key, histS)
+
+  stepP, histP, metaP = benchmarks.makeBenchStep(
+      raysPerStep=N, maxIntersections=6, mesh=None, bins=(128, 128))
+  assert metaP['backend'] == 'pallas'
+  histP, cP = stepP(key, histP)
+
+  assert abs(int(cS['hits']) - int(cP['hits'])) < 0.02 * N
+  assert abs(int(cS['segments']) - int(cP['segments'])) < 0.05 * N
+
+  def spread(h):
+    H = np.asarray(h['counts'])[0]
+    n = H.sum()
+    ys, xs = np.indices(H.shape)
+    cy, cx = (H * ys).sum() / n, (H * xs).sum() / n
+    return np.sqrt((H * ((ys - cy) ** 2 + (xs - cx) ** 2)).sum() / n)
+  assert abs(spread(histS) - spread(histP)) < 0.03 * spread(histP)
+
+  # second call accumulates (no shard-count double counting)
+  t1 = float(np.asarray(histS['counts']).sum())
+  histS, c2 = stepS(jax.random.fold_in(key, 1), histS)
+  t2 = float(np.asarray(histS['counts']).sum())
+  assert abs(t2 - (t1 + int(c2['hits']))) < 1e-3 * t2
