@@ -5,8 +5,8 @@ way in and a (binIndex, weight) pair on the way out, instead of ~60 (N,)
 arrays per bounce crossing HBM between XLA fusions.
 
 Scope (the common fast case; the XLA batch tracer remains the general
-fallback): analytic surfaces plane/sphere/cylinder/asphere, element types
-Mirror/Lens/Grating/Absorber/Vacuum with constant or dispersive (n(lambda)
+fallback): analytic surfaces plane/sphere/cylinder/asphere/cone, element
+types Mirror/Lens/Grating/Absorber/Vacuum with constant or dispersive (n(lambda)
 fitted as a per-element polynomial, evaluated once per ray) refractive
 index, sequential mode / per-source masks as compile-time constants, no
 stochastic scatter. Each ray records at
@@ -49,7 +49,7 @@ def pallasEligible(scene):
     return False
   if 'nTable' in scene['elements'] and not dispersionFitsInKernel(scene):
     return False
-  if GS.TRIANGLE in kinds or GS.CONE in kinds:
+  if GS.TRIANGLE in kinds:
     return False
   if 'trimMasks' in scene['surfaces']:
     return False   # UV-bitmap face trims (geometry/brep.py) -> XLA path
@@ -537,6 +537,33 @@ def _intersectConst(r, ox, oy, oz, dx, dy, dz, tMin):
     loV = jnp.where(okD & (lo > tMin) & zOk(lo), lo, _BIG)
     hiV = jnp.where(okD & (hi > tMin) & zOk(hi), hi, _BIG)
     return jnp.minimum(loV, hiV)
+  if kind == GS.CONE:
+    # |(x, y)| = r0 + z*tanA (geometry/surfaces.py:23-24, mirrors
+    # _intersectCone): quadratic with the linear radius term w(t); only
+    # the nappe with w >= 0 is real surface, z band from the trim
+    r0, tanA = r['p0'], r['p1']
+    w0 = r0 + loz * tanA
+    wd = ldz * tanA
+    a = ldx * ldx + ldy * ldy - wd * wd
+    b = 2 * (lox * ldx + loy * ldy - w0 * wd)
+    c = lox * lox + loy * loy - w0 * w0
+    disc = b * b - 4 * a * c
+    okD = disc >= 0
+    sqD = jnp.sqrt(jnp.maximum(disc, 0.))
+    q = -0.5 * (b + jnp.sign(b + 1e-30) * sqD)
+    aS = jnp.where(jnp.abs(a) < 1e-20, 1e-20, a)
+    qS = jnp.where(jnp.abs(q) < 1e-20, 1e-20, q)
+    t1 = q / aS
+    t2 = c / qS
+    lo, hi = jnp.minimum(t1, t2), jnp.maximum(t1, t2)
+
+    def coneOk(t):
+      z = loz + t * ldz
+      return ((w0 + t * wd >= 0)
+              & (z >= r['trim1']) & (z <= r['trim2']))
+    loV = jnp.where(okD & (lo > tMin) & coneOk(lo), lo, _BIG)
+    hiV = jnp.where(okD & (hi > tMin) & coneOk(hi), hi, _BIG)
+    return jnp.minimum(loV, hiV)
   if kind == GS.ASPHERE:
     c0, kk = r['p0'], r['p1']
     a4, a6, a8 = r['p2'], r['p3'], r['p4']
@@ -591,6 +618,13 @@ def _normalConst(r, lx, ly, lz):
   if kind == GS.CYLINDER:
     inv = lax.rsqrt(lx * lx + ly * ly + 1e-20)
     return lx * inv, ly * inv, jnp.zeros_like(lz)
+  if kind == GS.CONE:
+    # radial out, tipped by -tanA along z (batch_tracer.py:125-129)
+    rr = jnp.sqrt(lx * lx + ly * ly)
+    rS = jnp.where(rr < 1e-12, 1e-12, rr)
+    nx, ny, nz = lx / rS, ly / rS, jnp.full_like(lz, -r['p1'])
+    inv = lax.rsqrt(nx * nx + ny * ny + nz * nz + 1e-20)
+    return nx * inv, ny * inv, nz * inv
   if kind == GS.ASPHERE:
     c0, kk = r['p0'], r['p1']
     a4, a6, a8 = r['p2'], r['p3'], r['p4']

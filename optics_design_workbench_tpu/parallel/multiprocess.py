@@ -50,11 +50,13 @@ simulation.runSimulation(
 
 def runMultiprocess(scene, action, workerCount=2, pollSeconds=.5,
                     timeoutSeconds=3600, forceCpu=False, recording='raw',
-                    env=None):
+                    maxWorkerReviveCount=3, env=None):
   '''Run `action` on `scene` with `workerCount` OS worker processes writing
   into one shared run folder; returns the run folder path. The master
   process does no tracing itself (the reference's lazy-master mainloop B,
-  simulation_loop.py:634-707).'''
+  simulation_loop.py:634-707). A worker that DIES (nonzero exit) while a
+  continuous run is still going is revived up to `maxWorkerReviveCount`
+  times (the reference's worker babysitting, simulation_loop.py:688-698).'''
   from ..simulation import results_store
   from ..simulation.lifecycle import Lifecycle
 
@@ -90,15 +92,20 @@ def runMultiprocess(scene, action, workerCount=2, pollSeconds=.5,
             childEnv.get('PYTHONPATH', '')] if p)
     if env:
       childEnv.update(env)
-    for w in range(int(workerCount)):
+
+    def launch(w, restart=0):
       code = _WORKER_SNIPPET.format(
           forceCpu=bool(forceCpu), scenePath=sceneFile.name,
-          action=action, runFolder=runFolder, workerId=f'w{w}',
+          action=action, runFolder=runFolder, workerId=f'w{w}r{restart}',
           parentPid=os.getpid(), recording=recording,
           workerIndex=w, workerCount=int(workerCount))
-      procs.append(subprocess.Popen([sys.executable, '-c', code],
-                                    env=childEnv))
+      return subprocess.Popen([sys.executable, '-c', code], env=childEnv)
 
+    restarts = [0] * int(workerCount)
+    for w in range(int(workerCount)):
+      procs.append(launch(w))
+
+    continuous = action in ('true', 'pseudo')
     t0 = time.time()
     while True:
       progress = results.getProgress()
@@ -108,8 +115,20 @@ def runMultiprocess(scene, action, workerCount=2, pollSeconds=.5,
         break
       if lifecycle.isCanceled():
         break
+      # babysit: revive a crashed worker (nonzero exit) of a continuous run
+      # (reference: simulation_loop.py:688-698); a clean exit means it saw
+      # an end condition and is not revived
+      if continuous:
+        for w, p in enumerate(procs):
+          rc = p.poll()
+          if rc is not None and rc != 0 \
+              and restarts[w] < int(maxWorkerReviveCount):
+            restarts[w] += 1
+            io.warn(f'worker {w} died (rc={rc}); reviving '
+                    f'(#{restarts[w]}/{maxWorkerReviveCount})')
+            procs[w] = launch(w, restarts[w])
       if all(p.poll() is not None for p in procs):
-        # every worker exited on its own (single-shot actions)
+        # every worker exited on its own (single-shot actions / all dead)
         break
       if time.time() - t0 > timeoutSeconds:
         io.warn('multiprocess run timed out; stopping workers')

@@ -124,3 +124,48 @@ def test_fans_split_across_workers_matches_single_process(tmp_path):
   np.testing.assert_array_equal(gotS['fanIndex'], refS['fanIndex'])
   np.testing.assert_array_equal(gotS['rayIndex'], refS['rayIndex'])
   assert len(writerPids(runPath)) >= 2
+
+
+@pytest.mark.long
+def test_dead_worker_is_revived(tmp_path):
+  '''Babysitting: a worker killed mid-run (SIGKILL) is revived by the
+  master (reference: simulation_loop.py:688-698) — after the run, hit
+  files from at least 3 distinct worker pids exist (2 original + >=1
+  revival incarnation).'''
+  import signal
+  import threading
+  import time
+
+  scene = makeScene(str(tmp_path / 'revive'))
+  scene.getObject('SimulationSettings').EndAfterRays = '1e9'
+  scene.getObject('SimulationSettings').RaysPerIteration = 2000
+  resultsFolder = RS.getResultsFolderPath(scene.path)
+
+  def currentWriterPids():
+    pids = set()
+    for run in glob.glob(os.path.join(resultsFolder, 'simulation-run-*')):
+      pids |= writerPids(run)
+    return pids
+
+  def killer():
+    # wait until BOTH workers have flushed result files, then SIGKILL one
+    # of the writing pids
+    deadline = time.time() + 90
+    while time.time() < deadline:
+      pids = currentWriterPids()
+      if len(pids) >= 2:
+        try:
+          os.kill(sorted(pids)[0], signal.SIGKILL)
+        except OSError:
+          pass
+        return
+      time.sleep(.5)
+
+  t = threading.Thread(target=killer, daemon=True)
+  t.start()
+  runPath = runMultiprocess(scene, 'true', workerCount=2, forceCpu=True,
+                            pollSeconds=.3, timeoutSeconds=70)
+  t.join(timeout=5)
+  pids = writerPids(runPath)
+  assert len(pids) >= 3, \
+      f'expected >=3 writer pids (one revival), got {pids}'

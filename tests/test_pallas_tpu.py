@@ -323,3 +323,53 @@ def test_sharded_pallas_step_matches_single_device():
   histS, c2 = stepS(jax.random.fold_in(key, 1), histS)
   t2 = float(np.asarray(histS['counts']).sum())
   assert abs(t2 - (t1 + int(c2['hits']))) < 1e-3 * t2
+
+
+def test_cone_surface_matches_xla_tracer():
+  '''CONE kind in the kernel (quadratic with linear radius term, nappe
+  w>=0, z-band trim) must reproduce the XLA path's hit statistics on a
+  cone absorber.'''
+  import numpy as np
+  from optics_design_workbench_tpu.models import (Scene, PointSource,
+                                                  OpticalGroup)
+  from optics_design_workbench_tpu.geometry import surfaces as S
+  from optics_design_workbench_tpu.ops import pallas_trace
+  from optics_design_workbench_tpu.tracing import fused
+
+  scene = Scene(label='cone')
+  # inward-sloped cone shell around the source: radius(z) = 30 - 0.3 z
+  scene.addOpticalGroup(OpticalGroup(
+      OpticalType='Absorber', Label='Cone',
+      surfaces=[S.cone(np.eye(4), elem=0, radius=30., tanAngle=-0.3,
+                       zRange=(0., 80.), orient=+1)],
+      placements=[np.eye(4)]))
+  scene.addSource(PointSource(Label='Src', PowerDensity='1',
+                              ThetaDomain='0.1, 0.3',
+                              ThetaResolutionNumericMode='2e3'))
+  scene.addSimulationSettings(RaysPerIteration=1e5, MaxIntersections=3)
+  device, info = scene.compile()
+  device['powerTol'] = 1e-6
+  assert pallas_trace.pallasEligible(device)
+  hs = fused.makeHistogramSpec(device, info, bounds=(-40., 40., -40., 40.),
+                               bins=(64, 128))
+  src = scene.lightSources()[0]
+  N = 1 << 17
+  key = jax.random.PRNGKey(21)
+  stats = {}
+  for tag in ('pallas', 'xla'):
+    h = fused.initHistograms(hs)
+    if tag == 'pallas':
+      step = pallas_trace.makePallasTraceStep(
+          device, hs, src.deviceColumnsGenerator(), raysPerStep=N,
+          maxIntersections=3, maxRayLength=1000., distTol=1e-4,
+          sampler=src.pallasSamplerSpec())
+    else:
+      step = fused.makeFusedStep(device, src.deviceGenerator(), hs,
+                                 raysPerStep=N, maxIntersections=3,
+                                 maxRayLength=1000., distTol=1e-4)
+    h, c = step(key, h)
+    stats[tag] = (int(c['hits']), float(np.asarray(h['counts']).sum()))
+  hitsP, hitsX = stats['pallas'][0], stats['xla'][0]
+  assert hitsX > 0.9 * N            # nearly every ray hits the cone shell
+  assert abs(hitsP - hitsX) < 0.02 * N
+  assert abs(stats['pallas'][1] - stats['xla'][1]) < 0.02 * N
