@@ -28,7 +28,9 @@ import jax
 import jax.numpy as jnp
 
 from .. import distributions
-from ..distributions import buildDeviceTables, deviceDraw
+from ..distributions.device_sampler import (buildDeviceTables,
+                                            deviceDraw,
+                                            fitPiecewisePoly)
 from ..utils import io
 from .common import parseDomain, evalExpr
 from .generic_source import GenericSource
@@ -438,7 +440,7 @@ class PointSource(GenericSource):
         specs.append(('affine', float(lo), float(hi)))
       elif t.get('rowsEqual', False):
         inv = np.asarray(t['invCdf'][0], float)
-        spec = _fitPiecewisePoly(inv)
+        spec = fitPiecewisePoly(inv)
         if spec is None:
           # very sharp inverse (features the piecewise fit cannot meet at
           # tolerance): keep the XLA-side sampler — the in-kernel dense
@@ -498,40 +500,6 @@ class PointSource(GenericSource):
     return generate
 
 
-def _fitPiecewisePoly(inv, maxSegments=12, deg=9, relTol=5e-3):
-  '''Fit the tabulated inverse CDF `inv` (uniform quantile grid) as a few
-  Horner polynomials in per-segment scaled coordinates, for the in-kernel
-  Pallas sampler (ops/pallas_trace._marginal 'pwpoly'). Inverse CDFs of
-  truncated smooth densities have boundary layers at u=0 (sqrt from the
-  area Jacobian) and u=1 (thin tail), so fitting starts from the segment
-  split [0, .03, .97, 1] and refines the worst segment until the max error
-  is below relTol * range. Returns ('pwpoly', segments, lo, hi) or None
-  if the tolerance is unmet at maxSegments.'''
-  q = np.linspace(0., 1., inv.shape[0])
-  qd = np.linspace(0., 1., 40001)
-  ref = np.interp(qd, q, inv)
-  rng = max(np.ptp(inv), 1e-30)
-  splits = [0., .03, .97, 1.]
-
-  def fit(splits):
-    segs, errs = [], []
-    for a, b in zip(splits[:-1], splits[1:]):
-      m = (qd >= a) & (qd <= b)
-      mid, half = (a + b) / 2., max((b - a) / 2., 1e-9)
-      s = (qd[m] - mid) / half
-      d = min(deg, max(1, m.sum() - 1))
-      c = np.polyfit(s, ref[m], d)[::-1]          # ascending coeffs
-      est = np.polyval(c[::-1], s)
-      segs.append((a, b, mid, half, tuple(float(x) for x in c)))
-      errs.append(float(np.abs(est - ref[m]).max()))
-    return segs, errs
-
-  while True:
-    segs, errs = fit(splits)
-    worst = int(np.argmax(errs))
-    if errs[worst] <= relTol * rng:
-      return ('pwpoly', tuple(segs), float(inv.min()), float(inv.max()))
-    if len(splits) - 1 >= maxSegments:
-      return None
-    a, b = splits[worst], splits[worst + 1]
-    splits = sorted(set(splits) | {(a + b) / 2.})
+# fitPiecewisePoly lives in distributions.device_sampler (shared with the
+# scatter-constant path in tracing.batch_tracer); alias kept for tests
+_fitPiecewisePoly = fitPiecewisePoly

@@ -179,10 +179,20 @@ def buildScatterTables(groups, dtype=jnp.float32):
           dst[e, kind, :, d:] = dst[e, kind, :, d - 1:d]
     meta = tab
 
+  # (lo, hi) pair rows: ONE 2-wide random gather per interpolation instead
+  # of two scalar gathers — a 1e6-element gather costs ~9 ms on v5e
+  # regardless of width, so pairing halves the dominant scatter-draw cost
+  # (same trick as distributions/device_sampler invCdfPairs)
+  phiPairs = np.stack([phiInv[..., :-1], phiInv[..., 1:]],
+                      axis=-1).reshape(-1, 2)
+  thetaPairs = np.stack([thetaInv[..., :-1], thetaInv[..., 1:]],
+                        axis=-1).reshape(-1, 2)
   tables = dict(
       flags=jnp.asarray(flags),
       phiInv=jnp.asarray(phiInv),
       thetaInv=jnp.asarray(thetaInv),
+      phiInvPairs=jnp.asarray(phiPairs, dtype=dtype),
+      thetaInvPairs=jnp.asarray(thetaPairs, dtype=dtype),
       thetaInRes=jnp.float32(Tin),
       phiGridLo=jnp.float32(meta['phiGridLo']),
       phiGridStep=jnp.float32(meta['phiGridStep']),

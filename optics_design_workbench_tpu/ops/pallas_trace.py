@@ -8,11 +8,12 @@ Scope (the common fast case; the XLA batch tracer remains the general
 fallback): analytic surfaces plane/sphere/cylinder/asphere/cone, element
 types Mirror/Lens/Grating/Absorber/Vacuum with constant or dispersive (n(lambda)
 fitted as a per-element polynomial, evaluated once per ray) refractive
-index, sequential mode / per-source masks as compile-time constants, no
-stochastic scatter. Each ray records at
-most its
-LAST in-bounds detector hit (detectors are terminal absorbers/vacuums in
-practice); the per-ray bin index + power are accumulated into the
+index, sequential mode / per-source masks as compile-time constants, and
+stochastic scatter for theta-only lobes without discrete Dirac events
+(collapsed to pwpoly constants + the on-core PRNG; ~100x the XLA
+gather-based path on diffuser scenes: 1317 vs 9-18 M seg/s). Each ray
+records its detector passes into a hit-slot ring (reference records every
+pass, ray.py:276-277); the per-ray bin index + power are accumulated into the
 histogram by the MXU one-hot matmul (ops/histogram.py) when the histogram
 shape allows, else by one XLA scatter per step.
 
@@ -46,7 +47,12 @@ def pallasEligible(scene):
   except Exception:
     return False
   if 'scatter' in scene:
-    return False
+    # in-kernel scatter covers collapsed theta-only lobes without discrete
+    # events (tracing/batch_tracer.scatterConstants); anything else keeps
+    # the XLA path
+    from ..tracing.batch_tracer import scatterConstants
+    if scatterConstants(scene) is None:
+      return False
   if 'nTable' in scene['elements'] and not dispersionFitsInKernel(scene):
     return False
   if GS.TRIANGLE in kinds:
@@ -63,7 +69,7 @@ def numSurfacesStatic(scene):
 def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
                 maxIntersections, maxRayLength, distTol, powerTol,
                 histRows=None, hitSlots=1, allowedPerBounce=None,
-                sampler=None):
+                sampler=None, scatterConsts=None):
   '''Build the kernel body with the scene baked in as python constants.
   surfRows: list of per-surface dicts of floats; elemRows likewise.
   histRows: if set (= D*H), the kernel accumulates the (histRows, 2*W)
@@ -120,20 +126,33 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
           * float(val)
     return acc
 
-  def _sampleRays(seed_ref, shape):
-    '''Draw the tile's rays with the on-core PRNG (per-tile stream via
-    program_id) through the baked inverse-CDF marginals, then apply the
-    source placement as python-constant FMAs (the in-kernel analog of
-    point_source.deviceColumnsGenerator).'''
-    pltpu.prng_seed(seed_ref[0], pl.program_id(0))
-    def uniform():
-      bits = pltpu.prng_random_bits(shape)
-      # 23 high bits -> f32 in [0, 1): int32 convert is the supported path
-      i = (pltpu.bitcast(bits, jnp.uint32) >> jnp.uint32(9)) \
-          .astype(jnp.int32)
-      return i.astype(jnp.float32) * (1.0 / (1 << 23))
-    t = _marginal(sampler['first'], uniform())
-    p = _marginal(sampler['phi'], uniform())
+  def _uniform(shape):
+    '''f32 uniform in [0, 1) from the on-core PRNG (seed beforehand); the
+    23-high-bit int32 convert is the Mosaic-supported path.'''
+    bits = pltpu.prng_random_bits(shape)
+    i = (pltpu.bitcast(bits, jnp.uint32) >> jnp.uint32(9)) \
+        .astype(jnp.int32)
+    return i.astype(jnp.float32) * (1.0 / (1 << 23))
+
+  def _rotK(vx, vy, vz, ax, ay, az, ang):
+    '''Rodrigues rotation of column vectors v about unit axes a (the
+    kernel twin of batch_tracer._rot3).'''
+    c, s = jnp.cos(ang), jnp.sin(ang)
+    cx = ay * vz - az * vy
+    cy = az * vx - ax * vz
+    cz = ax * vy - ay * vx
+    dot = ax * vx + ay * vy + az * vz
+    return (vx * c + cx * s + ax * dot * (1 - c),
+            vy * c + cy * s + ay * dot * (1 - c),
+            vz * c + cz * s + az * dot * (1 - c))
+
+  def _sampleRays(shape):
+    '''Draw the tile's rays with the on-core PRNG (seeded by the caller,
+    per-tile stream via program_id) through the baked inverse-CDF
+    marginals, then apply the source placement as python-constant FMAs
+    (the in-kernel analog of point_source.deviceColumnsGenerator).'''
+    t = _marginal(sampler['first'], _uniform(shape))
+    p = _marginal(sampler['phi'], _uniform(shape))
     sp, cp = jnp.sin(p), jnp.cos(p)
     if sampler['finite']:
       f = float(sampler['f'])
@@ -156,9 +175,14 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
     wl = jnp.full(shape, float(sampler['wavelength']))
     return ox, oy, oz, dx, dy, dz, pw, wl
 
+  needSeed = sampler is not None or scatterConsts
+
   def kernel(*refs):
     if sampler is not None:
       seed_ref, out_refs = refs[0], refs[1:]
+    elif scatterConsts:
+      (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, pw_ref,
+       wl_ref), seed_ref, out_refs = refs[:8], refs[8], refs[9:]
     else:
       (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, pw_ref,
        wl_ref), out_refs = refs[:8], refs[8:]
@@ -169,9 +193,10 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
       segOut_ref = out_refs[3 * hitSlots]
     else:
       hist_ref, segOut_ref = out_refs
+    if needSeed:
+      pltpu.prng_seed(seed_ref[0], pl.program_id(0))
     if sampler is not None:
-      ox, oy, oz, dx, dy, dz, pw, wl = _sampleRays(
-          seed_ref, segOut_ref.shape)
+      ox, oy, oz, dx, dy, dz, pw, wl = _sampleRays(segOut_ref.shape)
     else:
       ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
       dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
@@ -392,6 +417,79 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
                       jnp.where(isGrating, gratZ, dz)))
       inv = lax.rsqrt(ndx * ndx + ndy * ndy + ndz * ndz + 1e-20)
       ndx, ndy, ndz = ndx * inv, ndy * inv, ndz * inv
+
+      # ---- in-kernel stochastic scatter (batch_tracer scatter section;
+      # scatterConsts = collapsed theta-only lobes as pwpoly constants,
+      # kind slots 0=REFLECT 1=REFRACT_ENTER 2=REFRACT_EXIT 3=MODIFY) ----
+      if scatterConsts:
+        lobe = [c for c in scatterConsts if c[1] in (0, 1, 2)]
+        mods = [c for c in scatterConsts if c[1] == 3]
+
+        def kindMask(k):
+          if k == 0:
+            return isMirror
+          if k == 1:
+            return isLens & isEntering
+          if k == 2:
+            return isLens & ~isEntering
+          return isMirror | isLens          # MODIFY applies to both
+
+        def lobeAxis(bx, by, bz):
+          # rotation axis = b x dIn, with an arbitrary perpendicular of b
+          # at (near-)normal incidence
+          axX = by * dz - bz * dy
+          axY = bz * dx - bx * dz
+          axZ = bx * dy - by * dx
+          ax2 = axX * axX + axY * axY + axZ * axZ
+          altX, altY, altZ = jnp.zeros(shape), bz, -by      # b x x_hat
+          alt2X, alt2Y, alt2Z = -bz, jnp.zeros(shape), bx   # b x y_hat
+          alt2 = altY * altY + altZ * altZ
+          useAlt = ax2 < 1e-12
+          axX = jnp.where(useAlt, jnp.where(alt2 > 1e-12, altX, alt2X), axX)
+          axY = jnp.where(useAlt, jnp.where(alt2 > 1e-12, altY, alt2Y), axY)
+          axZ = jnp.where(useAlt, jnp.where(alt2 > 1e-12, altZ, alt2Z), axZ)
+          ainv = lax.rsqrt(axX * axX + axY * axY + axZ * axZ + 1e-20)
+          return axX * ainv, axY * ainv, axZ * ainv
+
+        if lobe:
+          u1, u2 = _uniform(shape), _uniform(shape)
+          thetaS = jnp.zeros(shape)
+          phiS = jnp.zeros(shape)
+          applies = optType < -1.0            # all-false
+          for e, k, phiSpec, thetaSpec in lobe:
+            m = (elemF == float(e)) & kindMask(k) & hasHit
+            thetaS = jnp.where(m, _marginal(thetaSpec, u2), thetaS)
+            phiS = jnp.where(m, _marginal(phiSpec, u1), phiS)
+            applies = applies | m
+          # lobe axis: incidence-side normal for mirrors, forward normal
+          # for lenses; theta=0 is the face normal
+          nSgn = jnp.where(isMirror, -1., 1.)
+          lnx, lny, lnz = nx * nSgn, ny * nSgn, nz * nSgn
+          axX, axY, axZ = lobeAxis(lnx, lny, lnz)
+          sx1, sy1, sz1 = _rotK(lnx, lny, lnz, axX, axY, axZ, thetaS)
+          sx1, sy1, sz1 = _rotK(sx1, sy1, sz1, lnx, lny, lnz, phiS)
+          ndx = jnp.where(applies, sx1, ndx)
+          ndy = jnp.where(applies, sy1, ndy)
+          ndz = jnp.where(applies, sz1, ndz)
+        if mods:
+          u3, u4 = _uniform(shape), _uniform(shape)
+          thetaM = jnp.zeros(shape)
+          phiM = jnp.zeros(shape)
+          appliesM = optType < -1.0
+          for e, _k, phiSpec, thetaSpec in mods:
+            m = (elemF == float(e)) & kindMask(3) & hasHit
+            thetaM = jnp.where(m, _marginal(thetaSpec, u4), thetaM)
+            phiM = jnp.where(m, _marginal(phiSpec, u3), phiM)
+            appliesM = appliesM | m
+          mAxX, mAxY, mAxZ = lobeAxis(ndx, ndy, ndz)
+          mx2, my2, mz2 = _rotK(ndx, ndy, ndz, mAxX, mAxY, mAxZ, thetaM)
+          mx2, my2, mz2 = _rotK(mx2, my2, mz2, ndx, ndy, ndz, phiM)
+          ndx = jnp.where(appliesM, mx2, ndx)
+          ndy = jnp.where(appliesM, my2, ndy)
+          ndz = jnp.where(appliesM, mz2, ndz)
+        if lobe or mods:
+          inv2 = lax.rsqrt(ndx * ndx + ndy * ndy + ndz * ndz + 1e-20)
+          ndx, ndy, ndz = ndx * inv2, ndy * inv2, ndz * inv2
 
       lensExitToVacuum = isLens & ~isEntering & ~tir & (medium == elemF)
       if hasGrating:
@@ -779,6 +877,8 @@ def makePallasTraceStep(scene, histSpec, generator, raysPerStep,
     # ray.py:276-277)
     nRec = int(np.sum(np.asarray(histSpec['elemToDet']) >= 0))
     hitSlots = 1 if nRec <= 1 else min(maxIntersections, 4)
+  from ..tracing.batch_tracer import scatterConstants
+  scatterConsts = scatterConstants(scene)
   if tile == 'auto':
     # biggest power-of-2 tile dividing the step that keeps the live state
     # inside a ~16 MB VMEM budget: larger tiles amortize grid/PRNG/DMA
@@ -787,7 +887,8 @@ def makePallasTraceStep(scene, histSpec, generator, raysPerStep,
     # per-surface distances + hit-slot rings (+ per-ray outputs off the
     # in-kernel-histogram path).
     nSurf = numSurfacesStatic(scene)
-    live = 22 + nSurf + 3 * hitSlots + (0 if inKernelHist else 4)
+    live = 22 + nSurf + 3 * hitSlots + (0 if inKernelHist else 4) \
+        + (14 if scatterConsts else 0)
     maxRows = max(64, (16 << 20) // (live * 128 * 4) // 64 * 64)
     tile = TILE
     while tile * 2 <= min(raysPerStep, maxRows * 128) \
@@ -809,11 +910,16 @@ def makePallasTraceStep(scene, histSpec, generator, raysPerStep,
                        hitSlots=hitSlots,
                        allowedPerBounce=_allowedPerBounce(scene,
                                                           maxIntersections),
-                       sampler=sampler)
+                       sampler=sampler, scatterConsts=scatterConsts)
   spec = pl.BlockSpec((rows, 128), lambda i: (i, 0),
                       memory_space=pltpu.VMEM)
-  inSpecs = ([pl.BlockSpec(memory_space=pltpu.SMEM)] if sampler is not None
-             else [spec] * 8)
+  seedSpec = pl.BlockSpec(memory_space=pltpu.SMEM)
+  if sampler is not None:
+    inSpecs = [seedSpec]
+  elif scatterConsts:
+    inSpecs = [spec] * 8 + [seedSpec]
+  else:
+    inSpecs = [spec] * 8
   if inKernelHist:
     histSpecBlock = pl.BlockSpec((D * H, 2 * W), lambda i: (0, 0),
                                  memory_space=pltpu.VMEM)
@@ -842,12 +948,14 @@ def makePallasTraceStep(scene, histSpec, generator, raysPerStep,
     def tiled(x):
       return x.reshape(totalRows, 128)
 
+    # one int32 seed per step; tiles decorrelate via program_id
+    seedArr = jax.random.randint(key, (1,), 0, 2 ** 31 - 1,
+                                 dtype=jnp.int32)
     if sampler is not None:
-      # one int32 seed per step; tiles decorrelate via program_id
-      inputs = (jax.random.randint(key, (1,), 0, 2 ** 31 - 1,
-                                   dtype=jnp.int32),)
+      inputs = (seedArr,)
     else:
-      batch = generator(key, raysPerStep, stratified=stratified)
+      genKey, _ = jax.random.split(key)
+      batch = generator(genKey, raysPerStep, stratified=stratified)
       if 'ox' in batch:   # column-form generator
         wlCol = batch.get('wl')
         if wlCol is None:
@@ -861,6 +969,8 @@ def makePallasTraceStep(scene, histSpec, generator, raysPerStep,
         cols = (o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
                 batch['powers'], batch['wavelengths'])
       inputs = tuple(tiled(x) for x in cols)
+      if scatterConsts:
+        inputs = inputs + (seedArr,)
     if inKernelHist:
       delta, segs = traceCall(*inputs)
       hist = dict(

@@ -15,6 +15,7 @@ written TPU-first:
     transpose of the packed w2l rotation (placements are rigid).
 '''
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -146,7 +147,6 @@ def sceneStaticFlags(scene):
   '''Host-side inspection of a CONCRETE scene: which interaction formulas
   can be skipped entirely at compile time (callable only outside jit or on
   closure-captured scenes).'''
-  import numpy as np
   opt = np.asarray(scene['elements']['optType'])
   return dict(hasMirror=bool((opt == MIRROR).any()),
               hasLens=bool((opt == LENS).any()),
@@ -163,6 +163,87 @@ def _rot3(vx, vy, vz, ax, ay, az, angle):
           vz * c + cz * s + az * dot * (1 - c))
 
 
+def scatterConstants(scene):
+  '''Host-side compile-time representation of the scatter tables as
+  piecewise Horner polynomials, for scenes where every flagged
+  (element, kind) has (a) no discrete Dirac events, (b) a theta inverse
+  SEPARABLE from phi (rows equal across the M phi bins — true for every
+  theta-only density like exp(-theta^2/s) or cos(theta)**2), and (c) rows
+  that fit to tolerance. Returns a hashable nested tuple (rides the jit
+  static args next to sceneStaticFlags) or None — callers then keep the
+  exact gather-based _scatterDraw. The payoff: each 1e6-element random
+  gather costs ~9 ms on v5e; the unrolled masked polynomials cost ~2 ms
+  for a whole 33-row table.'''
+  if 'scatter' not in scene:
+    return None
+  sc = scene['scatter']
+  if 'thetaDiscVals' in sc:
+    return None
+  try:
+    if isinstance(sc['phiInv'], jax.core.Tracer):
+      return None
+    flags = np.asarray(sc['flags'])
+    phiInv = np.asarray(sc['phiInv'], dtype=float)
+    thetaInv = np.asarray(sc['thetaInv'], dtype=float)
+  except Exception:
+    return None
+  from ..distributions.device_sampler import fitPiecewisePoly
+  E, K, Tin, Q = phiInv.shape
+  combos = [(e, k) for e in range(E) for k in range(K) if flags[e, k]]
+  if not combos or Tin * len(combos) > 128:
+    return None
+  out = []
+  for e, k in combos:
+    rowsT = thetaInv[e, k]                      # (Tin, M, Q)
+    tolT = 1e-6 * max(np.ptp(rowsT), 1e-30)
+    rowsP = phiInv[e, k]                        # (Tin, Q)
+    tolP = 1e-6 * max(np.ptp(rowsP), 1e-30)
+    # theta-only lobes (every reference example: exp(-theta^2/s),
+    # cos(theta)**2, ...) have inverses independent of BOTH the phi bin
+    # and the incidence angle -> ONE polynomial per (element, kind). A
+    # per-row unroll is a trap: 33 rows x 2 draws of masked polynomials
+    # defeat XLA fusion and run SLOWER than the gathers they replace
+    # (measured 208 ms vs 116 ms per 1M-ray step).
+    if not np.allclose(rowsT, rowsT[0:1, 0:1, :], atol=tolT) \
+        or not np.allclose(rowsP, rowsP[0:1, :], atol=tolP):
+      return None                    # theta_in- or phi-conditioned tables
+    pf = fitPiecewisePoly(rowsP[0])
+    tf = fitPiecewisePoly(rowsT[0, 0])
+    if pf is None or tf is None:
+      return None
+    out.append((e, k, pf, tf))
+  return tuple(out)
+
+
+def _evalPwpoly(spec, u):
+  '''Piecewise Horner evaluation of a fitPiecewisePoly spec (python
+  constants -> fused elementwise ops; the XLA twin of
+  ops/pallas_trace._marginal).'''
+  _, segs, lo, hi = spec
+  out = None
+  for a, _b, mid, half, coeffs in segs:
+    s = (u - mid) * (1.0 / half)
+    acc = jnp.full_like(u, coeffs[-1])
+    for c in reversed(coeffs[:-1]):
+      acc = acc * s + c
+    out = acc if out is None else jnp.where(u >= a, acc, out)
+  return jnp.clip(out, lo, hi)
+
+
+def _scatterDrawConst(consts, elemIdx, kind, tinIdx, u1, u2):
+  '''Gather-free twin of _scatterDraw for compile-time scatter constants
+  (no discrete events, incidence-independent separable lobes — guaranteed
+  by scatterConstants; tinIdx unused by construction).'''
+  del tinIdx
+  phiOut = jnp.zeros_like(u1)
+  thetaOut = jnp.zeros_like(u2)
+  for e, k, phiSpec, thetaSpec in consts:
+    m = (elemIdx == e) & (kind == k)
+    phiOut = jnp.where(m, _evalPwpoly(phiSpec, u1), phiOut)
+    thetaOut = jnp.where(m, _evalPwpoly(thetaSpec, u2), thetaOut)
+  return thetaOut, phiOut
+
+
 def _scatterDraw(sc, elemIdx, kind, tinIdx, u1, u2, u3, u4):
   '''Draw (thetaOut, phiOut) from the stacked conditional scatter tables
   (see models/scatter.py for the layout). phi is drawn from its marginal,
@@ -176,9 +257,10 @@ def _scatterDraw(sc, elemIdx, kind, tinIdx, u1, u2, u3, u4):
   pos = u1 * (Q - 1)
   j = jnp.clip(pos.astype(jnp.int32), 0, Q - 2)
   frac = pos - j
-  flatP = phiInv.reshape(-1)
-  idxP = base * Q + j
-  phiOut = flatP[idxP] + frac * (flatP[idxP + 1] - flatP[idxP])
+  # ONE 2-wide pair gather instead of two scalar gathers (each ~9 ms per
+  # 1e6 draws on v5e regardless of width)
+  pairP = sc['phiInvPairs'][base * (Q - 1) + j]
+  phiOut = pairP[:, 0] + frac * (pairP[:, 1] - pairP[:, 0])
   if 'phiDiscVals' in sc:
     D = sc['phiDiscVals'].shape[-1]
     cumF = sc['phiDiscCum'].reshape(-1, D)[base]
@@ -196,9 +278,8 @@ def _scatterDraw(sc, elemIdx, kind, tinIdx, u1, u2, u3, u4):
   pos2 = u2 * (Q - 1)
   j2 = jnp.clip(pos2.astype(jnp.int32), 0, Q - 2)
   frac2 = pos2 - j2
-  flatT = thetaInv.reshape(-1)
-  idxT = (base * M + phiIdx) * Q + j2
-  thetaOut = flatT[idxT] + frac2 * (flatT[idxT + 1] - flatT[idxT])
+  pairT = sc['thetaInvPairs'][(base * M + phiIdx) * (Q - 1) + j2]
+  thetaOut = pairT[:, 0] + frac2 * (pairT[:, 1] - pairT[:, 0])
   if 'thetaDiscVals' in sc:
     D = sc['thetaDiscVals'].shape[-1]
     cumF = sc['thetaDiscCum'].reshape(-1, D)[base]
@@ -378,7 +459,15 @@ def bounceBatch(scene, distTol, maxRayLength, o, d, power, wl, medium, seq,
   if 'scatter' in scene and key is not None:
     sc = scene['scatter']
     N = dx.shape[0]
-    u = jax.random.uniform(key, (10, N))
+    # draw ONLY the uniforms this configuration consumes: threefry bits
+    # cost real compute at (10, 1e6) per bounce; without discrete Dirac
+    # events only 4 streams are used
+    if 'phiDiscVals' in sc:
+      u = jax.random.uniform(key, (8, N))
+      uS, uM = (u[0], u[1], u[2], u[3]), (u[4], u[5], u[6], u[7])
+    else:
+      u4 = jax.random.uniform(key, (4, N))
+      uS, uM = (u4[0], u4[1], u4[0], u4[1]), (u4[2], u4[3], u4[2], u4[3])
     Tin = sc['phiInv'].shape[2]
     thetaIn = jnp.arccos(jnp.clip(dDotN, -1., 1.))
     tinIdx = jnp.clip(jnp.round(thetaIn / (jnp.pi / 2)
@@ -389,8 +478,12 @@ def bounceBatch(scene, distTol, maxRayLength, o, d, power, wl, medium, seq,
                      jnp.where(isEntering, REFRACT_ENTER, REFRACT_EXIT))
     applies = ((isMirror | isLens)
                & sc['flags'][elemIdx, kind] & hasHit)
-    thetaS, phiS = _scatterDraw(sc, elemIdx, kind, tinIdx,
-                                u[0], u[1], u[2], u[3])
+    scConst = flags.get('scatterConst') if flags else None
+    if scConst is not None:
+      thetaS, phiS = _scatterDrawConst(scConst, elemIdx, kind, tinIdx,
+                                       uS[0], uS[1])
+    else:
+      thetaS, phiS = _scatterDraw(sc, elemIdx, kind, tinIdx, *uS)
     # lobe axis: incidence-side normal for mirrors (reflected lobe), forward
     # normal for lenses (transmitted lobe) — theta=0 is the face normal
     nSgn = jnp.where(isMirror, -1., 1.)
@@ -421,9 +514,13 @@ def bounceBatch(scene, distTol, maxRayLength, o, d, power, wl, medium, seq,
     # modify step: rotate the outgoing direction itself
     appliesM = ((isMirror | isLens)
                 & sc['flags'][elemIdx, MODIFY] & hasHit)
-    thetaM, phiM = _scatterDraw(sc, elemIdx,
-                                jnp.full_like(kind, MODIFY), tinIdx,
-                                u[4], u[5], u[6], u[7])
+    if scConst is not None:
+      thetaM, phiM = _scatterDrawConst(scConst, elemIdx,
+                                       jnp.full_like(kind, MODIFY), tinIdx,
+                                       uM[0], uM[1])
+    else:
+      thetaM, phiM = _scatterDraw(sc, elemIdx,
+                                  jnp.full_like(kind, MODIFY), tinIdx, *uM)
     mAxX, mAxY, mAxZ = _cross3(ndx, ndy, ndz, dx, dy, dz)
     mLen2 = mAxX * mAxX + mAxY * mAxY + mAxZ * mAxZ
     mAxX = jnp.where(mLen2 < 1e-12, axX, mAxX)

@@ -66,7 +66,8 @@ def _traceHistogram(scene, elemToDet, bounds, bins, histograms, origins,
     scatterKey = jax.random.PRNGKey(0)
   flags = None if flagsTuple is None else dict(
       hasMirror=flagsTuple[0], hasLens=flagsTuple[1],
-      hasGrating=flagsTuple[2])
+      hasGrating=flagsTuple[2],
+      scatterConst=(flagsTuple[3] if len(flagsTuple) > 3 else None))
   state = (origins, directions, powers, wavelengths,
            jnp.full((N,), VACUUM_MEDIUM, dtype=jnp.int32),
            jnp.zeros((N,), dtype=jnp.int32),
@@ -140,12 +141,15 @@ def traceHistogram(scene, histSpec, histograms, origins, directions, powers,
   static arguments so the call is jit/shard_map friendly. When the scene
   arrays are concrete (closure constants), interaction formulas for element
   types absent from the scene are compiled out.'''
-  from .batch_tracer import sceneStaticFlags
+  from .batch_tracer import sceneStaticFlags, scatterConstants
   flagsTuple = None
   if not isinstance(jnp.asarray(scene['elements']['optType']), jax.core.Tracer):
     try:
       f = sceneStaticFlags(scene)
-      flagsTuple = (f['hasMirror'], f['hasLens'], f['hasGrating'])
+      # scatterConstants is hashable (nested tuples) and rides the same
+      # static slot: gather-free scatter draws when the tables allow
+      flagsTuple = (f['hasMirror'], f['hasLens'], f['hasGrating'],
+                    scatterConstants(scene))
     except Exception:
       flagsTuple = None
   return _traceHistogram(scene, histSpec['elemToDet'], histSpec['bounds'],

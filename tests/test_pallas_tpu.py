@@ -373,3 +373,70 @@ def test_cone_surface_matches_xla_tracer():
   assert hitsX > 0.9 * N            # nearly every ray hits the cone shell
   assert abs(hitsP - hitsX) < 0.02 * N
   assert abs(stats['pallas'][1] - stats['xla'][1]) < 0.02 * N
+
+
+def test_in_kernel_scatter_matches_xla_tracer():
+  '''In-kernel stochastic scatter (collapsed theta-only lobes as pwpoly
+  constants + on-core PRNG + Rodrigues rotations) must reproduce the XLA
+  gather-based scatter's lobe statistics on a diffuser scene.'''
+  import numpy as np
+  from optics_design_workbench_tpu.models import (Scene, PointSource,
+                                                  OpticalGroup)
+  from optics_design_workbench_tpu.geometry import surfaces as S
+  from optics_design_workbench_tpu.geometry import transforms as T
+  from optics_design_workbench_tpu.ops import pallas_trace
+  from optics_design_workbench_tpu.tracing import fused
+
+  # narrow beam up to a diffuse mirror, lobe back down onto a wide floor
+  # detector (the geometry of tests/test_scatter.py's diffuse case:
+  # theta=0 of the lobe is the mirror normal, pointing back down)
+  scene = Scene(label='scat')
+  scene.addOpticalGroup(OpticalGroup(
+      OpticalType='Mirror', Label='Diffuser', Reflectivity=1.0,
+      ReflectedProbabilityDensity='exp(-theta^2/0.02)',
+      PowerThetaDomain='0, pi/3',
+      surfaces=[S.plane(np.eye(4), elem=0, radius=50., orient=-1)],
+      placements=[T.translation(0, 0, 50)]))
+  scene.addOpticalGroup(OpticalGroup(
+      OpticalType='Absorber', Label='Det',
+      surfaces=[S.plane(np.eye(4), elem=0, halfExtents=(500., 500.))],
+      placements=[T.translation(0, 0, 0)]))
+  scene.addSource(PointSource(Label='Src', PowerDensity='exp(-theta^2/0.0001)',
+                              ThetaDomain='0, 0.05',
+                              ThetaResolutionNumericMode='2e3',
+                              placement=T.translation(0, 0, 1e-3)))
+  scene.addSimulationSettings(RaysPerIteration=1e5, MaxIntersections=4)
+  device, info = scene.compile()
+  device['powerTol'] = 1e-6
+  assert pallas_trace.pallasEligible(device)
+  hs = fused.makeHistogramSpec(device, info,
+                               bounds=(-100., 100., -100., 100.),
+                               bins=(64, 128))
+  src = scene.lightSources()[0]
+  N = 1 << 18
+  key = jax.random.PRNGKey(33)
+  stats = {}
+  for tag in ('pallas', 'xla'):
+    h = fused.initHistograms(hs)
+    if tag == 'pallas':
+      step = pallas_trace.makePallasTraceStep(
+          device, hs, src.deviceColumnsGenerator(), raysPerStep=N,
+          maxIntersections=4, maxRayLength=1000., distTol=1e-4,
+          sampler=src.pallasSamplerSpec())
+    else:
+      step = fused.makeFusedStep(device, src.deviceGenerator(), hs,
+                                 raysPerStep=N, maxIntersections=4,
+                                 maxRayLength=1000., distTol=1e-4)
+    h, c = step(key, h)
+    H = np.asarray(h['counts'])[0]
+    n = H.sum()
+    ys, xs = np.indices(H.shape)
+    cy, cx = (H * ys).sum() / n, (H * xs).sum() / n
+    spread = np.sqrt((H * ((ys - cy) ** 2 + (xs - cx) ** 2)).sum() / n)
+    stats[tag] = (int(c['hits']), cy, cx, spread)
+  hP, cyP, cxP, sP = stats['pallas']
+  hX, cyX, cxX, sX = stats['xla']
+  assert hX > 0.5 * N                     # the diffuse lobe hits the wall
+  assert abs(hP - hX) < 0.05 * max(hP, hX)
+  assert abs(cyP - cyX) < 1.0 and abs(cxP - cxX) < 1.0
+  assert abs(sP - sX) < 0.05 * sX

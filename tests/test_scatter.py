@@ -110,3 +110,51 @@ class TestStochasticScatter:
     fracCore = np.mean(r < 2.)
     assert 0.2 < fracCore < 0.95
     assert np.quantile(r, 0.95) > 10.
+
+
+def test_scatter_constants_match_gather_path(tmp_path):
+  '''The compile-time polynomial scatter draw (scatterConstants +
+  _scatterDrawConst — gather-free) must reproduce the exact gather-based
+  _scatterDraw's lobe statistics on the fused histogram path.'''
+  import jax
+  from optics_design_workbench_tpu.tracing import fused, batch_tracer
+
+  scene = scatterScene(tmp_path,
+                       ReflectedProbabilityDensity='exp(-theta^2/0.02)',
+                       PowerThetaDomain='0, pi/3')
+  device, info = scene.compile()
+  device['powerTol'] = 1e-6
+  consts = batch_tracer.scatterConstants(device)
+  assert consts is not None and len(consts) == 1
+  e, k, phiSpec, thetaSpec = consts[0]
+  assert phiSpec[0] == 'pwpoly' and thetaSpec[0] == 'pwpoly'
+
+  hs = fused.makeHistogramSpec(device, info, bounds=(-60., 60., -60., 60.),
+                               bins=(64, 64))
+  src = scene.lightSources()[0]
+  gen = src.deviceGenerator()
+  key = jax.random.PRNGKey(9)
+  batch = gen(key, 100000)
+  args = (batch['origins'], batch['directions'], batch['powers'],
+          batch['wavelengths'])
+
+  def run(flagsTuple):
+    h = fused.initHistograms(hs)
+    h, c = fused._traceHistogram(
+        device, hs['elemToDet'], hs['bounds'], tuple(hs['bins']), h, *args,
+        maxIntersections=4, maxRayLength=1000., distTol=1e-4,
+        flagsTuple=flagsTuple, scatterKey=jax.random.PRNGKey(5))
+    return np.asarray(h['counts'])[0], int(c['hits'])
+
+  Hc, hitsC = run((True, True, True, consts))
+  Hg, hitsG = run((True, True, True, None))
+  assert hitsC > 0 and abs(hitsC - hitsG) < 0.05 * max(hitsC, hitsG)
+
+  def radialProfile(H):
+    n = H.sum()
+    ys, xs = np.indices(H.shape)
+    cy, cx = (H * ys).sum() / n, (H * xs).sum() / n
+    r = np.hypot(ys - cy, xs - cx)
+    return np.sqrt((H * r ** 2).sum() / n)
+  assert abs(radialProfile(Hc) - radialProfile(Hg)) \
+      < 0.05 * radialProfile(Hg)
