@@ -948,14 +948,15 @@ def makePallasTraceStep(scene, histSpec, generator, raysPerStep,
     def tiled(x):
       return x.reshape(totalRows, 128)
 
-    # one int32 seed per step; tiles decorrelate via program_id
-    seedArr = jax.random.randint(key, (1,), 0, 2 ** 31 - 1,
-                                 dtype=jnp.int32)
     if sampler is not None:
-      inputs = (seedArr,)
+      # one int32 seed per step; tiles decorrelate via program_id
+      inputs = (jax.random.randint(key, (1,), 0, 2 ** 31 - 1,
+                                   dtype=jnp.int32),)
     else:
-      genKey, _ = jax.random.split(key)
-      batch = generator(genKey, raysPerStep, stratified=stratified)
+      # the generator consumes the RAW key so the same key produces the
+      # same rays as the XLA paths (the exact-equality cross-checks in
+      # tests/test_pallas_tpu.py depend on it)
+      batch = generator(key, raysPerStep, stratified=stratified)
       if 'ox' in batch:   # column-form generator
         wlCol = batch.get('wl')
         if wlCol is None:
@@ -970,7 +971,11 @@ def makePallasTraceStep(scene, histSpec, generator, raysPerStep,
                 batch['powers'], batch['wavelengths'])
       inputs = tuple(tiled(x) for x in cols)
       if scatterConsts:
-        inputs = inputs + (seedArr,)
+        # fold_in decorrelates the in-kernel scatter stream from the
+        # ray-generation draws on the same key
+        inputs = inputs + (jax.random.randint(
+            jax.random.fold_in(key, 0x5ca7), (1,), 0, 2 ** 31 - 1,
+            dtype=jnp.int32),)
     if inKernelHist:
       delta, segs = traceCall(*inputs)
       hist = dict(
