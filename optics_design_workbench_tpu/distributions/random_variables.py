@@ -56,33 +56,55 @@ def setGlobalSeed(seed):
 
 
 class _Timeout:
-  '''Wall-clock guard around sympy calls. sympy swallows ordinary exceptions
+  '''CPU-time guard around sympy calls. sympy swallows ordinary exceptions
   internally, so like the reference we must raise KeyboardInterrupt from a
   SIGALRM handler to reliably abort a hung solve (reference:
   random_number_generator.py:23-37). Hardened beyond the reference's bare
-  `signal.alarm`: the handler is fenced by an `_active` flag so a late alarm
-  delivered after the guarded region (e.g. while the interpreter is inside
-  an XLA GC callback) is a no-op instead of killing the host program; the
-  previous handler is restored on exit; and a raise that gets swallowed by
-  an unraisable-exception context (gc.callbacks) re-arms a short retry timer
-  so the hung solve is still interrupted at the next bytecode boundary in a
-  normal frame. Outside the main thread (where signals are unavailable) the
-  guard degrades to a post-hoc deadline check.'''
+  `signal.alarm`:
+    * the budget is measured in MAIN-THREAD CPU time (time.thread_time),
+      not wall clock — machine load (concurrent test workers, XLA compile
+      threads) cannot expire the analytic budget and silently flip a
+      deterministic 'analytic' compile into 'numeric' mode. A wall-clock
+      ceiling of 10x the budget still bounds blocking (non-CPU) hangs.
+    * the handler is fenced by an `_active` flag so a late alarm delivered
+      after the guarded region (e.g. while the interpreter is inside an
+      XLA GC callback) is a no-op instead of killing the host program; the
+      previous handler is restored on exit; and a raise that gets
+      swallowed by an unraisable-exception context (gc.callbacks) re-arms
+      a short retry timer so the hung solve is still interrupted at the
+      next bytecode boundary in a normal frame.
+  Outside the main thread (where signals are unavailable) the guard
+  degrades to a post-hoc deadline check.'''
 
-  def __init__(self, deadline):
-    self.deadline = deadline
+  def __init__(self, cpuDeadline, wallDeadline=None):
+    self.cpuDeadline = cpuDeadline
+    self.wallDeadline = wallDeadline if wallDeadline is not None \
+        else time.time() + 10 * max(cpuDeadline - time.thread_time(), 0.)
     self._installed = False
     self._active = False
     self._prevHandler = None
 
+  def _expired(self):
+    return (time.thread_time() >= self.cpuDeadline
+            or time.time() >= self.wallDeadline)
+
+  def _remaining(self):
+    return min(self.cpuDeadline - time.thread_time(),
+               self.wallDeadline - time.time())
+
   def __enter__(self):
-    remaining = self.deadline - time.time()
-    if remaining <= 0:
+    if self._expired():
       raise RuntimeError('time is up')
     if threading.current_thread() is threading.main_thread():
       def handler(sig, frame):
-        if not self._active or time.time() < self.deadline:
+        if not self._active:
           return  # late or spurious alarm: never interrupt unrelated code
+        if not self._expired():
+          # wall time passed but the main thread was starved of CPU (load):
+          # re-arm for the remaining CPU budget
+          signal.setitimer(signal.ITIMER_REAL,
+                           max(self._remaining(), .05))
+          return
         # a raise inside a gc callback frame (observed: jax's
         # _xla_gc_callback) is swallowed as an "unraisable exception" and
         # noisily printed — don't raise there, just retry shortly so the
@@ -98,7 +120,7 @@ class _Timeout:
         raise KeyboardInterrupt('time is up')
       self._prevHandler = signal.signal(signal.SIGALRM, handler)
       self._active = True
-      signal.setitimer(signal.ITIMER_REAL, remaining)
+      signal.setitimer(signal.ITIMER_REAL, max(self._remaining(), .01))
       self._installed = True
     return self
 
@@ -251,7 +273,10 @@ class VectorRandomVariable:
     within `timeout` seconds, else a tabulated numeric fallback
     (reference: random_number_generator.py:72-119).
     '''
-    self._deadline = time.time() + timeout
+    # CPU-time budget (load-independent: concurrent processes cannot flip
+    # the compile mode) with a 10x wall-clock ceiling for true hangs
+    self._deadline = time.thread_time() + timeout
+    self._wallDeadline = time.time() + 10 * timeout
     self._setConstants(**constants)
     if not self._needsRecompile:
       return
@@ -350,7 +375,7 @@ class VectorRandomVariable:
     marginalizing earlier variables and leaving later ones as parameters
     (reference: random_number_generator.py:204-320).'''
     expr = self._probabilityDensityExpr
-    with _Timeout(self._deadline):
+    with _Timeout(self._deadline, getattr(self, '_wallDeadline', None)):
       # positivity sanity check (best effort)
       _noDelta = expr.replace(sy.DiracDelta, lambda *a: 0)
       isPositive = False

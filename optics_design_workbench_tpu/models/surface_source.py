@@ -68,6 +68,12 @@ class _Face:
     if k == GS.TRIANGLE:
       v0, v1, v2 = p[0:3], p[3:6], p[6:9]
       return 0.5 * np.linalg.norm(np.cross(v1 - v0, v2 - v0))
+    if k == GS.CONE:
+      # dA = 2 pi r(z) sqrt(1 + tanA^2) dz with r(z) = r0 + z tanA
+      r0, tanA = p[0], p[1]
+      z1, z2 = t[1], t[2]
+      return float(2 * np.pi * np.sqrt(1 + tanA ** 2)
+                   * (r0 * (z2 - z1) + tanA * (z2 ** 2 - z1 ** 2) / 2))
     raise ValueError(f'unknown surface kind {k}')
 
   def _sagPrimeOverR(self, r2):
@@ -134,6 +140,24 @@ class _Face:
       pts = v0 + a[:, None] * (v1 - v0) + b[:, None] * (v2 - v0)
       nrm = np.cross(v1 - v0, v2 - v0)
       normals = np.tile(nrm / np.linalg.norm(nrm), (n, 1))
+    elif k == GS.CONE:
+      # area density over z is linear in r(z) = r0 + z tanA: invert the
+      # quadratic CDF in closed form
+      r0, tanA = p[0], p[1]
+      z1, z2 = t[1], t[2]
+      A = lambda z: r0 * z + tanA * z * z / 2      # noqa: E731
+      target = A(z1) + u * (A(z2) - A(z1))
+      if abs(tanA) < 1e-12:
+        z = z1 + u * (z2 - z1)
+      else:
+        disc = np.maximum(r0 ** 2 + 2 * tanA * target, 0.)
+        z = (-r0 + np.sqrt(disc)) / tanA
+      phi = 2 * np.pi * v
+      rr = r0 + z * tanA
+      pts = np.stack([rr * np.cos(phi), rr * np.sin(phi), z], -1)
+      normals = np.stack([np.cos(phi), np.sin(phi),
+                          np.full(n, -tanA)], -1)
+      normals /= np.linalg.norm(normals, axis=-1, keepdims=True)
     else:
       raise ValueError(f'unknown surface kind {k}')
     return pts, normals * self.orient

@@ -32,7 +32,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..geometry import surfaces as GS
-from ..tracing.tracer import MIRROR, LENS, GRATING, ABSORBER
+from ..tracing.tracer import MIRROR, LENS, GRATING, ABSORBER, VACUUM
 from . import histogram
 
 TILE = 8192
@@ -68,8 +68,8 @@ def numSurfacesStatic(scene):
 
 def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
                 maxIntersections, maxRayLength, distTol, powerTol,
-                histRows=None, hitSlots=1, allowedPerBounce=None,
-                sampler=None, scatterConsts=None):
+                histRows=None, hitSlots=1, surfAllowed=None, seqSpec=None,
+                sampler=None, scatterConsts=None, nUniformInputs=0):
   '''Build the kernel body with the scene baked in as python constants.
   surfRows: list of per-surface dicts of floats; elemRows likewise.
   histRows: if set (= D*H), the kernel accumulates the (histRows, 2*W)
@@ -81,16 +81,27 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
   hitSlots: per-ray ring of recorded hits so every pass over a recording
   element is kept (the reference records on EVERY pass, ray.py:276-277;
   one slot would keep only the last). hitSlots >= the max number of
-  recording passes per ray makes the fast path physics-exact.
-  allowedPerBounce: optional list (len maxIntersections) of surface-index
-  sets — sequential mode / per-source masks as compile-time constants
-  (reference: find.py:79-104): disallowed surfaces emit no code at all.
+  recording passes per ray makes the fast path physics-exact; an
+  `ovf` output counts recording passes dropped past the last slot so
+  under-recording is always detectable (counters['hitOverflow']).
+  surfAllowed: optional list of surface indices the per-source mask admits
+  (reference: find.py:79-104) — disallowed surfaces emit no code at all.
+  seqSpec: optional (nStages, {surface: allowed-stage tuple}) sequential
+  mode constants. The kernel then tracks the PER-RAY sequence index
+  exactly like the XLA path (batch_tracer.bounceBatch seqInc: the index
+  does NOT advance on lens / transmission-grating entry), so sequential
+  scenes containing lenses stay bit-identical to the reference semantics
+  instead of desyncing on a bounce-counted mask.
   sampler: optional point-source sampling spec (PointSource
   .pallasSamplerSpec()) baked as python constants. When set, the kernel
   takes ONLY a seed (SMEM) input and draws its rays with the on-core PRNG
   + an inverse-CDF tent interpolation — the 8 (N,) ray columns never
   exist in HBM and the XLA-side sampling slice (~0.9 ms/step at 1M rays)
-  disappears.'''
+  disappears.
+  nUniformInputs: testing seam — when > 0, the kernel consumes that many
+  uniform (rows, 128) VMEM inputs instead of the on-core PRNG (which the
+  Mosaic interpreter stubs to zeros), making the stochastic paths exactly
+  reproducible in interpret-mode CI tests.'''
   H, W = bins
   S = len(surfRows)
 
@@ -126,9 +137,20 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
           * float(val)
     return acc
 
+  # uniform draws: on-core PRNG by default; with nUniformInputs > 0 each
+  # draw instead reads the next uniform input ref (deterministic testing
+  # seam — draw ORDER is part of the kernel contract: sampler first/phi,
+  # then lobe u1,u2, then modify u3,u4)
+  _uniformRefs = []
+  _uniformCtr = [0]
+
   def _uniform(shape):
-    '''f32 uniform in [0, 1) from the on-core PRNG (seed beforehand); the
-    23-high-bit int32 convert is the Mosaic-supported path.'''
+    '''f32 uniform in [0, 1); PRNG path: the 23-high-bit int32 convert is
+    the Mosaic-supported path.'''
+    if nUniformInputs:
+      ref = _uniformRefs[_uniformCtr[0]]
+      _uniformCtr[0] += 1
+      return ref[:]
     bits = pltpu.prng_random_bits(shape)
     i = (pltpu.bitcast(bits, jnp.uint32) >> jnp.uint32(9)) \
         .astype(jnp.int32)
@@ -175,24 +197,30 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
     wl = jnp.full(shape, float(sampler['wavelength']))
     return ox, oy, oz, dx, dy, dz, pw, wl
 
-  needSeed = sampler is not None or scatterConsts
+  needSeed = (sampler is not None or scatterConsts) and not nUniformInputs
 
   def kernel(*refs):
-    if sampler is not None:
-      seed_ref, out_refs = refs[0], refs[1:]
-    elif scatterConsts:
+    _uniformCtr[0] = 0
+    _uniformRefs.clear()
+    i0 = 0 if sampler is not None else 8
+    if sampler is None:
       (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, pw_ref,
-       wl_ref), seed_ref, out_refs = refs[:8], refs[8], refs[9:]
+       wl_ref) = refs[:8]
+    if nUniformInputs:
+      _uniformRefs.extend(refs[i0:i0 + nUniformInputs])
+      out_refs = refs[i0 + nUniformInputs:]
+    elif needSeed:
+      seed_ref, out_refs = refs[i0], refs[i0 + 1:]
     else:
-      (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, pw_ref,
-       wl_ref), out_refs = refs[:8], refs[8:]
+      out_refs = refs[i0:]
     if histRows is None:
       binOut_refs = out_refs[0:hitSlots]
       wOut_refs = out_refs[hitSlots:2 * hitSlots]
       cOut_refs = out_refs[2 * hitSlots:3 * hitSlots]
       segOut_ref = out_refs[3 * hitSlots]
+      ovfOut_ref = out_refs[3 * hitSlots + 1]
     else:
-      hist_ref, segOut_ref = out_refs
+      hist_ref, segOut_ref, ovfOut_ref = out_refs
     if needSeed:
       pltpu.prng_seed(seed_ref[0], pl.program_id(0))
     if sampler is not None:
@@ -212,6 +240,9 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
     hitW = [jnp.zeros(shape) for _ in range(hitSlots)]
     hitC = [jnp.zeros(shape) for _ in range(hitSlots)]
     hitN = jnp.zeros(shape)
+    if seqSpec is not None:
+      nStages, stageSets = seqSpec
+      seqF = jnp.zeros(shape)   # per-ray sequence index as float
 
     # dispersion: n(wavelength) per dispersive element, evaluated ONCE
     # (wavelength is constant along a ray) as a Horner polynomial in the
@@ -227,9 +258,26 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
           acc = acc * sW + float(c)
         nOfElem[e] = acc
 
+    bounceSurfs = (list(range(S)) if surfAllowed is None
+                   else sorted(surfAllowed))
+
+    def _seqGate(s, t):
+      '''Sequential-mode per-ray stage gate for surface s (compile-time
+      stage sets; reference clamps the stage index to the last row,
+      batch_tracer.bounceBatch q=clip(seq, 0, Q-1)).'''
+      if seqSpec is None:
+        return t
+      stages = stageSets[s]
+      if len(stages) >= nStages:
+        return t
+      ok = None
+      for q in stages:
+        term = (seqF >= float(q)) if q == nStages - 1 \
+            else (seqF == float(q))
+        ok = term if ok is None else (ok | term)
+      return jnp.where(ok, t, _BIG)
+
     for _bounce in range(maxIntersections):
-      bounceSurfs = (range(S) if allowedPerBounce is None
-                     else sorted(allowedPerBounce[_bounce]))
       # ---- nearest intersection over unrolled surfaces (distances kept
       # live across the selection passes) ----
       ts = {}
@@ -238,6 +286,7 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
         r = surfRows[s]
         t = _intersectConst(r, ox, oy, oz, dx, dy, dz, distTol)
         t = jnp.where(t <= maxRayLength, t, _BIG)
+        t = _seqGate(s, t)
         ts[s] = t
         tBest = jnp.minimum(tBest, t)
       # same-medium preference: nearest hit with elem != medium within
@@ -506,6 +555,16 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
       if hasGrating:
         newPw = jnp.where(isGrating & isEntering & evanescent, 0., newPw)
 
+      if seqSpec is not None:
+        # per-ray sequence advance, identical to batch_tracer.bounceBatch
+        # seqInc: lens ENTRY and transmission-grating ENTRY do not advance
+        isVac = optType == float(VACUUM)
+        seqInc = isMirror | isAbsorber | isVac | lensExitToVacuum
+        if hasGrating:
+          seqInc = seqInc | (isGrating & isReflG & isEntering) \
+              | gratTransExit
+        seqF = seqF + jnp.where(alive & hasHit & seqInc, 1., 0.)
+
       # ---- record EVERY in-bounds detector pass into the hit-slot ring
       # (reference records on each pass, ray.py:276-277; overflow beyond
       # hitSlots overwrites the last slot) ----
@@ -536,12 +595,14 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
       medium = jnp.where(alive & hasHit, newMedium, medium)
       alive = newAlive
 
+    overflow = jnp.maximum(hitN - float(hitSlots), 0.)
     if histRows is None:
       for slot in range(hitSlots):
         binOut_refs[slot][:] = hitBin[slot]
         wOut_refs[slot][:] = hitW[slot]
         cOut_refs[slot][:] = hitC[slot]
       segOut_ref[:] = segCount
+      ovfOut_ref[:] = overflow
       return
 
     # ---- in-kernel histogram: factorized one-hot matmuls on the MXU ----
@@ -586,6 +647,7 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
     def _():
       hist_ref[:, :] = hist_ref[:, :] + acc
     segOut_ref[:] = segCount
+    ovfOut_ref[:] = overflow
 
   return kernel
 
@@ -822,33 +884,61 @@ def dispersionFitsInKernel(scene):
     return False
 
 
-def _allowedPerBounce(scene, maxIntersections):
-  '''Static per-bounce allowed-surface sets from the scene's sequential-mode
-  mask and per-source surface mask (compile-time constants: disallowed
-  surfaces never emit intersection code). None = all allowed.'''
+def _staticMasks(scene):
+  '''(surfAllowed, seqSpec) compile-time constants from the scene's
+  per-source surface mask and sequential-mode mask (reference:
+  find.py:79-104). surfAllowed: sorted surface list or None (= all);
+  disallowed surfaces never emit intersection code. seqSpec:
+  (nStages, {surface: allowed-stage tuple}) driving the kernel's PER-RAY
+  sequence index (the XLA twin: batch_tracer.bounceBatch seqMask/seqInc),
+  or None when the scene has no seqMask.'''
   S = numSurfacesStatic(scene)
   surfMask = np.ones(S, dtype=bool)
   if 'surfMask' in scene:
     surfMask = np.asarray(scene['surfMask']).astype(bool)
-  seq = None
+  seqSpec = None
   if 'seqMask' in scene:
     seq = np.asarray(scene['seqMask']).astype(bool)
-  if seq is None and surfMask.all():
-    return None
-  allowed = []
-  for b in range(maxIntersections):
-    row = surfMask.copy()
-    if seq is not None:
-      row &= seq[min(b, seq.shape[0] - 1)]
-    allowed.append({s for s in range(S) if row[s]})
-  return allowed
+    Q = seq.shape[0]
+    stages = {s: tuple(q for q in range(Q) if seq[q, s]) for s in range(S)}
+    seqSpec = (Q, stages)
+    # surfaces allowed at no stage at all can be dropped entirely
+    surfMask &= np.array([len(stages[s]) > 0 for s in range(S)])
+  allowed = None if surfMask.all() \
+      else sorted(s for s in range(S) if surfMask[s])
+  return allowed, seqSpec
+
+
+def autoHitSlots(scene, histSpec, maxIntersections):
+  '''Topology-derived hit-slot count: per recording element, the number of
+  possible passes is 1 for an absorber (the ray dies there) and
+  1 + (number of OTHER reflective elements) otherwise — a ray can only
+  re-cross a pass-through detector after being turned around (reference
+  records EVERY pass, ray.py:276-277). Capped at 6 slots (VMEM) and at
+  maxIntersections; the kernel's `hitOverflow` counter reports any dropped
+  passes beyond the cap.'''
+  from ..tracing.element_table import EP_GRATTYPE
+  opts = np.asarray(scene['elements']['optType'])
+  ep = np.asarray(scene['elements']['packed'])
+  elemToDet = np.asarray(histSpec['elemToDet'])
+  reflective = (opts == MIRROR) | ((opts == GRATING)
+                                   & (ep[:, EP_GRATTYPE] == 0))
+  nReflect = int(reflective.sum())
+  bound = 0
+  for e in np.nonzero(elemToDet >= 0)[0]:
+    if opts[e] == ABSORBER:
+      bound += 1
+    else:
+      bound += 1 + nReflect - int(reflective[e])
+  return max(1, min(maxIntersections, bound, 6))
 
 
 def makePallasTraceStep(scene, histSpec, generator, raysPerStep,
                         maxIntersections, maxRayLength, distTol,
                         powerTol=1e-6, stratified=False, tile='auto',
                         histPrecision='default', hitSlots='auto',
-                        sampler=None, innerSteps=1, jitWrap=True):
+                        sampler=None, innerSteps=1, jitWrap=True,
+                        interpret=False, uniformProvider='prng'):
   '''Build the fused sample + pallas-trace + histogram step:
   (key, histograms) -> (histograms, counters). Requires pallasEligible.
   histPrecision: matmul precision of the MXU binning pass — 'default'
@@ -871,12 +961,7 @@ def makePallasTraceStep(scene, histSpec, generator, raysPerStep,
                   and D * H % 8 == 0 and W % 128 == 0
                   and D * H * 2 * W * 4 <= (4 << 20))
   if hitSlots == 'auto':
-    # one recording element cannot be passed twice without a reflector in
-    # between; several recording elements (stacked vacuum detectors) need
-    # one slot per possible pass (reference records every pass,
-    # ray.py:276-277)
-    nRec = int(np.sum(np.asarray(histSpec['elemToDet']) >= 0))
-    hitSlots = 1 if nRec <= 1 else min(maxIntersections, 4)
+    hitSlots = autoHitSlots(scene, histSpec, maxIntersections)
   from ..tracing.batch_tracer import scatterConstants
   scatterConsts = scatterConstants(scene)
   if tile == 'auto':
@@ -902,24 +987,37 @@ def makePallasTraceStep(scene, histSpec, generator, raysPerStep,
   grid = (raysPerStep // tile,)
   if stratified:
     sampler = None    # latin-hypercube draws stay on the XLA side
+  # deterministic-uniform testing seam: number of VMEM uniform inputs the
+  # kernel consumes instead of the on-core PRNG (which the Mosaic
+  # interpreter stubs to zeros; see _makeKernel). Draw order: sampler
+  # (first, phi), scatter lobe (u1, u2), modify (u3, u4).
+  if uniformProvider == 'input':
+    lobe = any(c[1] in (0, 1, 2) for c in (scatterConsts or ()))
+    mods = any(c[1] == 3 for c in (scatterConsts or ()))
+    # sampler draws once; scatter draws fresh uniforms EVERY bounce
+    nUniform = ((2 if sampler is not None else 0)
+                + ((2 if lobe else 0) + (2 if mods else 0))
+                * maxIntersections)
+  else:
+    nUniform = 0
   surfRows, elemRows = _sceneRows(scene, histSpec)
+  surfAllowed, seqSpec = _staticMasks(scene)
   kernel = _makeKernel(surfRows, elemRows, histSpec['elemToDet'],
                        histSpec['bounds'], (H, W), maxIntersections,
                        float(maxRayLength), float(distTol), float(powerTol),
                        histRows=D * H if inKernelHist else None,
                        hitSlots=hitSlots,
-                       allowedPerBounce=_allowedPerBounce(scene,
-                                                          maxIntersections),
-                       sampler=sampler, scatterConsts=scatterConsts)
+                       surfAllowed=surfAllowed, seqSpec=seqSpec,
+                       sampler=sampler, scatterConsts=scatterConsts,
+                       nUniformInputs=nUniform)
   spec = pl.BlockSpec((rows, 128), lambda i: (i, 0),
                       memory_space=pltpu.VMEM)
   seedSpec = pl.BlockSpec(memory_space=pltpu.SMEM)
-  if sampler is not None:
-    inSpecs = [seedSpec]
-  elif scatterConsts:
-    inSpecs = [spec] * 8 + [seedSpec]
-  else:
-    inSpecs = [spec] * 8
+  inSpecs = [] if sampler is not None else [spec] * 8
+  if nUniform:
+    inSpecs += [spec] * nUniform
+  elif sampler is not None or scatterConsts:
+    inSpecs = inSpecs + [seedSpec]
   if inKernelHist:
     histSpecBlock = pl.BlockSpec((D * H, 2 * W), lambda i: (0, 0),
                                  memory_space=pltpu.VMEM)
@@ -927,12 +1025,14 @@ def makePallasTraceStep(scene, histSpec, generator, raysPerStep,
         kernel,
         grid=grid,
         in_specs=inSpecs,
-        out_specs=[histSpecBlock, spec],
+        out_specs=[histSpecBlock, spec, spec],
         out_shape=[jax.ShapeDtypeStruct((D * H, 2 * W), jnp.float32),
+                   jax.ShapeDtypeStruct((totalRows, 128), jnp.float32),
                    jax.ShapeDtypeStruct((totalRows, 128), jnp.float32)],
+        interpret=(pltpu.InterpretParams() if interpret else False),
     )
   else:
-    nOut = 3 * hitSlots + 1
+    nOut = 3 * hitSlots + 2
     traceCall = pl.pallas_call(
         kernel,
         grid=grid,
@@ -940,6 +1040,7 @@ def makePallasTraceStep(scene, histSpec, generator, raysPerStep,
         out_specs=[spec] * nOut,
         out_shape=[jax.ShapeDtypeStruct((totalRows, 128),
                                         jnp.float32)] * nOut,
+        interpret=(pltpu.InterpretParams() if interpret else False),
     )
 
   # donating the carried histograms lets XLA update them in place; without
@@ -949,9 +1050,14 @@ def makePallasTraceStep(scene, histSpec, generator, raysPerStep,
       return x.reshape(totalRows, 128)
 
     if sampler is not None:
-      # one int32 seed per step; tiles decorrelate via program_id
-      inputs = (jax.random.randint(key, (1,), 0, 2 ** 31 - 1,
-                                   dtype=jnp.int32),)
+      if nUniform:
+        us = jax.random.uniform(jax.random.fold_in(key, 0x0177),
+                                (nUniform, totalRows, 128))
+        inputs = tuple(us[i] for i in range(nUniform))
+      else:
+        # one int32 seed per step; tiles decorrelate via program_id
+        inputs = (jax.random.randint(key, (1,), 0, 2 ** 31 - 1,
+                                     dtype=jnp.int32),)
     else:
       # the generator consumes the RAW key so the same key produces the
       # same rays as the XLA paths (the exact-equality cross-checks in
@@ -970,14 +1076,18 @@ def makePallasTraceStep(scene, histSpec, generator, raysPerStep,
         cols = (o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
                 batch['powers'], batch['wavelengths'])
       inputs = tuple(tiled(x) for x in cols)
-      if scatterConsts:
+      if nUniform:
+        us = jax.random.uniform(jax.random.fold_in(key, 0x0177),
+                                (nUniform, totalRows, 128))
+        inputs = inputs + tuple(us[i] for i in range(nUniform))
+      elif scatterConsts:
         # fold_in decorrelates the in-kernel scatter stream from the
         # ray-generation draws on the same key
         inputs = inputs + (jax.random.randint(
             jax.random.fold_in(key, 0x5ca7), (1,), 0, 2 ** 31 - 1,
             dtype=jnp.int32),)
     if inKernelHist:
-      delta, segs = traceCall(*inputs)
+      delta, segs, ovf = traceCall(*inputs)
       hist = dict(
           power=histograms['power'] + delta[:, :W].reshape(D, H, W),
           counts=histograms['counts'] + delta[:, W:].reshape(D, H, W))
@@ -985,6 +1095,7 @@ def makePallasTraceStep(scene, histSpec, generator, raysPerStep,
     else:
       outs = traceCall(*inputs)
       segs = outs[3 * hitSlots]
+      ovf = outs[3 * hitSlots + 1]
       flat = jnp.stack([histograms['power'].reshape(-1),
                         histograms['counts'].reshape(-1)], axis=-1)
       hits = jnp.zeros((), jnp.int32)
@@ -1010,6 +1121,7 @@ def makePallasTraceStep(scene, histSpec, generator, raysPerStep,
                   counts=flat[:, 1].reshape(D, H, W))
     counters = dict(segments=jnp.sum(segs).astype(jnp.int32),
                     hits=hits,
+                    hitOverflow=jnp.sum(ovf).astype(jnp.int32),
                     escaped=jnp.zeros((), jnp.int32))
     return hist, counters
 

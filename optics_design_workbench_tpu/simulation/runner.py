@@ -381,6 +381,7 @@ def runSimulation(scene, action, endIf=None, seed=None, store=None,
     # ---- histogram-first recording: on-device accumulation state ----
     histMode = recording == 'histogram' and mode in ('true', 'pseudo')
     histSteps, hists, histMeta, histSpec = {}, {}, None, None
+    overflowWarned = set()
     histFlushTimer = timing.IntervalTimer(flushEverySeconds)
     if histMode:
       from ..tracing import fused as fusedMod
@@ -441,6 +442,11 @@ def runSimulation(scene, action, endIf=None, seed=None, store=None,
     iteration = 0
     while True:
       iteration += 1
+      # iteration accounting for windowed histogram dispatch: the window is
+      # shared across sources (one loop pass advances every source), so the
+      # extra iterations counted per pass are the MAX inner window over the
+      # sources, not their sum
+      passExtraIters = 0
       for src in scene.lightSources():
         if not isinstance(src, PointSource) and not hasattr(
             src, 'generateRays'):
@@ -463,7 +469,7 @@ def runSimulation(scene, action, endIf=None, seed=None, store=None,
             inner = 1
           elif np.isfinite(results.endAfterRays):
             remaining = results.endAfterRays - results.totalTracedRays
-            inner = int(np.clip(np.ceil(remaining / max(nStep, 1)), 1, 16))
+            inner = int(np.clip(np.ceil(remaining / max(n, 1)), 1, 16))
           else:
             inner = 16
           if np.isfinite(results.endAfterIterations):
@@ -472,14 +478,25 @@ def runSimulation(scene, action, endIf=None, seed=None, store=None,
           if np.isfinite(results.endAfterHits):
             inner = min(inner, 4)     # bound the overshoot past the target
           hitAcc = None
+          ovfAcc = 0
           for _ in range(inner):
             key, sub = jax.random.split(key)
             hists[src.Label], counters = step(sub, hists[src.Label])
             hitAcc = counters['hits'] if hitAcc is None \
                 else hitAcc + counters['hits']
-          results.incrementRayCount(nStep * inner)
-          results.incrementIterationCount(inner - 1)
+            if 'hitOverflow' in counters:
+              ovfAcc += counters['hitOverflow']
+          # count only the n REQUESTED rays toward end criteria, not the
+          # TILE padding the kernel traces (padding rays escape on bounce 1
+          # and record nothing)
+          results.incrementRayCount(n * inner)
+          passExtraIters = max(passExtraIters, inner - 1)
           results.totalRecordedHits += int(hitAcc)
+          if ovfAcc and int(ovfAcc) and src.Label not in overflowWarned:
+            overflowWarned.add(src.Label)
+            io.warn(f'{int(ovfAcc)} detector passes overflowed the '
+                    f'per-ray hit-slot ring this window; histogram counts '
+                    f'under-record (raise hitSlots)')
           # capped raw-hit sample for metadata-rich storage
           if store and rawSampleRays and iteration % rawSampleEvery == 1:
             gen = deviceGens.get(src.Label)
@@ -565,7 +582,7 @@ def runSimulation(scene, action, endIf=None, seed=None, store=None,
           results.totalRecordedHits += int(
               np.asarray(records['recordHit']).sum())
 
-      results.incrementIterationCount()
+      results.incrementIterationCount(1 + passExtraIters)
       results.writeDiskIfNeeded()
       if isWorker:
         # worker: atomic progress dumps for the master to consume+sum

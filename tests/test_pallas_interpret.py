@@ -1,0 +1,292 @@
+'''Pallas kernel logic tests in Mosaic INTERPRET mode — run on the default
+CPU CI mesh every time, so a kernel-logic regression fails `pytest tests/`
+instead of surfacing only as a silent bench-number change on hardware
+(the hardware equivalence suite is tests/test_pallas_tpu.py).
+
+The interpreter stubs the on-core PRNG to zeros, so the stochastic paths
+(in-kernel sampler, scatter) are exercised through the kernel's
+deterministic-uniform seam (`uniformProvider='input'`): the step feeds
+jax.random uniforms as VMEM inputs, and the tests recompute the identical
+uniforms to drive an independent reference implementation.
+'''
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from optics_design_workbench_tpu.models import (Scene, PointSource,
+                                                OpticalGroup)
+from optics_design_workbench_tpu.geometry import surfaces as S
+from optics_design_workbench_tpu.geometry import transforms as T
+from optics_design_workbench_tpu.ops import pallas_trace
+from optics_design_workbench_tpu.tracing import fused
+
+N = 1 << 11
+TILE = 1 << 10
+
+
+def _runPair(scene, bounds, bins=(32, 128), maxIntersections=6, n=N,
+             seed=11, **pallasKw):
+  '''(pallasCounts, xlaCounts, pallasCounters, xlaCounters) for the same
+  key on the interpret-mode kernel and the XLA fused step.'''
+  device, info = scene.compile()
+  device['powerTol'] = 1e-6
+  assert pallas_trace.pallasEligible(device)
+  src = scene.lightSources()[0]
+  histSpec = fused.makeHistogramSpec(device, info, bounds=bounds, bins=bins)
+  kw = dict(raysPerStep=n, maxIntersections=maxIntersections,
+            maxRayLength=1e6, distTol=1e-4)
+  key = jax.random.PRNGKey(seed)
+  stepP = pallas_trace.makePallasTraceStep(
+      device, histSpec, src.deviceColumnsGenerator(), interpret=True,
+      tile=TILE, **kw, **pallasKw)
+  hP, cP = stepP(key, fused.initHistograms(histSpec))
+  stepX = fused.makeFusedStep(device, src.deviceGenerator(), histSpec, **kw)
+  hX, cX = stepX(key, fused.initHistograms(histSpec))
+  return (np.asarray(hP['counts']), np.asarray(hX['counts']), cP, cX)
+
+
+def _nearlyEqualCounts(hP, hX, budget=2):
+  '''Bin-for-bin equality up to `budget` rays migrating across a bin edge
+  (interpret-mode float op order differs from the XLA fusion order by an
+  ulp, which can flip floor() exactly at a bin boundary).'''
+  return np.abs(hP - hX).sum() <= 2 * budget
+
+
+def test_grating_matches_xla_tracer_interpret():
+  '''In-kernel Ludwig-1970 grating vs the XLA batch tracer (the
+  interpret-mode twin of test_pallas_tpu.test_grating_matches_xla_tracer).'''
+  scene = Scene(label='gratinterp')
+  scene.addOpticalGroup(OpticalGroup(
+      OpticalType='Grating', Label='Grat', GratingType='Reflection',
+      GratingLinesPerMillimeter=600., GratingDiffractionOrder=1,
+      GratingLinesOrientation=(1., 0., 0.),
+      surfaces=[S.plane(np.eye(4), elem=0, halfExtents=(30., 30.))],
+      placements=[T.compose(T.translation(0, 0, 100),
+                            T.rotation((1, 0, 0), 20))]))
+  scene.addOpticalGroup(OpticalGroup(
+      OpticalType='Absorber', Label='Det',
+      surfaces=[S.sphere(T.translation(0, 0, 100), elem=0, radius=300.,
+                         orient=-1)],
+      placements=[np.eye(4)]))
+  scene.addSource(PointSource(
+      Label='Src', PowerDensity='exp(-theta^2/0.005)',
+      ThetaDomain='0, 0.2', Wavelength=532.,
+      ThetaResolutionNumericMode='1e4'))
+  scene.addSimulationSettings(RaysPerIteration=1e4, MaxIntersections=3)
+  hP, hX, cP, cX = _runPair(scene, bounds=(-300., 300., -300., 300.),
+                            maxIntersections=3)
+  assert int(cX['hits']) > 0
+  assert abs(int(cP['hits']) - int(cX['hits'])) <= 2
+  assert _nearlyEqualCounts(hP, hX)
+
+
+def _stackedDetectorScene():
+  scene = Scene(label='stackinterp')
+  for i, z in enumerate((40., 60.)):
+    scene.addOpticalGroup(OpticalGroup(
+        OpticalType='Vacuum', Label=f'Det{i}', RecordHits=True,
+        surfaces=[S.plane(np.eye(4), elem=0, halfExtents=(50., 50.))],
+        placements=[T.translation(0, 0, z)]))
+  scene.addOpticalGroup(OpticalGroup(
+      OpticalType='Mirror', Label='Back',
+      surfaces=[S.plane(np.eye(4), elem=0, halfExtents=(50., 50.))],
+      placements=[T.translation(0, 0, 90.)]))
+  scene.addSource(PointSource(
+      Label='Src', PowerDensity='exp(-theta^2/0.02)',
+      ThetaDomain='0, 0.3', Wavelength=532.,
+      ThetaResolutionNumericMode='1e4'))
+  scene.addSimulationSettings(RaysPerIteration=1e4, MaxIntersections=8)
+  return scene
+
+
+def test_multi_detector_hit_ring_interpret():
+  '''Stacked pass-through detectors + a mirror: the hit-slot ring must keep
+  EVERY pass (reference: ray.py:276-277) with the topology-derived auto
+  slot count.'''
+  hP, hX, cP, cX = _runPair(_stackedDetectorScene(),
+                            bounds=(-50., 50., -50., 50.),
+                            maxIntersections=8)
+  assert int(cX['hits']) > 3.5 * N     # ~4 recorded passes per ray
+  assert int(cP['hitOverflow']) == 0   # auto slots must cover all passes
+  assert abs(int(cP['hits']) - int(cX['hits'])) <= 2
+  assert _nearlyEqualCounts(hP, hX)
+
+
+def test_hit_slot_overflow_counter_interpret():
+  '''With hitSlots forced to 1, overflowing passes must be COUNTED:
+  kernel hits + hitOverflow == XLA hits (under-recording is detectable,
+  never silent).'''
+  hP, hX, cP, cX = _runPair(_stackedDetectorScene(),
+                            bounds=(-50., 50., -50., 50.),
+                            maxIntersections=8, hitSlots=1)
+  assert int(cP['hitOverflow']) > 0
+  assert abs(int(cP['hits']) + int(cP['hitOverflow'])
+             - int(cX['hits'])) <= 2
+
+
+def test_sequential_with_lens_matches_xla_interpret():
+  '''Sequential mode with a LENS in the stage list: the sequence index is
+  per-ray and does NOT advance on lens entry (batch_tracer seqInc), so the
+  kernel must track it per ray — a bounce-counted mask desyncs (the lens
+  exit surface would be masked off at its bounce and rays would die inside
+  the glass).'''
+  scene = Scene(label='seqlensinterp')
+  scene.addOpticalGroup(OpticalGroup(
+      OpticalType='Lens', Label='Ball', RefractiveIndex=1.5,
+      surfaces=[S.sphere(np.eye(4), elem=0, radius=10.)],
+      placements=[T.translation(0, 0, 30.)]))
+  scene.addOpticalGroup(OpticalGroup(
+      OpticalType='Absorber', Label='Det', RecordHits=True,
+      surfaces=[S.plane(np.eye(4), elem=0, halfExtents=(80., 80.))],
+      placements=[T.translation(0, 0, 80.)]))
+  scene.addSource(PointSource(
+      Label='Src', PowerDensity='exp(-theta^2/0.02)',
+      ThetaDomain='0, 0.25', Wavelength=532.,
+      ThetaResolutionNumericMode='1e4'))
+  scene.addSimulationSettings(
+      RaysPerIteration=1e4, MaxIntersections=5, SequentialMode=True,
+      SequentialModeElements=[['Ball'], ['Det']])
+  hP, hX, cP, cX = _runPair(scene, bounds=(-80., 80., -80., 80.),
+                            maxIntersections=5)
+  device, _ = scene.compile()
+  assert 'seqMask' in device
+  # the ball lens covers only part of the theta cone; most rays still
+  # reach the detector (and MUST: the lens-exit bounce may not be masked)
+  assert int(cX['hits']) > 0.9 * N
+  assert abs(int(cP['hits']) - int(cX['hits'])) <= 2
+  assert _nearlyEqualCounts(hP, hX)
+
+
+def test_in_kernel_scatter_uniform_seam_interpret():
+  '''In-kernel stochastic scatter via the deterministic-uniform seam: with
+  the SAME uniforms, the kernel's lobe draw + Rodrigues rotations must
+  reproduce an independent numpy reference (marginal eval through
+  batch_tracer._evalPwpoly + closed-form rotation algebra) bin for bin.'''
+  from optics_design_workbench_tpu.tracing.batch_tracer import (
+      scatterConstants, _evalPwpoly)
+
+  scene = Scene(label='scatinterp')
+  scene.addOpticalGroup(OpticalGroup(
+      OpticalType='Mirror', Label='Diffuser', Reflectivity=1.0,
+      ReflectedProbabilityDensity='exp(-theta^2/0.02)',
+      PowerThetaDomain='0, pi/3',
+      surfaces=[S.plane(np.eye(4), elem=0, radius=50., orient=-1)],
+      placements=[T.translation(0, 0, 50)]))
+  scene.addOpticalGroup(OpticalGroup(
+      OpticalType='Absorber', Label='Det',
+      surfaces=[S.plane(np.eye(4), elem=0, halfExtents=(500., 500.))],
+      placements=[T.translation(0, 0, 0)]))
+  scene.addSource(PointSource(Label='Src', PowerDensity='1',
+                              ThetaDomain='0, 0.01',
+                              ThetaResolutionNumericMode='1e3',
+                              placement=T.translation(0, 0, 1e-3)))
+  scene.addSimulationSettings(RaysPerIteration=1e4, MaxIntersections=4)
+  device, info = scene.compile()
+  device['powerTol'] = 1e-6
+  consts = scatterConstants(device)
+  assert consts is not None and len(consts) == 1
+  _e, kind, phiSpec, thetaSpec = consts[0]
+  assert kind == 0    # REFLECT lobe on the mirror
+
+  H, W = 64, 128
+  bounds = (-100., 100., -100., 100.)
+  histSpec = fused.makeHistogramSpec(device, info, bounds=bounds,
+                                     bins=(H, W))
+
+  # straight-up rays from (0, 0, 1e-3): every ray hits the diffuser center
+  def columnsGen(key, n, stratified=False):
+    z = jnp.zeros((n,), jnp.float32)
+    return dict(ox=z, oy=z, oz=z + 1e-3, dx=z, dy=z, dz=z + 1.,
+                pw=z + 1., wl=z + 532.)
+
+  key = jax.random.PRNGKey(5)
+  step = pallas_trace.makePallasTraceStep(
+      device, histSpec, columnsGen, raysPerStep=N, maxIntersections=4,
+      maxRayLength=1e6, distTol=1e-4, interpret=True, tile=TILE,
+      uniformProvider='input')
+  h, c = step(key, fused.initHistograms(histSpec))
+  hK = np.asarray(h['counts'])[0]
+
+  # identical uniforms (the step derives them from fold_in(key, 0x0177));
+  # the kernel draws 2 lobe uniforms (u1=phi, u2=theta) PER BOUNCE; the
+  # mirror hit is bounce 0, so its draws are us[0], us[1]
+  us = np.asarray(jax.random.uniform(jax.random.fold_in(key, 0x0177),
+                                     (2 * 4, N // 128, 128)))
+  u1, u2 = us[0].reshape(-1), us[1].reshape(-1)
+  theta = np.asarray(_evalPwpoly(thetaSpec, jnp.asarray(u2)))
+  phi = np.asarray(_evalPwpoly(phiSpec, jnp.asarray(u1)))
+  # geometry reference: mirror at z=50, outward normal -z; lobe axis is the
+  # incidence-side normal (0,0,-1); scattered direction
+  # Rot(n, phi) Rot(n x dIn -> degenerate alt axis (0,-1,0), theta) n
+  # = (sin t cos p, -sin t sin p, -cos t); landing on the floor at
+  # (50 tan t cos p, -50 tan t sin p)
+  x = 50. * np.tan(theta) * np.cos(phi)
+  y = -50. * np.tan(theta) * np.sin(phi)
+  x0, x1, y0, y1 = bounds
+  fx, fy = (x - x0) / (x1 - x0), (y - y0) / (y1 - y0)
+  inside = (fx >= 0) & (fx < 1) & (fy >= 0) & (fy < 1)
+  ref = np.zeros((H, W))
+  np.add.at(ref, (np.floor(fy[inside] * H).astype(int),
+                  np.floor(fx[inside] * W).astype(int)), 1.)
+  assert int(c['hits']) == int(inside.sum())
+  assert np.abs(hK - ref).sum() <= 4     # bin-edge ulp wobble only
+
+
+def test_in_kernel_sampler_uniform_seam_interpret():
+  '''The in-kernel inverse-CDF sampler via the uniform seam: the sampler
+  kernel must equal the SAME kernel fed ray columns computed from the
+  identical uniforms through the pwpoly marginals + the point-source
+  placement math.'''
+  from optics_design_workbench_tpu.tracing.batch_tracer import _evalPwpoly
+
+  scene = Scene(label='samplerinterp')
+  scene.addOpticalGroup(OpticalGroup(
+      OpticalType='Absorber', Label='Det', RecordHits=True,
+      surfaces=[S.plane(np.eye(4), elem=0, halfExtents=(80., 80.))],
+      placements=[T.translation(0, 0, 60.)]))
+  scene.addSource(PointSource(
+      Label='Src', PowerDensity='exp(-theta^2/0.02)',
+      ThetaDomain='0, 0.4', Wavelength=532.,
+      ThetaResolutionNumericMode='1e4'))
+  scene.addSimulationSettings(RaysPerIteration=1e4, MaxIntersections=2)
+  device, info = scene.compile()
+  device['powerTol'] = 1e-6
+  src = scene.lightSources()[0]
+  spec = src.pallasSamplerSpec()
+  assert spec is not None and spec['finite'] and spec['f'] == 0.
+  histSpec = fused.makeHistogramSpec(device, info,
+                                     bounds=(-80., 80., -80., 80.),
+                                     bins=(32, 128))
+  key = jax.random.PRNGKey(17)
+  kw = dict(raysPerStep=N, maxIntersections=2, maxRayLength=1e6,
+            distTol=1e-4, interpret=True, tile=TILE)
+  stepS = pallas_trace.makePallasTraceStep(
+      device, histSpec, src.deviceColumnsGenerator(), sampler=spec,
+      uniformProvider='input', **kw)
+  hS, cS = stepS(key, fused.initHistograms(histSpec))
+
+  us = jax.random.uniform(jax.random.fold_in(key, 0x0177),
+                          (2, N // 128, 128))
+  t = _evalPwpoly(spec['first'], us[0].reshape(-1)) \
+      if spec['first'][0] == 'pwpoly' else \
+      spec['first'][1] + us[0].reshape(-1) * (spec['first'][2]
+                                              - spec['first'][1])
+  pSpec = spec['phi']
+  p = pSpec[1] + us[1].reshape(-1) * (pSpec[2] - pSpec[1]) \
+      if pSpec[0] == 'affine' else _evalPwpoly(pSpec, us[1].reshape(-1))
+  st, ct = jnp.sin(t), jnp.cos(t)
+  sp, cp = jnp.sin(p), jnp.cos(p)
+  cols = dict(ox=jnp.zeros_like(t), oy=jnp.zeros_like(t),
+              oz=jnp.zeros_like(t), dx=st * sp, dy=-st * cp, dz=ct,
+              pw=jnp.ones_like(t), wl=jnp.full_like(t, 532.))
+
+  def columnsGen(k, n, stratified=False):
+    return cols
+
+  stepC = pallas_trace.makePallasTraceStep(device, histSpec, columnsGen,
+                                           **kw)
+  hC, cC = stepC(key, fused.initHistograms(histSpec))
+  assert int(cS['hits']) == int(cC['hits']) and int(cS['hits']) > 0.9 * N
+  assert np.array_equal(np.asarray(hS['counts']), np.asarray(hC['counts']))

@@ -158,9 +158,9 @@ def test_timeout_never_fires_outside_region():
       _Timeout
 
   with pytest.raises(RuntimeError, match='time is up'):
-    with _Timeout(time.time() + .2):
+    with _Timeout(time.thread_time() + .2):   # CPU-time budget
       t0 = time.time()
-      while time.time() - t0 < 2:   # hung-solve stand-in
+      while time.time() - t0 < 4:   # hung-solve stand-in (burns CPU)
         pass
   # region exited: wait past any would-be re-arm; nothing may fire
   time.sleep(.6)
@@ -169,8 +169,62 @@ def test_timeout_never_fires_outside_region():
   # a timeout that never triggers restores the previous handler
   prev = signal.signal(signal.SIGALRM, signal.SIG_IGN)
   try:
-    with _Timeout(time.time() + 60):
+    with _Timeout(time.thread_time() + 60):
       pass
     assert signal.getsignal(signal.SIGALRM) is signal.SIG_IGN
   finally:
     signal.signal(signal.SIGALRM, prev)
+
+
+def test_timeout_budget_is_cpu_time_not_wall_clock():
+  '''Wall-clock time passing WITHOUT main-thread CPU use (sleep = stand-in
+  for machine load starving the process) must not expire the budget — the
+  round-2 flake was the analytic sympy budget expiring under load and
+  silently flipping compile mode to numeric.'''
+  from optics_design_workbench_tpu.distributions.random_variables import \
+      _Timeout
+
+  with _Timeout(time.thread_time() + 1.5):
+    time.sleep(2.5)        # more wall time than the whole CPU budget
+  # no RuntimeError: the guard re-armed instead of firing
+
+
+def test_histogram_snapshots_sum_across_workers(tmp_path):
+  '''Per-worker histogram snapshots: each worker's snapshots are cumulative
+  and supersede only its OWN older files; the loader sums the latest
+  snapshot per worker (round-2 bug: writeHistogramSnapshot deleted ALL
+  snapshots in the folder and the loader read only the newest file, so
+  concurrent workers clobbered each other and only the last flusher's
+  counts survived).'''
+  import threading
+
+  store = results_store.SimulationResults(
+      simulationType='true', basePath=str(tmp_path),
+      simulationRunFolder='raw/simulation-run-000000')
+  meta = dict(bounds=np.array([[0., 1., 0., 1.]]), detLabels=['Det'])
+
+  def worker(value, flushes):
+    # each flush is CUMULATIVE for this worker (thread = distinct key)
+    for i in range(1, flushes + 1):
+      store.writeHistogramSnapshot(
+          'Src', dict(power=np.full((1, 4, 4), value * i),
+                      counts=np.full((1, 4, 4), value * i)), meta)
+      time.sleep(.01)
+
+  threads = [threading.Thread(target=worker, args=(v, 3))
+             for v in (1., 10.)]
+  for t in threads:
+    t.start()
+  for t in threads:
+    t.join()
+  # main thread acts as a third worker
+  worker(100., 2)
+
+  out = results_store.loadHistogramSnapshots(store.runPath())
+  counts = out['Src']['Det']['counts']
+  # latest per worker: 3*1 + 3*10 + 2*100 = 233 in every bin
+  assert np.allclose(counts, 233.)
+  srcFolder = os.path.join(store.runPath(), 'source-Src')
+  import glob as _glob
+  files = _glob.glob(os.path.join(srcFolder, '*-histograms.npz'))
+  assert len(files) == 3      # exactly one surviving file per worker
