@@ -69,6 +69,33 @@ def buildLensMirrorScene(tmpdir=None):
   return scene
 
 
+def buildSurfaceSourceScene(tmpdir=None):
+  '''Lambertian-emitter benchmark: a cos(theta)^2 disc emitter radiating
+  onto a detector plane past a fold mirror — the reference's surface-source
+  use case (surface_source.py:269-555) on the fused device path.'''
+  scene = Scene(label='bench_ss', path=tmpdir and f'{tmpdir}/bench_ss')
+  scene.addOpticalGroup(OpticalGroup(
+      OpticalType='Mirror', Label='Emitter',
+      surfaces=[S.plane(np.eye(4), elem=0, radius=20.)],
+      placements=[T.translation(0, 0, 0)]))
+  scene.addOpticalGroup(OpticalGroup(
+      OpticalType='Mirror', Label='FoldMirror', Reflectivity=0.98,
+      surfaces=[S.plane(np.eye(4), elem=0, radius=80.)],
+      placements=[T.compose(T.translation(0, 0, 120),
+                            T.rotation((0, 1, 0), 45))]))
+  scene.addOpticalGroup(OpticalGroup(
+      OpticalType='Absorber', Label='Detector',
+      surfaces=[S.plane(np.eye(4), elem=0, halfExtents=(120., 120.))],
+      placements=[T.compose(T.translation(-100, 0, 120),
+                            T.rotation((0, 1, 0), 90))]))
+  from .models.surface_source import SurfaceSource
+  src = SurfaceSource(Label='Source', ActiveSurfaces=['Emitter'],
+                      PowerDensity='cos(theta)**2')
+  scene.addSource(src)
+  scene.addSimulationSettings(RaysPerIteration=1e6, MaxIntersections=4)
+  return scene
+
+
 def makeBenchStep(scene=None, raysPerStep=1 << 20, maxIntersections=6,
                   mesh=None, bins=(256, 256), stratified=False,
                   usePallas='auto', histPrecision='default'):

@@ -35,6 +35,13 @@ class GenericSource(PropertyMixin):
   def clear(self):
     '''GUI-only in the reference (deletes drawn ray objects); no-op here.'''
 
+  def supportsDeviceSampling(self):
+    '''True when this source can export a device generator
+    (deviceGenerator / deviceColumnsGenerator) for the fused on-device
+    Monte-Carlo fast path; sources answering False run through the
+    host-side generateRays path.'''
+    return False
+
   def onInitializeSimulation(self, state=None, ident=None):
     pass
 

@@ -372,6 +372,9 @@ class PointSource(GenericSource):
 
   # ------------------------------------------------------------- device path
 
+  def supportsDeviceSampling(self):
+    return True
+
   def deviceGenerator(self):
     '''Return a jittable `generate(key, N, stratified=False)` producing the
     full ray batch on device — sampling through the compiled inverse-CDF

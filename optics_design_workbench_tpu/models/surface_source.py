@@ -20,12 +20,112 @@ freecad_elements/surface_source.py):
 '''
 
 import numpy as np
+import jax
+import jax.numpy as jnp
 
 from .. import distributions
+from ..distributions.device_sampler import (buildDeviceTables, deviceDraw,
+                                            fitPiecewisePoly)
 from ..geometry import surfaces as GS
 from ..utils import io
 from .common import parseDomain
 from .generic_source import GenericSource
+
+
+def _asphereRadiusCdf(face, quantileRes=257):
+  '''Inverse CDF r(u) of the area element dA(r) of an asphere face,
+  tabulated on a uniform quantile grid (the device twin of the host
+  samplePositions asphere branch).'''
+  t = face.trim
+  r1, r2 = t[1], min(t[2], 1e6)
+  rGrid = np.linspace(r1, r2, 2001)
+  gr = face._sagPrimeOverR(rGrid ** 2) * rGrid
+  dens = 2 * np.pi * rGrid * np.sqrt(1 + gr ** 2)
+  cdf = np.concatenate([[0], np.cumsum((dens[1:] + dens[:-1]) / 2
+                                       * np.diff(rGrid))])
+  cdf /= cdf[-1]
+  return np.interp(np.linspace(0., 1., quantileRes), cdf, rGrid)
+
+
+def _localSampleColumns(face, u, v, rCol=None):
+  '''Column-math local position + canonical normal for one face kind from
+  two uniforms, in closed form per kind — shared by the XLA device
+  generator and (with pwpoly-supplied rCol for aspheres) the in-kernel
+  Pallas sampler, so the two sampling paths are maths-identical. `face` is
+  a dict of PYTHON floats; u, v are jnp columns. Returns
+  (lx, ly, lz, nlx, nly, nlz) with the orient flip NOT yet applied.'''
+  k = face['kind']
+  p = face['params']
+  t = face['trim']
+  one = jnp.ones_like(u)
+  zero = jnp.zeros_like(u)
+  if k == GS.PLANE:
+    if t[0] > 0.5:
+      return ((2. * u - 1.) * t[1], (2. * v - 1.) * t[2], zero,
+              zero, zero, one)
+    r = jnp.sqrt(u * (t[2] ** 2 - t[1] ** 2) + t[1] ** 2)
+    a = 2. * np.pi * v
+    return r * jnp.cos(a), r * jnp.sin(a), zero, zero, zero, one
+  if k == GS.SPHERE:
+    R = p[0]
+    z = t[1] + u * (t[2] - t[1])
+    a = 2. * np.pi * v
+    rr = jnp.sqrt(jnp.maximum(R ** 2 - z * z, 0.))
+    lx, ly = rr * jnp.cos(a), rr * jnp.sin(a)
+    inv = 1.0 / R
+    return lx, ly, z, lx * inv, ly * inv, z * inv
+  if k == GS.CYLINDER:
+    R = p[0]
+    z = t[1] + u * (t[2] - t[1])
+    a = 2. * np.pi * v
+    ca, sa = jnp.cos(a), jnp.sin(a)
+    return R * ca, R * sa, z, ca, sa, zero
+  if k == GS.CONE:
+    r0, tanA = p[0], p[1]
+    z1, z2 = t[1], t[2]
+    A1 = r0 * z1 + tanA * z1 * z1 / 2.
+    A2 = r0 * z2 + tanA * z2 * z2 / 2.
+    target = A1 + u * (A2 - A1)
+    if abs(tanA) < 1e-12:
+      z = z1 + u * (z2 - z1)
+    else:
+      disc = jnp.maximum(r0 ** 2 + 2. * tanA * target, 0.)
+      z = (-r0 + jnp.sqrt(disc)) * (1.0 / tanA)
+    a = 2. * np.pi * v
+    ca, sa = jnp.cos(a), jnp.sin(a)
+    rr = r0 + z * tanA
+    ninv = 1.0 / np.sqrt(1. + tanA * tanA)
+    return (rr * ca, rr * sa, z,
+            ca * ninv, sa * ninv, zero - tanA * ninv)
+  if k == GS.ASPHERE:
+    r = rCol      # supplied by the caller (interp table or pwpoly)
+    a = 2. * np.pi * v
+    c0, kk = p[0], p[1]
+    a4, a6, a8 = p[2], p[3], p[4]
+    r2 = r * r
+    root = jnp.sqrt(jnp.maximum(1. - (1. + kk) * c0 * c0 * r2, 1e-12))
+    sag = c0 * r2 / (1. + root) + r2 * r2 * (a4 + r2 * (a6 + r2 * a8))
+    g = (c0 * (2. / (1. + root)
+               + (1. + kk) * c0 * c0 * r2 / (root * (1. + root) ** 2))
+         + 4. * a4 * r2 + 6. * a6 * r2 * r2 + 8. * a8 * r2 ** 3)
+    ca, sa = jnp.cos(a), jnp.sin(a)
+    ninv = jax.lax.rsqrt(g * g * r2 + 1. + 1e-20)
+    return (r * ca, r * sa, sag,
+            -g * r * ca * ninv, -g * r * sa * ninv, ninv)
+  if k == GS.TRIANGLE:
+    v0 = np.array(p[0:3])
+    v1 = np.array(p[3:6])
+    v2 = np.array(p[6:9])
+    flip = u + v > 1.
+    a = jnp.where(flip, 1. - u, u)
+    b = jnp.where(flip, 1. - v, v)
+    nrm = np.cross(v1 - v0, v2 - v0)
+    nrm = nrm / np.linalg.norm(nrm)
+    return (v0[0] + a * (v1[0] - v0[0]) + b * (v2[0] - v0[0]),
+            v0[1] + a * (v1[1] - v0[1]) + b * (v2[1] - v0[1]),
+            v0[2] + a * (v1[2] - v0[2]) + b * (v2[2] - v0[2]),
+            nrm[0] * one, nrm[1] * one, nrm[2] * one)
+  raise ValueError(f'unknown surface kind {k}')
 
 
 def _rodrigues(v, axis, angle):
@@ -274,6 +374,7 @@ class SurfaceSource(GenericSource):
     self._scene = scene
     super().__init__(placement=placement, **kwargs)
     self._vrv = None
+    self._deviceTables = None
 
   def attachScene(self, scene):
     self._scene = scene
@@ -428,3 +529,194 @@ class SurfaceSource(GenericSource):
       return self._makeBatch(usedFaces, pts, nrms, ths, phs, meta)
 
     raise ValueError(f'unexpected ray placement mode {mode}')
+
+  # ------------------------------------------------------------- device path
+
+  def supportsDeviceSampling(self):
+    try:
+      return bool(self._scene is not None and self._activeFaces())
+    except Exception:
+      return False
+
+  def _faceConstants(self):
+    '''Per-face python-float constants for the device/kernel samplers:
+    area-CDF windows, placement, kind parameters, and (aspheres) the
+    tabulated inverse area CDF.'''
+    faces = self._activeFaces()
+    if not faces:
+      return []
+    areas = np.array([f.area() for f in faces])
+    cum = np.concatenate([[0.], np.cumsum(areas / areas.sum())])
+    cum[-1] = 1.0 + 1e-7      # catch u == 1 - ulp in the last window
+    out = []
+    for i, f in enumerate(faces):
+      d = dict(kind=int(f.kind),
+               params=tuple(float(x) for x in f.params),
+               trim=tuple(float(x) for x in f.trim),
+               orient=float(f.orient),
+               R=tuple(tuple(float(x) for x in row)
+                       for row in f.transform[:3, :3]),
+               off=tuple(float(x) for x in f.transform[:3, 3]),
+               cumLo=float(cum[i]), cumHi=float(cum[i + 1]))
+      if f.kind == GS.ASPHERE:
+        d['rInv'] = _asphereRadiusCdf(f)
+      out.append(d)
+    return out
+
+  def deviceColumnsGenerator(self):
+    '''Column-form device generator (the surface-source twin of
+    PointSource.deviceColumnsGenerator): a jittable
+    `generate(key, N, stratified=False) -> dict(ox..dz, pw, wl)` sampling
+    faces area-proportionally, positions area-uniformly per kind in closed
+    form, theta from the compiled PowerDensity inverse CDF and phi
+    uniformly — entirely on device (reference semantics:
+    surface_source.py:519-555, but batch-first instead of per-ray).'''
+    faces = self._faceConstants()
+    if not faces:
+      raise ValueError('surface source has no active faces')
+    if self._deviceTables is None:
+      self._deviceTables = buildDeviceTables(self._getVrv())
+    tables = self._deviceTables
+    wavelength = float(self.Wavelength)
+
+    def generate(key, N, stratified=False):
+      kF, kU, kV, kT, kP = jax.random.split(key, 5)
+      uF = jax.random.uniform(kF, (N,))
+      u = jax.random.uniform(kU, (N,))
+      v = jax.random.uniform(kV, (N,))
+      theta = deviceDraw(tables, kT, N, stratified=stratified)[0]
+      phi = jax.random.uniform(kP, (N,)) * (2. * np.pi)
+      cols = _surfaceSampleColumns(faces, uF, u, v, theta, phi, wavelength)
+      cols['_theta'] = theta
+      cols['_phi'] = phi
+      cols['_face'] = _faceIndexColumn(faces, uF)
+      return cols
+
+    return generate
+
+  def deviceGenerator(self):
+    '''Batch-form device generator: (N,3) origins/directions + metadata
+    columns (initTheta, initPhi, faceIndex) for the raw-records path.'''
+    columns = self.deviceColumnsGenerator()
+
+    def generate(key, N, stratified=False):
+      c = columns(key, N, stratified=stratified)
+      return dict(
+          origins=jnp.stack([c['ox'], c['oy'], c['oz']], axis=-1),
+          directions=jnp.stack([c['dx'], c['dy'], c['dz']], axis=-1),
+          powers=c['pw'], wavelengths=c['wl'],
+          metadata=dict(initTheta=c['_theta'], initPhi=c['_phi'],
+                        faceIndex=c['_face']))
+
+    return generate
+
+  def pallasSamplerSpec(self):
+    '''In-kernel sampling descriptor for the fused Pallas path: per-face
+    closed-form position sampling + the theta marginal as a piecewise
+    Horner polynomial, all baked as python constants
+    (ops/pallas_trace._sampleRays, type='surface'). None when a face kind
+    or the theta inverse cannot be represented in-kernel — callers then
+    keep the XLA-side generator.'''
+    faces = self._faceConstants()
+    if not faces or len(faces) > 32:
+      return None
+    if self._deviceTables is None:
+      self._deviceTables = buildDeviceTables(self._getVrv())
+    t = self._deviceTables['tables'][0]
+    if int(t['discreteVals'].shape[0]):
+      return None
+    affine, lo, hi = t.get('affine', (False, 0., 1.))
+    if affine:
+      thetaSpec = ('affine', float(lo), float(hi))
+    else:
+      thetaSpec = fitPiecewisePoly(np.asarray(t['invCdf'][0], float))
+      if thetaSpec is None:
+        return None
+    specFaces = []
+    for f in faces:
+      f = dict(f)
+      if f['kind'] == GS.ASPHERE:
+        rSpec = fitPiecewisePoly(f.pop('rInv'))
+        if rSpec is None:
+          return None
+        f['rSpec'] = rSpec
+      specFaces.append(f)
+    return dict(type='surface', faces=tuple(specFaces),
+                theta=thetaSpec, wavelength=float(self.Wavelength))
+
+
+def _faceIndexColumn(faces, uF):
+  idx = jnp.zeros_like(uF)
+  for i, f in enumerate(faces[1:], start=1):
+    idx = jnp.where(uF >= f['cumLo'], float(i), idx)
+  return idx
+
+
+def _surfaceSampleColumns(faces, uF, u, v, theta, phi, wavelength):
+  '''World-frame ray columns from the per-face constants and uniform/theta
+  columns — the shared maths of the XLA device generator (here) and the
+  in-kernel sampler (ops/pallas_trace._sampleRays 'surface' branch):
+  per-face closed-form position+normal accumulated under the area-CDF
+  window masks, then direction = Rot(n, phi) Rot(tangent, theta) n with
+  the host's tangent convention (cross with x-hat, or y-hat near
+  alignment; phi is uniform so the choice cancels).'''
+  zero = jnp.zeros_like(uF)
+  ox, oy, oz = zero, zero, zero
+  nx, ny, nz = zero, zero, zero + 1.
+  for f in faces:
+    m = (uF >= f['cumLo']) & (uF < f['cumHi'])
+    rCol = None
+    if f['kind'] == GS.ASPHERE:
+      if 'rInv' in f:
+        K = len(f['rInv'])
+        pos = u * (K - 1)
+        j = jnp.clip(pos.astype(jnp.int32), 0, K - 2)
+        tab = jnp.asarray(f['rInv'], jnp.float32)
+        rCol = tab[j] + (pos - j) * (tab[j + 1] - tab[j])
+      else:
+        from ..tracing.batch_tracer import _evalPwpoly
+        rCol = _evalPwpoly(f['rSpec'], u)
+    lx, ly, lz, nlx, nly, nlz = _localSampleColumns(f, u, v, rCol=rCol)
+    R, off, orient = f['R'], f['off'], f['orient']
+    wx = R[0][0] * lx + R[0][1] * ly + R[0][2] * lz + off[0]
+    wy = R[1][0] * lx + R[1][1] * ly + R[1][2] * lz + off[1]
+    wz = R[2][0] * lx + R[2][1] * ly + R[2][2] * lz + off[2]
+    wnx = (R[0][0] * nlx + R[0][1] * nly + R[0][2] * nlz) * orient
+    wny = (R[1][0] * nlx + R[1][1] * nly + R[1][2] * nlz) * orient
+    wnz = (R[2][0] * nlx + R[2][1] * nly + R[2][2] * nlz) * orient
+    ox = jnp.where(m, wx, ox)
+    oy = jnp.where(m, wy, oy)
+    oz = jnp.where(m, wz, oz)
+    nx = jnp.where(m, wnx, nx)
+    ny = jnp.where(m, wny, ny)
+    nz = jnp.where(m, wnz, nz)
+  ninv = jax.lax.rsqrt(nx * nx + ny * ny + nz * nz + 1e-20)
+  nx, ny, nz = nx * ninv, ny * ninv, nz * ninv
+  # tangent: cross(n, x-hat) = (0, nz, -ny) unless n is nearly x-aligned,
+  # then cross(n, y-hat) = (-nz, 0, nx) — the host _makeBatch convention
+  useX = jnp.abs(nx) < 0.9
+  tx = jnp.where(useX, zero, -nz)
+  ty = jnp.where(useX, nz, zero)
+  tz = jnp.where(useX, -ny, nx)
+  tinv = jax.lax.rsqrt(tx * tx + ty * ty + tz * tz + 1e-20)
+  tx, ty, tz = tx * tinv, ty * tinv, tz * tinv
+  dx, dy, dz = _rotColumns(nx, ny, nz, tx, ty, tz, theta)
+  dx, dy, dz = _rotColumns(dx, dy, dz, nx, ny, nz, phi)
+  dinv = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz + 1e-20)
+  return dict(ox=ox, oy=oy, oz=oz,
+              dx=dx * dinv, dy=dy * dinv, dz=dz * dinv,
+              pw=jnp.ones_like(uF),
+              wl=jnp.full_like(uF, wavelength))
+
+
+def _rotColumns(vx, vy, vz, ax, ay, az, ang):
+  '''Rodrigues rotation on columns (twin of batch_tracer._rot3, local to
+  avoid a models -> tracing import at module load).'''
+  c, s = jnp.cos(ang), jnp.sin(ang)
+  cx = ay * vz - az * vy
+  cy = az * vx - ax * vz
+  cz = ax * vy - ay * vx
+  dot = ax * vx + ay * vy + az * vz
+  return (vx * c + cx * s + ax * dot * (1 - c),
+          vy * c + cy * s + ay * dot * (1 - c),
+          vz * c + cz * s + az * dot * (1 - c))

@@ -172,7 +172,23 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
     '''Draw the tile's rays with the on-core PRNG (seeded by the caller,
     per-tile stream via program_id) through the baked inverse-CDF
     marginals, then apply the source placement as python-constant FMAs
-    (the in-kernel analog of point_source.deviceColumnsGenerator).'''
+    (the in-kernel analog of point_source.deviceColumnsGenerator /
+    surface_source.deviceColumnsGenerator). The 'surface' type shares the
+    exact column maths with the XLA device generator
+    (models/surface_source._surfaceSampleColumns), so the two sampling
+    paths cannot drift apart. Draw order (uniform-seam contract):
+    point = (first, phi); surface = (face, u, v, theta, phi).'''
+    if sampler.get('type') == 'surface':
+      from ..models.surface_source import _surfaceSampleColumns
+      uF = _uniform(shape)
+      u = _uniform(shape)
+      v = _uniform(shape)
+      theta = _marginal(sampler['theta'], _uniform(shape))
+      phi = _uniform(shape) * (2. * np.pi)
+      cols = _surfaceSampleColumns(sampler['faces'], uF, u, v, theta, phi,
+                                   sampler['wavelength'])
+      return (cols['ox'], cols['oy'], cols['oz'],
+              cols['dx'], cols['dy'], cols['dz'], cols['pw'], cols['wl'])
     t = _marginal(sampler['first'], _uniform(shape))
     p = _marginal(sampler['phi'], _uniform(shape))
     sp, cp = jnp.sin(p), jnp.cos(p)
@@ -995,7 +1011,9 @@ def makePallasTraceStep(scene, histSpec, generator, raysPerStep,
     lobe = any(c[1] in (0, 1, 2) for c in (scatterConsts or ()))
     mods = any(c[1] == 3 for c in (scatterConsts or ()))
     # sampler draws once; scatter draws fresh uniforms EVERY bounce
-    nUniform = ((2 if sampler is not None else 0)
+    samplerDraws = 0 if sampler is None \
+        else (5 if sampler.get('type') == 'surface' else 2)
+    nUniform = (samplerDraws
                 + ((2 if lobe else 0) + (2 if mods else 0))
                 * maxIntersections)
   else:

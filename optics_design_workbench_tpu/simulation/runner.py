@@ -451,8 +451,9 @@ def runSimulation(scene, action, endIf=None, seed=None, store=None,
         if not isinstance(src, PointSource) and not hasattr(
             src, 'generateRays'):
           continue
-        # ---- histogram-first fast path ----
-        if histMode and isinstance(src, PointSource):
+        # ---- histogram-first fast path (any source with a device
+        # generator: point sources AND surface sources) ----
+        if histMode and src.supportsDeviceSampling():
           from ..tracing import fused as fusedMod
           n = max(1, int(round(settings.raysPerIteration()
                                * float(src.RaysPerIterationScale))))
@@ -524,7 +525,7 @@ def runSimulation(scene, action, endIf=None, seed=None, store=None,
           continue
 
         # ---- generate rays ----
-        if mode in ('true', 'pseudo') and isinstance(src, PointSource):
+        if mode in ('true', 'pseudo') and src.supportsDeviceSampling():
           gen = deviceGens.get(src.Label)
           if gen is None:
             gen = deviceGens[src.Label] = src.deviceGenerator()

@@ -440,3 +440,47 @@ def test_in_kernel_scatter_matches_xla_tracer():
   assert abs(hP - hX) < 0.05 * max(hP, hX)
   assert abs(cyP - cyX) < 1.0 and abs(cxP - cxX) < 1.0
   assert abs(sP - sX) < 0.05 * sX
+
+
+def test_surface_source_in_kernel_sampler_matches_xla():
+  '''Surface-source in-kernel sampling (face area CDF + per-kind closed
+  forms + theta pwpoly + Rodrigues, ops/pallas_trace._sampleRays
+  'surface'): the hit statistics must match the XLA device generator
+  within Monte-Carlo error at 1M rays.'''
+  import numpy as np
+  from optics_design_workbench_tpu import benchmarks
+  from optics_design_workbench_tpu.ops import pallas_trace
+  from optics_design_workbench_tpu.tracing import fused
+
+  scene = benchmarks.buildSurfaceSourceScene()
+  device, info = scene.compile()
+  device['powerTol'] = 1e-6
+  assert pallas_trace.pallasEligible(device)
+  src = scene.lightSources()[0]
+  spec = src.pallasSamplerSpec()
+  assert spec is not None and spec['type'] == 'surface'
+  hs = fused.makeHistogramSpec(device, info,
+                               bounds=(-120., 120., -120., 120.),
+                               bins=(128, 128))
+  N = 1 << 20
+  key = jax.random.PRNGKey(13)
+
+  def runOnce(sampler):
+    step = pallas_trace.makePallasTraceStep(
+        device, hs, src.deviceColumnsGenerator(), raysPerStep=N,
+        maxIntersections=4, maxRayLength=1e6, distTol=1e-4,
+        sampler=sampler)
+    h, c = step(key, fused.initHistograms(hs))
+    H = np.asarray(h['counts'])[0]
+    n = H.sum()
+    ys, xs = np.indices(H.shape)
+    cy, cx = (H * ys).sum() / n, (H * xs).sum() / n
+    spread = np.sqrt((H * ((ys - cy) ** 2 + (xs - cx) ** 2)).sum() / n)
+    return int(c['hits']), cy, cx, spread
+
+  hitsA, cyA, cxA, spA = runOnce(spec)
+  hitsB, cyB, cxB, spB = runOnce(None)
+  assert hitsB > 0.2 * N
+  assert abs(hitsA - hitsB) < 0.01 * N
+  assert abs(cyA - cyB) < 0.5 and abs(cxA - cxB) < 0.5
+  assert abs(spA - spB) < 0.02 * max(spA, spB)
