@@ -255,6 +255,220 @@ def deviceDraw(deviceTables, key, N, stratified=False):
   return result[deviceTables['order']]
 
 
+def fitPiecewisePoly2d(rows, cond, maxRects=24, degU=8, degC=6,
+                       relTol=5e-3):
+  '''Fit a FAMILY of inverse CDFs `rows` ((T, Q), each row tabulated on a
+  uniform [0,1] quantile grid for conditioning value cond[t]) as bivariate
+  piecewise polynomials f(u, c) over adaptive RECTANGLES in
+  (quantile, scaled conditioning value): one (degU+1) x (degC+1)
+  coefficient grid per rectangle in per-rect scaled coordinates. The worst
+  rectangle is bisected along whichever dimension reduces its children's
+  error more — u splits resolve the inverse-CDF boundary layers at
+  u -> 0/1, c splits resolve the domain-clipping layers at the edges of
+  the incidence-angle range (where the lobe runs into theta = 0 or pi/2
+  and the family stops being a pure shift).
+  Evaluation (evalPwpoly2d) is Horner in u with coefficients Horner in the
+  scaled conditioning value, rect-selected by compare/where — pure FMA +
+  select columns, no gathers, Mosaic-safe. This is what lets
+  theta_in-CONDITIONED scatter lobes run inside the Pallas kernel instead
+  of the ~9 ms/1e6 random-gather XLA path (reference semantics:
+  optical_group.py:281-325 re-compiles the scatter VRV per hit with
+  theta_in substituted).
+  Acceptance: 99.5th-percentile error <= relTol * range with a hard
+  6 * relTol * range cap on the max. Since u is drawn uniformly, the MEAN
+  |inverse-CDF error| equals the Wasserstein-1 distance of the sampled
+  distribution, so a percentile criterion (not sup-norm) is the
+  statistically meaningful one; narrow boundary layers with slightly
+  larger pointwise error contribute O(relTol * layerWidth) to W1. For
+  calibration, the exact gather path itself quantizes theta_in to the
+  nearest of THETA_IN_RES grid rows — a +-(pi/2)/64 ~ 24.5 mrad lobe-shift
+  error, ~3x this fit tolerance. Returns
+  ('pwpoly2d', rects, lo, hi, cMid, cHalf) with rect =
+  (a, b, ca, cb, midU, halfU, midC, halfC, coeffs), or None at failure.'''
+  rows = np.asarray(rows, dtype=float)
+  cond = np.asarray(cond, dtype=float)
+  T, Q = rows.shape
+  q = np.linspace(0., 1., Q)
+  rng = max(np.ptp(rows), 1e-30)
+  cMid = (cond.max() + cond.min()) / 2.
+  cHalf = max((cond.max() - cond.min()) / 2., 1e-9)
+  cS = (cond - cMid) / cHalf
+  nU = 4 * (degU + 1)              # per-rect sample grids (always well
+  nC = max(4 * (degC + 1), T)      # conditioned, however small the rect)
+
+  def fitRect(a, b, ca, cb):
+    midU, halfU = (a + b) / 2., max((b - a) / 2., 1e-9)
+    midC, halfC = (ca + cb) / 2., max((cb - ca) / 2., 1e-9)
+    us = np.linspace(a, b, nU)
+    cs = np.linspace(ca, cb, nC)
+    onU = np.stack([np.interp(us, q, r) for r in rows])    # (T, nU)
+    seg = np.stack([[np.interp(c, cS, onU[:, i]) for i in range(nU)]
+                    for c in cs])                          # (nC, nU)
+    x = (us - midU) / halfU
+    cc = (cs - midC) / halfC
+    X = np.broadcast_to(x, (nC, nU))
+    C = np.broadcast_to(cc[:, None], (nC, nU))
+    cols = [(X ** i) * (C ** j)
+            for i in range(degU + 1) for j in range(degC + 1)]
+    A = np.stack(cols, axis=-1).reshape(-1, (degU + 1) * (degC + 1))
+    y = seg.reshape(-1)
+    sol, *_ = np.linalg.lstsq(A, y, rcond=None)
+    res = np.abs(A @ sol - y)
+    cf = sol.reshape(degU + 1, degC + 1)
+    rect = (a, b, ca, cb, midU, halfU, midC, halfC,
+            tuple(tuple(float(v) for v in row) for row in cf))
+    return rect, float(np.quantile(res, 0.995)), float(res.max())
+
+  # initial tiling: the classic inverse-CDF boundary-layer u splits
+  rects = [fitRect(a, b, -1., 1.)
+           for a, b in ((0., .03), (.03, .97), (.97, 1.))]
+  tol, cap = relTol * rng, 6. * relTol * rng
+  while True:
+    bad = [i for i, (_r, p, m) in enumerate(rects) if p > tol or m > cap]
+    if not bad:
+      return ('pwpoly2d', tuple(r for r, _p, _m in rects),
+              float(rows.min()), float(rows.max()),
+              float(cMid), float(cHalf))
+    if len(rects) >= maxRects:
+      return None
+    worst = max(bad, key=lambda i: rects[i][1] + rects[i][2])
+    a, b, ca, cb = rects[worst][0][:4]
+    # bisect along the dimension whose children fit better
+    uKids = [fitRect(a, (a + b) / 2, ca, cb),
+             fitRect((a + b) / 2, b, ca, cb)]
+    cKids = [fitRect(a, b, ca, (ca + cb) / 2),
+             fitRect(a, b, (ca + cb) / 2, cb)]
+    score = lambda kids: max(p + m for _r, p, m in kids)
+    kids = uKids if score(uKids) <= score(cKids) else cKids
+    rects[worst:worst + 1] = kids
+
+
+def fitPoly1d(vals, cond, deg=10, relTol=1e-4):
+  '''Fit vals(cond) as one scaled-coordinate Horner polynomial
+  ('poly1d', mid, half, coeffsAscending); collapses to ('const', v) for
+  flat rows. Used for theta_in-dependent discrete (DiracDelta) event
+  values/probabilities — e.g. theta_refl(theta_in) of an ideal-specular
+  delta. None at tolerance failure.'''
+  vals = np.asarray(vals, dtype=float)
+  cond = np.asarray(cond, dtype=float)
+  rng = float(np.ptp(vals))
+  scale = max(np.abs(vals).max(), 1.)
+  if rng <= 1e-9 * scale:
+    return ('const', float(vals[0]))
+  mid = (cond.max() + cond.min()) / 2.
+  half = max((cond.max() - cond.min()) / 2., 1e-9)
+  s = (cond - mid) / half
+  for d in range(2, deg + 1):
+    c = np.polyfit(s, vals, d)
+    if np.abs(np.polyval(c, s) - vals).max() <= relTol * max(rng, 1e-3):
+      return ('poly1d', float(mid), float(half),
+              tuple(float(x) for x in c[::-1]))
+  return None
+
+
+def evalPwpoly(spec, u):
+  '''Piecewise Horner evaluation of a fitPiecewisePoly spec (python
+  constants -> fused elementwise ops; Mosaic-safe, shared by the XLA
+  batch tracer and the Pallas kernel).'''
+  _, segs, lo, hi = spec
+  out = None
+  for a, _b, mid, half, coeffs in segs:
+    s = (u - mid) * (1.0 / half)
+    acc = jnp.full_like(u, coeffs[-1])
+    for c in reversed(coeffs[:-1]):
+      acc = acc * s + c
+    out = acc if out is None else jnp.where(u >= a, acc, out)
+  return jnp.clip(out, lo, hi)
+
+
+def evalPwpoly2d(spec, u, c):
+  '''Bivariate piecewise Horner evaluation of a fitPiecewisePoly2d spec:
+  per rectangle, Horner in scaled u whose coefficients are Horner
+  polynomials in the scaled conditioning value c; rect selection by
+  compare/where (points on shared edges match either side — both
+  polynomials agree there to fit tolerance). c outside the fitted range
+  clamps to the nearest rect (scatter tables span the full incidence
+  range, so this only absorbs float round-off).'''
+  _, rects, lo, hi, cMid, cHalf = spec
+  s = (c - cMid) * (1.0 / cHalf)
+  out = None
+  for a, _b, ca, cb, midU, halfU, midC, halfC, coeffs in rects:
+    x = (u - midU) * (1.0 / halfU)
+    cc = (s - midC) * (1.0 / halfC)
+    acc = None
+    for rowU in reversed(coeffs):          # ascending u powers reversed
+      h = jnp.full_like(u, rowU[-1])
+      for cj in reversed(rowU[:-1]):
+        h = h * cc + cj
+      acc = h if acc is None else acc * x + h
+    if out is None:
+      out = acc
+    else:
+      m = (u >= a) & (u <= _b) & (s >= ca) & (s <= cb)
+      out = jnp.where(m, acc, out)
+  return jnp.clip(out, lo, hi)
+
+
+def evalPoly1d(spec, c):
+  '''Evaluate a fitPoly1d spec on a column (or return the scalar for
+  'const' — jnp broadcasting handles it at the use site).'''
+  if spec[0] == 'const':
+    return spec[1]
+  _, mid, half, coeffs = spec
+  s = (c - mid) * (1.0 / half)
+  acc = jnp.full_like(c, coeffs[-1])
+  for cj in reversed(coeffs[:-1]):
+    acc = acc * s + cj
+  return acc
+
+
+def evalDiscreteEvents(disc, c, u, cont):
+  '''Apply a tuple of fitted discrete (DiracDelta) scatter events
+  ((cumSpec, valSpec), ...) conditioned on `c`: reproduces the gather
+  path's selection (tracing/batch_tracer._scatterDraw — the event index is
+  the count of cumulative probabilities below the uniform `u`; u beyond
+  the final cumulative keeps the continuous draw `cont`). Reference event
+  semantics: random_number_generator.py:250-288 (Heaviside steps of the
+  CDF become discrete events with their jump heights as probabilities).
+  Pure compare/select ops — Mosaic-safe, shared by the Pallas kernel and
+  its XLA twin.'''
+  if not disc:
+    return cont
+  out = None
+  prevCum = None
+  for cumSpec, valSpec in disc:
+    v = evalPoly1d(valSpec, c)
+    out = v if out is None else jnp.where(u > prevCum, v, out)
+    prevCum = evalPoly1d(cumSpec, c)
+  return jnp.where(u <= prevCum, out, cont)
+
+
+# arccos(x) = sqrt(1 - x) * P(x) with P smooth on [0, 1] (P(0) = pi/2,
+# P(1) = sqrt(2)): Mosaic has no acos lowering, so the kernel computes the
+# scatter conditioning angle theta_in = arccos(d . n) through this form.
+# The polynomial is fitted once at import; max error < 2e-6 rad.
+def _fitAcosPoly(deg=12):
+  x = np.linspace(0., 1., 4001)
+  p = np.arccos(x) / np.sqrt(np.maximum(1. - x, 1e-12))
+  p[-1] = np.sqrt(2.)
+  return tuple(float(v) for v in np.polyfit(2. * x - 1., p, deg)[::-1])
+
+
+_ACOS_POLY = _fitAcosPoly()
+
+
+def arccosApprox(mu):
+  '''arccos for mu in [0, 1] from sqrt + polynomial only (Mosaic-safe);
+  shared by the Pallas kernel and its XLA twin so both paths compute the
+  identical conditioning angle.'''
+  x = jnp.clip(mu, 0., 1.)
+  s = 2. * x - 1.
+  acc = jnp.full_like(x, _ACOS_POLY[-1])
+  for c in reversed(_ACOS_POLY[:-1]):
+    acc = acc * s + c
+  return jnp.sqrt(jnp.maximum(1. - x, 0.)) * acc
+
+
 def fitPiecewisePoly(inv, maxSegments=12, deg=9, relTol=5e-3):
   '''Fit the tabulated inverse CDF `inv` (uniform quantile grid) as a few
   Horner polynomials in per-segment scaled coordinates, for the in-kernel

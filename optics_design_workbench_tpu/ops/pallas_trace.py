@@ -47,9 +47,10 @@ def pallasEligible(scene):
   except Exception:
     return False
   if 'scatter' in scene:
-    # in-kernel scatter covers collapsed theta-only lobes without discrete
-    # events (tracing/batch_tracer.scatterConstants); anything else keeps
-    # the XLA path
+    # in-kernel scatter covers phi-separable lobes — incidence-independent
+    # or theta_in-conditioned — plus smooth DiracDelta event mixtures
+    # (tracing/batch_tracer.scatterConstants); theta|phi-coupled tables or
+    # fits that miss tolerance keep the XLA gather path
     from ..tracing.batch_tracer import scatterConstants
     if scatterConstants(scene) is None:
       return False
@@ -484,11 +485,26 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
       ndx, ndy, ndz = ndx * inv, ndy * inv, ndz * inv
 
       # ---- in-kernel stochastic scatter (batch_tracer scatter section;
-      # scatterConsts = collapsed theta-only lobes as pwpoly constants,
+      # scatterConsts = phi-separable lobes as pwpoly / theta_in-conditioned
+      # pwpoly2d constants + DiracDelta events as poly1d(theta_in) constants;
       # kind slots 0=REFLECT 1=REFRACT_ENTER 2=REFRACT_EXIT 3=MODIFY) ----
       if scatterConsts:
+        from ..distributions.device_sampler import (
+            evalPwpoly2d, evalDiscreteEvents, arccosApprox)
         lobe = [c for c in scatterConsts if c[1] in (0, 1, 2)]
         mods = [c for c in scatterConsts if c[1] == 3]
+        needCond = any(c[2][0] == 'pwpoly2d' or c[3][0] == 'pwpoly2d'
+                       or c[4] or c[5] for c in scatterConsts)
+        # continuous incidence angle through the shared sqrt*poly arccos
+        # (Mosaic has no acos lowering); identical math to the XLA twin
+        # batch_tracer._scatterDrawConst
+        thetaInC = arccosApprox(jnp.clip(dDotN, 0., 1.)) if needCond \
+            else None
+
+        def drawSpec(spec, u):
+          if spec[0] == 'pwpoly2d':
+            return evalPwpoly2d(spec, u, thetaInC)
+          return _marginal(spec, u)
 
         def kindMask(k):
           if k == 0:
@@ -518,13 +534,21 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
 
         if lobe:
           u1, u2 = _uniform(shape), _uniform(shape)
+          if any(c[4] or c[5] for c in lobe):
+            u3, u4 = _uniform(shape), _uniform(shape)
           thetaS = jnp.zeros(shape)
           phiS = jnp.zeros(shape)
           applies = optType < -1.0            # all-false
-          for e, k, phiSpec, thetaSpec in lobe:
+          for e, k, phiSpec, thetaSpec, phiDisc, thetaDisc in lobe:
             m = (elemF == float(e)) & kindMask(k) & hasHit
-            thetaS = jnp.where(m, _marginal(thetaSpec, u2), thetaS)
-            phiS = jnp.where(m, _marginal(phiSpec, u1), phiS)
+            ph = drawSpec(phiSpec, u1)
+            th = drawSpec(thetaSpec, u2)
+            if phiDisc:
+              ph = evalDiscreteEvents(phiDisc, thetaInC, u3, ph)
+            if thetaDisc:
+              th = evalDiscreteEvents(thetaDisc, thetaInC, u4, th)
+            thetaS = jnp.where(m, th, thetaS)
+            phiS = jnp.where(m, ph, phiS)
             applies = applies | m
           # lobe axis: incidence-side normal for mirrors, forward normal
           # for lenses; theta=0 is the face normal
@@ -537,14 +561,22 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
           ndy = jnp.where(applies, sy1, ndy)
           ndz = jnp.where(applies, sz1, ndz)
         if mods:
-          u3, u4 = _uniform(shape), _uniform(shape)
+          m1, m2 = _uniform(shape), _uniform(shape)
+          if any(c[4] or c[5] for c in mods):
+            m3, m4 = _uniform(shape), _uniform(shape)
           thetaM = jnp.zeros(shape)
           phiM = jnp.zeros(shape)
           appliesM = optType < -1.0
-          for e, _k, phiSpec, thetaSpec in mods:
+          for e, _k, phiSpec, thetaSpec, phiDisc, thetaDisc in mods:
             m = (elemF == float(e)) & kindMask(3) & hasHit
-            thetaM = jnp.where(m, _marginal(thetaSpec, u4), thetaM)
-            phiM = jnp.where(m, _marginal(phiSpec, u3), phiM)
+            ph = drawSpec(phiSpec, m1)
+            th = drawSpec(thetaSpec, m2)
+            if phiDisc:
+              ph = evalDiscreteEvents(phiDisc, thetaInC, m3, ph)
+            if thetaDisc:
+              th = evalDiscreteEvents(thetaDisc, thetaInC, m4, th)
+            thetaM = jnp.where(m, th, thetaM)
+            phiM = jnp.where(m, ph, phiM)
             appliesM = appliesM | m
           mAxX, mAxY, mAxZ = lobeAxis(ndx, ndy, ndz)
           mx2, my2, mz2 = _rotK(ndx, ndy, ndz, mAxX, mAxY, mAxZ, thetaM)
@@ -1008,13 +1040,17 @@ def makePallasTraceStep(scene, histSpec, generator, raysPerStep,
   # interpreter stubs to zeros; see _makeKernel). Draw order: sampler
   # (first, phi), scatter lobe (u1, u2), modify (u3, u4).
   if uniformProvider == 'input':
-    lobe = any(c[1] in (0, 1, 2) for c in (scatterConsts or ()))
-    mods = any(c[1] == 3 for c in (scatterConsts or ()))
+    lobeC = [c for c in (scatterConsts or ()) if c[1] in (0, 1, 2)]
+    modsC = [c for c in (scatterConsts or ()) if c[1] == 3]
+    # continuous lobes draw 2 per bounce; +2 when any entry carries
+    # discrete Dirac events (the kernel's conditional u3/u4 draws)
+    perBounce = lambda cs: (0 if not cs else
+                            2 + (2 if any(c[4] or c[5] for c in cs) else 0))
     # sampler draws once; scatter draws fresh uniforms EVERY bounce
     samplerDraws = 0 if sampler is None \
         else (5 if sampler.get('type') == 'surface' else 2)
     nUniform = (samplerDraws
-                + ((2 if lobe else 0) + (2 if mods else 0))
+                + (perBounce(lobeC) + perBounce(modsC))
                 * maxIntersections)
   else:
     nUniform = 0

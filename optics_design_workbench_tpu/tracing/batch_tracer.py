@@ -20,6 +20,9 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from ..distributions.device_sampler import (
+    evalPwpoly as _evalPwpoly, evalPwpoly2d as _evalPwpoly2d,
+    evalDiscreteEvents as _evalDiscreteEvents, arccosApprox)
 from ..geometry import intersect as I
 from ..geometry import surfaces as S
 from ..geometry.surfaces import (PACKED_ROT, PACKED_OFF, PACKED_ORIENT,
@@ -165,82 +168,120 @@ def _rot3(vx, vy, vz, ax, ay, az, angle):
 
 def scatterConstants(scene):
   '''Host-side compile-time representation of the scatter tables as
-  piecewise Horner polynomials, for scenes where every flagged
-  (element, kind) has (a) no discrete Dirac events, (b) a theta inverse
-  SEPARABLE from phi (rows equal across the M phi bins — true for every
-  theta-only density like exp(-theta^2/s) or cos(theta)**2), and (c) rows
-  that fit to tolerance. Returns a hashable nested tuple (rides the jit
-  static args next to sceneStaticFlags) or None — callers then keep the
-  exact gather-based _scatterDraw. The payoff: each 1e6-element random
-  gather costs ~9 ms on v5e; the unrolled masked polynomials cost ~2 ms
-  for a whole 33-row table.'''
+  piecewise Horner polynomials. Covers, per flagged (element, kind):
+  - phi-separable continuous marginals (theta rows equal across the M phi
+    bins — true for every separable density f(theta) g(phi)), either
+    incidence-INDEPENDENT (one 1-D pwpoly) or theta_in-CONDITIONED (a
+    bivariate pwpoly2d in (quantile, theta_in) — e.g. a lobe that narrows
+    with grazing incidence, or any density mentioning theta_in);
+  - discrete DiracDelta events whose values/probabilities vary smoothly
+    with theta_in (e.g. DiracDelta(theta - theta_refl) ideal-behavior
+    mixtures, reference optical_group.py:40-58), fitted as 1-D
+    polynomials over the incidence angle.
+  Returns a hashable nested tuple of entries
+  (e, k, phiSpec, thetaSpec, phiDisc, thetaDisc) (rides the jit static
+  args next to sceneStaticFlags) or None — callers then keep the exact
+  gather-based _scatterDraw. The payoff: each 1e6-element random gather
+  costs ~9 ms on v5e; the unrolled masked polynomials cost ~2 ms.
+  Conditioned/Dirac draws evaluate the fits at the CONTINUOUS incidence
+  angle (device_sampler.arccosApprox) where the gather path quantizes to
+  the nearest of the Tin grid rows — statistically equivalent, tested in
+  tests/test_scatter.py.'''
   if 'scatter' not in scene:
     return None
   sc = scene['scatter']
-  if 'thetaDiscVals' in sc:
-    return None
   try:
     if isinstance(sc['phiInv'], jax.core.Tracer):
       return None
     flags = np.asarray(sc['flags'])
     phiInv = np.asarray(sc['phiInv'], dtype=float)
     thetaInv = np.asarray(sc['thetaInv'], dtype=float)
+    disc = None
+    if 'thetaDiscVals' in sc:
+      disc = {n: np.asarray(sc[n], dtype=float) for n in
+              ('thetaDiscVals', 'thetaDiscCum',
+               'phiDiscVals', 'phiDiscCum')}
   except Exception:
     return None
-  from ..distributions.device_sampler import fitPiecewisePoly
+  from ..distributions.device_sampler import (fitPiecewisePoly,
+                                              fitPiecewisePoly2d, fitPoly1d)
   E, K, Tin, Q = phiInv.shape
+  grid = np.linspace(0., np.pi / 2, Tin)   # models/scatter.py thetaInGrid
   combos = [(e, k) for e in range(E) for k in range(K) if flags[e, k]]
-  if not combos or Tin * len(combos) > 128:
+  if not combos or len(combos) > 16:
     return None
+
+  def fitMarginal(rows):                      # (Tin, Q)
+    tol = 1e-6 * max(np.ptp(rows), 1e-30)
+    if np.allclose(rows, rows[0:1, :], atol=tol):
+      # incidence-independent (every theta-only density): ONE polynomial.
+      # A per-Tin-row unroll is a trap: 33 rows x 2 draws of masked
+      # polynomials defeat XLA fusion and run SLOWER than the gathers
+      # they replace (measured 208 ms vs 116 ms per 1M-ray step).
+      return fitPiecewisePoly(rows[0])
+    return fitPiecewisePoly2d(rows, grid)
+
+  def fitDisc(cum, vals):                     # (Tin, D) each
+    if cum.size == 0 or not cum.any():
+      return ()
+    events = []
+    for d in range(cum.shape[1]):
+      if d and np.allclose(cum[:, d], cum[:, d - 1]):
+        continue        # forward-fill padding column (models/scatter.pad)
+      # cumulative probabilities live in [0,1] and only gate branch
+      # selection — an absolute ~2e-4 fit error misroutes O(0.02%) of
+      # draws, far below MC noise at any realistic ray count, so the
+      # tolerance is effectively absolute (1e-3 of the <=1 range floor)
+      # where event VALUES (angles) keep the tight default
+      cs = fitPoly1d(cum[:, d], grid, deg=12, relTol=1e-3)
+      vs = fitPoly1d(vals[:, d], grid)
+      if cs is None or vs is None:
+        return None     # kinked over theta_in (e.g. TIR onset) -> gather
+      events.append((cs, vs))
+    return tuple(events)
+
   out = []
   for e, k in combos:
-    rowsT = thetaInv[e, k]                      # (Tin, M, Q)
+    rowsT = thetaInv[e, k]                    # (Tin, M, Q)
     tolT = 1e-6 * max(np.ptp(rowsT), 1e-30)
-    rowsP = phiInv[e, k]                        # (Tin, Q)
-    tolP = 1e-6 * max(np.ptp(rowsP), 1e-30)
-    # theta-only lobes (every reference example: exp(-theta^2/s),
-    # cos(theta)**2, ...) have inverses independent of BOTH the phi bin
-    # and the incidence angle -> ONE polynomial per (element, kind). A
-    # per-row unroll is a trap: 33 rows x 2 draws of masked polynomials
-    # defeat XLA fusion and run SLOWER than the gathers they replace
-    # (measured 208 ms vs 116 ms per 1M-ray step).
-    if not np.allclose(rowsT, rowsT[0:1, 0:1, :], atol=tolT) \
-        or not np.allclose(rowsP, rowsP[0:1, :], atol=tolP):
-      return None                    # theta_in- or phi-conditioned tables
-    pf = fitPiecewisePoly(rowsP[0])
-    tf = fitPiecewisePoly(rowsT[0, 0])
-    if pf is None or tf is None:
+    if not np.allclose(rowsT, rowsT[:, 0:1, :], atol=tolT):
+      return None       # theta|phi coupling -> keep the exact gather path
+    tf = fitMarginal(rowsT[:, 0, :])
+    pf = fitMarginal(phiInv[e, k])
+    if tf is None or pf is None:
       return None
-    out.append((e, k, pf, tf))
+    tDisc = pDisc = ()
+    if disc is not None:
+      tDisc = fitDisc(disc['thetaDiscCum'][e, k],
+                      disc['thetaDiscVals'][e, k])
+      pDisc = fitDisc(disc['phiDiscCum'][e, k],
+                      disc['phiDiscVals'][e, k])
+      if tDisc is None or pDisc is None:
+        return None
+    out.append((e, k, pf, tf, pDisc, tDisc))
   return tuple(out)
 
 
-def _evalPwpoly(spec, u):
-  '''Piecewise Horner evaluation of a fitPiecewisePoly spec (python
-  constants -> fused elementwise ops; the XLA twin of
-  ops/pallas_trace._marginal).'''
-  _, segs, lo, hi = spec
-  out = None
-  for a, _b, mid, half, coeffs in segs:
-    s = (u - mid) * (1.0 / half)
-    acc = jnp.full_like(u, coeffs[-1])
-    for c in reversed(coeffs[:-1]):
-      acc = acc * s + c
-    out = acc if out is None else jnp.where(u >= a, acc, out)
-  return jnp.clip(out, lo, hi)
+def _evalMarginalConst(spec, u, thetaIn):
+  return (_evalPwpoly2d(spec, u, thetaIn) if spec[0] == 'pwpoly2d'
+          else _evalPwpoly(spec, u))
 
 
-def _scatterDrawConst(consts, elemIdx, kind, tinIdx, u1, u2):
+def _scatterDrawConst(consts, elemIdx, kind, thetaIn, u1, u2, u3, u4):
   '''Gather-free twin of _scatterDraw for compile-time scatter constants
-  (no discrete events, incidence-independent separable lobes — guaranteed
-  by scatterConstants; tinIdx unused by construction).'''
-  del tinIdx
+  (phi-separable lobes, theta_in-conditioned fits evaluated at the
+  continuous incidence angle, discrete Dirac events via u3/u4 — see
+  scatterConstants).'''
   phiOut = jnp.zeros_like(u1)
   thetaOut = jnp.zeros_like(u2)
-  for e, k, phiSpec, thetaSpec in consts:
+  for e, k, phiSpec, thetaSpec, phiDisc, thetaDisc in consts:
     m = (elemIdx == e) & (kind == k)
-    phiOut = jnp.where(m, _evalPwpoly(phiSpec, u1), phiOut)
-    thetaOut = jnp.where(m, _evalPwpoly(thetaSpec, u2), thetaOut)
+    ph = _evalMarginalConst(phiSpec, u1, thetaIn)
+    th = _evalMarginalConst(thetaSpec, u2, thetaIn)
+    ph = _evalDiscreteEvents(phiDisc, thetaIn, u3, ph)
+    th = _evalDiscreteEvents(thetaDisc, thetaIn, u4, th)
+    phiOut = jnp.where(m, ph, phiOut)
+    thetaOut = jnp.where(m, th, thetaOut)
   return thetaOut, phiOut
 
 
@@ -480,8 +521,11 @@ def bounceBatch(scene, distTol, maxRayLength, o, d, power, wl, medium, seq,
                & sc['flags'][elemIdx, kind] & hasHit)
     scConst = flags.get('scatterConst') if flags else None
     if scConst is not None:
-      thetaS, phiS = _scatterDrawConst(scConst, elemIdx, kind, tinIdx,
-                                       uS[0], uS[1])
+      # conditioned fits evaluate at the CONTINUOUS incidence angle via the
+      # same sqrt*poly arccos as the Pallas kernel (exact-equivalence seam)
+      thetaInC = arccosApprox(jnp.clip(dDotN, 0., 1.))
+      thetaS, phiS = _scatterDrawConst(scConst, elemIdx, kind, thetaInC,
+                                       uS[0], uS[1], uS[2], uS[3])
     else:
       thetaS, phiS = _scatterDraw(sc, elemIdx, kind, tinIdx, *uS)
     # lobe axis: incidence-side normal for mirrors (reflected lobe), forward
@@ -516,8 +560,8 @@ def bounceBatch(scene, distTol, maxRayLength, o, d, power, wl, medium, seq,
                 & sc['flags'][elemIdx, MODIFY] & hasHit)
     if scConst is not None:
       thetaM, phiM = _scatterDrawConst(scConst, elemIdx,
-                                       jnp.full_like(kind, MODIFY), tinIdx,
-                                       uM[0], uM[1])
+                                       jnp.full_like(kind, MODIFY), thetaInC,
+                                       uM[0], uM[1], uM[2], uM[3])
     else:
       thetaM, phiM = _scatterDraw(sc, elemIdx,
                                   jnp.full_like(kind, MODIFY), tinIdx, *uM)

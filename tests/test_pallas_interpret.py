@@ -187,7 +187,7 @@ def test_in_kernel_scatter_uniform_seam_interpret():
   device['powerTol'] = 1e-6
   consts = scatterConstants(device)
   assert consts is not None and len(consts) == 1
-  _e, kind, phiSpec, thetaSpec = consts[0]
+  _e, kind, phiSpec, thetaSpec, _pD, _tD = consts[0]
   assert kind == 0    # REFLECT lobe on the mirror
 
   H, W = 64, 128
@@ -232,6 +232,104 @@ def test_in_kernel_scatter_uniform_seam_interpret():
                   np.floor(fx[inside] * W).astype(int)), 1.)
   assert int(c['hits']) == int(inside.sum())
   assert np.abs(hK - ref).sum() <= 4     # bin-edge ulp wobble only
+
+
+def test_in_kernel_conditioned_dirac_scatter_interpret():
+  '''theta_in-CONDITIONED lobe + DiracDelta ideal-specular event inside the
+  kernel, via the deterministic-uniform seam: rays arrive at VARYING
+  incidence angles, so the kernel must evaluate the bivariate pwpoly2d fit
+  and the poly1d event constants at the per-ray arccosApprox(d.n) — the
+  reference recomputes the identical draws through the SAME shared
+  device_sampler eval functions and closed-form geometry.'''
+  from optics_design_workbench_tpu.tracing.batch_tracer import (
+      scatterConstants)
+  from optics_design_workbench_tpu.distributions.device_sampler import (
+      evalPwpoly, evalPwpoly2d, evalDiscreteEvents, arccosApprox)
+
+  scene = Scene(label='condscatinterp')
+  scene.addOpticalGroup(OpticalGroup(
+      OpticalType='Mirror', Label='Diffuser', Reflectivity=1.0,
+      ReflectedProbabilityDensity='DiracDelta(theta-theta_refl)'
+                                  ' + 5*exp(-(theta-theta_in)**2/0.02)',
+      PowerThetaDomain='0, pi/2', PowerPhiDomain='0, 2*pi',
+      surfaces=[S.plane(np.eye(4), elem=0, radius=50., orient=-1)],
+      placements=[T.translation(0, 0, 50)]))
+  scene.addOpticalGroup(OpticalGroup(
+      OpticalType='Absorber', Label='Det',
+      surfaces=[S.plane(np.eye(4), elem=0, halfExtents=(500., 500.))],
+      placements=[T.translation(0, 0, 0)]))
+  scene.addSource(PointSource(Label='Src', PowerDensity='1',
+                              ThetaDomain='0, 0.01',
+                              ThetaResolutionNumericMode='1e3',
+                              placement=T.translation(0, 0, 1e-3)))
+  scene.addSimulationSettings(RaysPerIteration=1e4, MaxIntersections=4)
+  device, info = scene.compile()
+  device['powerTol'] = 1e-6
+  consts = scatterConstants(device)
+  assert consts is not None and len(consts) == 1
+  _e, kind, phiSpec, thetaSpec, phiDisc, thetaDisc = consts[0]
+  assert kind == 0 and thetaSpec[0] == 'pwpoly2d'
+  assert phiDisc == () and len(thetaDisc) == 1
+
+  H, W = 64, 128
+  bounds = (-100., 100., -100., 100.)
+  histSpec = fused.makeHistogramSpec(device, info, bounds=bounds,
+                                     bins=(H, W))
+
+  # rays from (0, 0, 1e-3) fanned in the x-z plane: incidence angle on the
+  # flat mirror = the launch angle, varying 0..0.4 across the batch
+  thetaR = jnp.linspace(0., 0.4, N, dtype=jnp.float32)
+  sR, cR = jnp.sin(thetaR), jnp.cos(thetaR)
+
+  def columnsGen(key, n, stratified=False):
+    z = jnp.zeros((n,), jnp.float32)
+    return dict(ox=z, oy=z, oz=z + 1e-3, dx=sR, dy=z, dz=cR,
+                pw=z + 1., wl=z + 532.)
+
+  key = jax.random.PRNGKey(7)
+  step = pallas_trace.makePallasTraceStep(
+      device, histSpec, columnsGen, raysPerStep=N, maxIntersections=4,
+      maxRayLength=1e6, distTol=1e-4, interpret=True, tile=TILE,
+      uniformProvider='input')
+  h, c = step(key, fused.initHistograms(histSpec))
+  hK = np.asarray(h['counts'])[0]
+
+  # identical uniforms: with Dirac events the kernel draws FOUR lobe
+  # uniforms per bounce (u1=phi, u2=theta, u3=phi events, u4=theta
+  # events); the mirror hit is bounce 0 -> us[0..3]
+  us = jax.random.uniform(jax.random.fold_in(key, 0x0177),
+                          (4 * 4, N // 128, 128))
+  u1, u2 = us[0].reshape(-1), us[1].reshape(-1)
+  u4 = us[3].reshape(-1)
+  thetaC = arccosApprox(cR)                # = thetaR through the kernel's
+  th = evalPwpoly2d(thetaSpec, u2, thetaC)    # own acos polynomial
+  th = evalDiscreteEvents(thetaDisc, thetaC, u4, th)
+  phi = evalPwpoly(phiSpec, u1)
+  t = np.asarray(th, dtype=np.float64)
+  p = np.asarray(phi, dtype=np.float64)
+  # geometry: hit the mirror at ((50 - 1e-3) tan thetaR, 0, 50); the lobe
+  # axis is the incidence-side normal (0,0,-1) and the rotation axis
+  # b x dIn = (0,-1,0) for every ray in the x-z fan (also the degenerate
+  # alt axis), so the scattered direction is
+  # (sin t cos p, -sin t sin p, -cos t) -> lands on the floor at
+  # x = xHit + 50 tan t cos p, y = -50 tan t sin p
+  xHit = (50. - 1e-3) * np.tan(np.asarray(thetaR, dtype=np.float64))
+  x = xHit + 50. * np.tan(t) * np.cos(p)
+  y = -50. * np.tan(t) * np.sin(p)
+  x0, x1, y0, y1 = bounds
+  fx, fy = (x - x0) / (x1 - x0), (y - y0) / (y1 - y0)
+  inside = (fx >= 0) & (fx < 1) & (fy >= 0) & (fy < 1)
+  ref = np.zeros((H, W))
+  np.add.at(ref, (np.floor(fy[inside] * H).astype(int),
+                  np.floor(fx[inside] * W).astype(int)), 1.)
+  assert abs(int(c['hits']) - int(inside.sum())) <= 2
+  assert np.abs(hK - ref).sum() <= 8     # bin-edge ulp wobble only
+  # the Dirac event must actually fire: specular rays land in a tight
+  # diagonal band y ~ 0 (phi rotation around the specular direction keeps
+  # them near the x axis only when t == thetaR exactly) — cheap proxy:
+  # a substantial fraction of reference draws equals the event value
+  frac = np.mean(np.abs(t - np.asarray(thetaC, np.float64)) < 1e-4)
+  assert 0.25 < frac < 0.75
 
 
 def test_in_kernel_sampler_uniform_seam_interpret():

@@ -112,22 +112,42 @@ class TestStochasticScatter:
     assert np.quantile(r, 0.95) > 10.
 
 
-def test_scatter_constants_match_gather_path(tmp_path):
+@pytest.mark.parametrize('density,thetaDom,wantTheta,wantEvents', [
+    # incidence-independent lobe: one 1-D pwpoly
+    ('exp(-theta^2/0.02)', '0, pi/3', 'pwpoly', 0),
+    # theta_in-CONDITIONED lobe (shifts with the incidence angle):
+    # bivariate pwpoly2d evaluated at the continuous arccos approximation
+    ('exp(-(theta-theta_in)**2/0.02)', '0, pi/2', 'pwpoly2d', 0),
+    # DiracDelta ideal-specular + diffuse background: the delta becomes a
+    # discrete event with theta_refl(theta_in) fitted as a 1-D polynomial
+    # (reference event semantics: random_number_generator.py:250-288)
+    ('DiracDelta(theta-theta_refl) + 0.1', '0, pi/2', 'pwpoly', 1),
+], ids=['plain', 'conditioned', 'dirac'])
+def test_scatter_constants_match_gather_path(tmp_path, density, thetaDom,
+                                             wantTheta, wantEvents):
   '''The compile-time polynomial scatter draw (scatterConstants +
   _scatterDrawConst — gather-free) must reproduce the exact gather-based
-  _scatterDraw's lobe statistics on the fused histogram path.'''
+  _scatterDraw's lobe statistics on the fused histogram path, for plain,
+  theta_in-conditioned, and DiracDelta-mixture densities. Both paths
+  consume IDENTICAL uniforms, so per-ray outputs differ only by the fit
+  tolerance (+ the gather path's own theta_in grid quantization) and the
+  histograms must agree closely.'''
   import jax
   from optics_design_workbench_tpu.tracing import fused, batch_tracer
 
   scene = scatterScene(tmp_path,
-                       ReflectedProbabilityDensity='exp(-theta^2/0.02)',
-                       PowerThetaDomain='0, pi/3')
+                       ReflectedProbabilityDensity=density,
+                       PowerThetaDomain=thetaDom,
+                       PowerPhiDomain='0, 2*pi')
+  # wide source cone so theta_in actually varies across rays
+  scene.lightSources()[0].ThetaDomain = '0, 0.3'
   device, info = scene.compile()
   device['powerTol'] = 1e-6
   consts = batch_tracer.scatterConstants(device)
   assert consts is not None and len(consts) == 1
-  e, k, phiSpec, thetaSpec = consts[0]
-  assert phiSpec[0] == 'pwpoly' and thetaSpec[0] == 'pwpoly'
+  e, k, phiSpec, thetaSpec, phiDisc, thetaDisc = consts[0]
+  assert thetaSpec[0] == wantTheta
+  assert len(thetaDisc) == wantEvents and phiDisc == ()
 
   hs = fused.makeHistogramSpec(device, info, bounds=(-60., 60., -60., 60.),
                                bins=(64, 64))
