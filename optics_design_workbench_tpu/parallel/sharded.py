@@ -10,7 +10,7 @@ reference's N worker processes + filesystem progress protocol
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..tracing.fused import traceHistogram
 
@@ -51,7 +51,7 @@ def makeShardedFusedStep(mesh, scene, generator, histSpec, raysPerStep,
       shardStep, mesh=mesh,
       in_specs=(P(axisName), P()),
       out_specs=(P(), P()),
-      check_rep=False)
+      check_vma=False)
 
   @jax.jit
   def step(key, histograms):
@@ -99,7 +99,7 @@ def makeShardedPallasStep(mesh, scene, histSpec, columnsGenerator,
       shardStep, mesh=mesh,
       in_specs=(P(axisName), P()),
       out_specs=(P(), P()),
-      check_rep=False)
+      check_vma=False)
 
   @jax.jit
   def step(key, histograms):

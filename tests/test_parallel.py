@@ -62,7 +62,7 @@ def test_per_shard_rng_streams_differ():
   device, info = scene.compile()
   device['powerTol'] = 1e-6
   gen = scene.lightSources()[0].deviceGenerator()
-  from jax.experimental.shard_map import shard_map
+  from jax import shard_map
   from jax.sharding import PartitionSpec as P
 
   def sample(keys):
@@ -71,7 +71,7 @@ def test_per_shard_rng_streams_differ():
     return batch['directions']
 
   sharded = shard_map(sample, mesh=mesh, in_specs=(P('rays'),),
-                      out_specs=P('rays'), check_rep=False)
+                      out_specs=P('rays'), check_vma=False)
   keys = jax.random.split(jax.random.PRNGKey(5), 8)
   out = np.asarray(sharded(keys))            # (8*64, 3)
   shards = out.reshape(8, 64, 3)
