@@ -913,10 +913,199 @@ def _resolveAnalytic(rec):
       return 'asphere', _axisFrame(vertex, sym), dict(curvature=c,
                                                       conic=-1.)
     return None
+  if t in ('bspline', 'bezier'):
+    # NURBS faces are frequently EXACT quadrics in disguise: Part::Scale /
+    # affine-transformed spheres, cylinders and cones come back from OCC as
+    # rational b-splines (reference example 2's scaled lens = 12824
+    # tessellation triangles without this). Refit and trace the closed
+    # form instead.
+    return _fitQuadricSurface(rec)
   return None
 
 
-_NAT_UREV = ('sphere', 'cylinder', 'cone', 'asphere')
+def _quadricParamRange(rec):
+  '''(u0, u1, v0, v1) natural parameter window of a bspline/bezier
+  record.'''
+  if rec['type'] == 'bezier':
+    return 0., 1., 0., 1.
+  uk, vk = np.asarray(rec['uknots']), np.asarray(rec['vknots'])
+  return float(uk[0]), float(uk[-1]), float(vk[0]), float(vk[-1])
+
+
+def _fitQuadricSurface(rec, nFit=20, nVerify=41, tol=1e-6):
+  '''Least-squares refit of a b-spline/bezier surface record as an exact
+  quadric x^T A x + b.x + c = 0, canonicalized to principal axes. Returns
+  (kindName, frame, params) like _resolveAnalytic — mapping to the cheaper
+  'plane'/'sphere'/'cylinder' kinds when the eigenstructure collapses —
+  or None when the surface is not a quadric to `tol` (relative geometric
+  residual |f|/|grad f| per sample against the surface scale).'''
+  try:
+    u0, u1, v0, v1 = _quadricParamRange(rec)
+  except Exception:
+    return None
+  if not (np.isfinite([u0, u1, v0, v1]).all() and u1 > u0 and v1 > v0):
+    return None
+
+  def sample(n):
+    us = np.linspace(u0, u1, n)
+    vs = np.linspace(v0, v1, n)
+    p = evalSurface(rec, us, vs)
+    return p.reshape(-1, 3)
+
+  try:
+    pts = sample(nFit)
+  except Exception:
+    return None
+  pts = pts[np.isfinite(pts).all(axis=1)]
+  if len(pts) < 30:
+    return None
+  cen0 = pts.mean(axis=0)
+  scale = max(float(np.sqrt(((pts - cen0) ** 2).sum(axis=1).mean())), 1e-12)
+  q = (pts - cen0) / scale
+
+  # plane first: a plane satisfies infinitely many quadrics; detect it via
+  # principal components before the quadric solve goes degenerate
+  _w, _V = np.linalg.eigh(q.T @ q / len(q))
+  if _w[0] < (tol ** 2):
+    n = _V[:, 0]
+    frame = _axisFrame(cen0, n)
+    return 'plane', frame, {}
+
+  x, y, z = q[:, 0], q[:, 1], q[:, 2]
+  M = np.stack([x * x, y * y, z * z, x * y, x * z, y * z,
+                x, y, z, np.ones_like(x)], axis=1)
+  _u, sv, VT = np.linalg.svd(M, full_matrices=False)
+  coef = VT[-1]
+  Aq = np.array([[coef[0], coef[3] / 2, coef[4] / 2],
+                 [coef[3] / 2, coef[1], coef[5] / 2],
+                 [coef[4] / 2, coef[5], coef[2]]])
+  bq = coef[6:9]
+  cq = coef[9]
+  # un-center / un-scale to record coordinates
+  A = Aq / scale ** 2
+  b = bq / scale - 2. * (Aq @ cen0) / scale ** 2
+  c = (float(cen0 @ Aq @ cen0) / scale ** 2 - float(bq @ cen0) / scale
+       + cq)
+
+  w, V = np.linalg.eigh(A)
+  wmax = np.abs(w).max()
+  if wmax < 1e-12:
+    return None
+  wrel = w / wmax
+  zero = np.abs(wrel) < 1e-7
+  nz = int((~zero).sum())
+  if nz == 0:
+    return None
+
+  bR = V.T @ b
+  # a linear term along a zero-curvature axis is only representable on the
+  # canonical z axis; two such axes cannot both be z (|b| has units 1/L vs
+  # |A|'s 1/L^2, so thresholds carry the surface scale)
+  linZero = (np.abs(bR) > 1e-7 * wmax * scale) & zero
+  if linZero.sum() > 1:
+    return None
+
+  # sphere: three equal eigenvalues
+  if nz == 3 and np.abs(wrel.max() - wrel.min()) < 1e-6:
+    a = float(w.mean())
+    cenS = -b / (2 * a)
+    r2 = float(cenS @ A @ cenS - c) / a
+    if r2 <= 0:
+      return None
+    return ('sphere', _axisFrame(cenS, V[:, 2]),
+            dict(radius=math.sqrt(r2)))
+
+  # choose the canonical z axis
+  if linZero.any():
+    zi = int(np.nonzero(linZero)[0][0])          # parabolic direction
+  elif nz == 2:
+    zi = int(np.nonzero(zero)[0][0])             # extrusion axis
+  elif np.abs(wrel[0] - wrel[1]) < 1e-6 or \
+      np.abs(wrel[1] - wrel[2]) < 1e-6 or np.abs(wrel[0] - wrel[2]) < 1e-6:
+    # revolution quadric: z = the distinct eigenvalue's axis
+    d01 = abs(wrel[0] - wrel[1])
+    d12 = abs(wrel[1] - wrel[2])
+    d02 = abs(wrel[0] - wrel[2])
+    if d01 <= d12 and d01 <= d02:
+      zi = 2
+    elif d12 <= d01 and d12 <= d02:
+      zi = 0
+    else:
+      zi = 1
+  else:
+    # triaxial: z = principal axis most aligned with the mean surface
+    # normal, so a dome face becomes a z zone/cap
+    g = (2. * pts @ A + b)
+    gn = np.linalg.norm(g, axis=1, keepdims=True)
+    g = (g / np.maximum(gn, 1e-30)).mean(axis=0)
+    zi = int(np.argmax(np.abs(V.T @ g)))
+  order = [i for i in range(3) if i != zi] + [zi]
+  Vp = V[:, order]
+  if np.linalg.det(Vp) < 0:
+    Vp[:, 0] = -Vp[:, 0]
+  wp = w[order]
+  bp = Vp.T @ b
+
+  # complete squares: local = rotated - cen makes the representable linear
+  # terms vanish; a zero-curvature z axis keeps its linear coefficient qz
+  cen = np.zeros(3)
+  for i in range(3):
+    if np.abs(wp[i]) > 1e-7 * wmax:
+      cen[i] = -bp[i] / (2 * wp[i])
+    elif i < 2 and np.abs(bp[i]) > 1e-7 * wmax * scale:
+      return None
+  zFlat = np.abs(wp[2]) <= 1e-7 * wmax
+  qz = float(bp[2]) if zFlat else 0.
+  if zFlat:
+    wp[2] = 0.
+  # constant term = f evaluated at the new origin (rotated coords `cen`)
+  q0 = float((wp * cen * cen).sum() + bp @ cen + c)
+  if abs(qz) > 1e-7 * wmax * scale:
+    # paraboloid: absorb the constant by shifting the origin along z
+    cen[2] += -q0 / qz
+    q0 = 0.
+  else:
+    qz = 0.
+
+  # normalize: largest |quadratic coefficient| = 1, net-positive sign
+  m = np.abs(wp).max()
+  qa, qb, qc = wp / m
+  qzN, q0N = qz / m, q0 / m
+  if qa + qb + qc < 0:
+    qa, qb, qc, qzN, q0N = -qa, -qb, -qc, -qzN, -q0N
+
+  frame = np.eye(4)
+  frame[:3, :3] = Vp
+  frame[:3, 3] = Vp @ cen
+
+  # cylinder shortcut: circular cross-section, no z terms
+  if np.isclose(qa, qb, rtol=1e-6) and abs(qc) < 1e-9 and \
+      abs(qzN) < 1e-9 and q0N < 0 and qa > 0:
+    return 'cylinder', frame, dict(radius=math.sqrt(-q0N / qa))
+
+  params = dict(coeffs=(float(qa), float(qb), float(qc),
+                        float(qzN), float(q0N)))
+
+  # verify on a denser grid with the CANONICAL form (catches both fit and
+  # canonicalization errors): geometric distance |f| / |grad f| < tol*scale
+  try:
+    vpts = sample(nVerify)
+  except Exception:
+    return None
+  vpts = vpts[np.isfinite(vpts).all(axis=1)]
+  inv = np.linalg.inv(frame)
+  pl = vpts @ inv[:3, :3].T + inv[:3, 3]
+  f = (qa * pl[:, 0] ** 2 + qb * pl[:, 1] ** 2 + qc * pl[:, 2] ** 2
+       + qzN * pl[:, 2] + q0N)
+  grad = np.stack([2 * qa * pl[:, 0], 2 * qb * pl[:, 1],
+                   2 * qc * pl[:, 2] + qzN], axis=1)
+  gn = np.maximum(np.linalg.norm(grad, axis=1), 1e-30)
+  if (np.abs(f) / gn).max() > tol * scale:
+    return None
+  return 'quadric', frame, params
+
+
+_NAT_UREV = ('sphere', 'cylinder', 'cone', 'asphere', 'quadric')
 
 
 def _deviceUV(kind, params, pLocal):
@@ -1088,6 +1277,10 @@ def _occNormalSign(rec, kind, params, frame, fullLoc, uvLoopsOcc=None,
     g = c * (2 / (1 + root) + (1 + k) * c * c * r2 / (root * (1 + root) ** 2))
     nLoc = np.array([-g * x, -g * y, 1.])
     nLoc /= np.linalg.norm(nLoc)
+  elif kind == 'quadric':
+    qa, qb, qc, qz, _q0 = params['coeffs']
+    nLoc = np.array([2 * qa * x, 2 * qb * y, 2 * qc * z + qz])
+    nLoc /= max(np.linalg.norm(nLoc), 1e-30)
   else:
     return +1
   nCanon = frame[:3, :3] @ nLoc
@@ -1143,6 +1336,10 @@ def _buildAnalyticFace(brep, faceTs, rec, analytic, fullLoc, faceSign,
       params['radius'] *= scale
     if 'curvature' in params:
       params['curvature'] /= scale
+    if 'coeffs' in params:
+      qa, qb, qc, qz, q0 = params['coeffs']
+      s2 = scale * scale
+      params['coeffs'] = (qa / s2, qb / s2, qc / s2, qz / scale, q0)
 
   probe = _probeUV(rec, brep, faceTs)
   nSign = _occNormalSign(rec, kind, params, frameLocal, fullLoc, probe=probe)
@@ -1179,6 +1376,10 @@ def _buildAnalyticFace(brep, faceTs, rec, analytic, fullLoc, faceSign,
     vWindow = (-params['radius'], params['radius'])
   elif kind == 'asphere':
     vWindow = (0., allUV[:, 1].max() * 1.0001 + 1e-9)
+  elif kind == 'quadric' and (zNat := _quadricZDomain(params)) is not None:
+    # bounded quadric (ellipsoid): natural z domain like the sphere's
+    # (-R, R), so caps containing the apex classify as z bands
+    vWindow = zNat
   else:
     margin = .02 * max(np.ptp(allUV[:, 1]), 1e-9) + 1e-9
     vWindow = (allUV[:, 1].min() - margin, allUV[:, 1].max() + margin)
@@ -1219,7 +1420,7 @@ def _buildAnalyticFace(brep, faceTs, rec, analytic, fullLoc, faceSign,
       vLo = vLoExact if vLoMask > vLoExact - 2 * dv else vWindow[0]
       vHi = vHiExact if vHiMask < vHiExact + 2 * dv else vWindow[1]
       uFull = (uRun[1] - uRun[0] + 1) >= len(uIn)
-      if kind in ('sphere', 'cylinder', 'cone') and uFull:
+      if kind in ('sphere', 'cylinder', 'cone', 'quadric') and uFull:
         return FaceResult([makeSurf((0., vLo, vHi))], 'zRange')
       if kind == 'asphere' and uFull:
         return FaceResult([makeSurf((0., max(vLo, 0.), vHi))], 'rRange')
@@ -1265,6 +1466,20 @@ def _planeCircles(loops, frameWorld, makeSurf):
                     'disc/annulus')
 
 
+def _quadricZDomain(params):
+  '''Natural z extent of a bounded quadric (exists iff the cross-section
+  radicand qc z^2 + qz z + q0 <= 0 somewhere with qa, qb > 0), or None for
+  unbounded kinds (cylinders, paraboloids, hyperboloids).'''
+  qa, qb, qc, qz, q0 = params['coeffs']
+  if qa <= 0 or qb <= 0 or qc <= 0:
+    return None
+  disc = qz * qz - 4 * qc * q0
+  if disc <= 0:
+    return None
+  sq = math.sqrt(disc)
+  return ((-qz - sq) / (2 * qc), (-qz + sq) / (2 * qc))
+
+
 def _kindParams(kind, params):
   if kind == 'plane':
     return ()
@@ -1276,6 +1491,8 @@ def _kindParams(kind, params):
     return (params['radius'], params['tanAngle'])
   if kind == 'asphere':
     return (params['curvature'], params.get('conic', 0.), 0., 0., 0.)
+  if kind == 'quadric':
+    return tuple(params['coeffs'])
   raise ValueError(kind)
 
 

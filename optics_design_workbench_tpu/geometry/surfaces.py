@@ -22,6 +22,14 @@ kind (int32):
   4 TRIANGLE  vertices in params[0:9] (local frame usually identity).
   5 CONE      axis = local z, radius(z) = params[0] + z * params[1]
               (params[1] = tan of the semi-angle; OCC cone analog).
+  6 QUADRIC   principal-axis quadric f(p) = qa x^2 + qb y^2 + qc z^2 +
+              qz z + q0 = 0 with (qa, qb, qc, qz, q0) = params[0:5].
+              Covers ellipsoids (non-uniformly scaled spheres), elliptic
+              cylinders, elliptic/hyperbolic paraboloids and hyperboloids
+              exactly — the closed forms behind OCC b-spline faces produced
+              by Part::Scale / affine booleans (geometry/brep.py fits them
+              back at ingest so the device never traces their
+              tessellation).
 
 trim (float32[6]): per-kind trim window (OCC face trimming analog,
 ray.py:375-382):
@@ -31,6 +39,7 @@ ray.py:375-382):
   CYLINDER: z in [trim[1], trim[2]]
   ASPHERE:  r in [trim[1], trim[2]]
   CONE:     z in [trim[1], trim[2]]
+  QUADRIC:  z in [trim[1], trim[2]]
   TRIANGLE: unused (barycentric test is the trim)
 
 Bitmap trims: trim[0] == 2 selects a per-face UV occupancy bitmap instead
@@ -56,10 +65,11 @@ from jax import lax
 
 from . import transforms
 
-PLANE, SPHERE, CYLINDER, ASPHERE, TRIANGLE, CONE = 0, 1, 2, 3, 4, 5
+PLANE, SPHERE, CYLINDER, ASPHERE, TRIANGLE, CONE, QUADRIC = \
+    0, 1, 2, 3, 4, 5, 6
 N_PARAMS, N_TRIM = 9, 6
 _KIND_NAMES = {0: 'plane', 1: 'sphere', 2: 'cylinder', 3: 'asphere',
-               4: 'triangle', 5: 'cone'}
+               4: 'triangle', 5: 'cone', 6: 'quadric'}
 KIND_CODES = {name: code for code, name in _KIND_NAMES.items()}
 
 
@@ -116,6 +126,15 @@ def triangle(v0, v1, v2, elem, orient=+1):
 def cone(transform, elem, radius, tanAngle, zRange, orient=+1):
   '''Cone of local radius(z) = radius + z * tanAngle (OCC gp_Cone analog).'''
   return _surf(CONE, (radius, tanAngle), (0., zRange[0], zRange[1]),
+               transform, elem, orient)
+
+
+def quadric(transform, elem, coeffs, zRange, orient=+1):
+  '''Principal-axis quadric qa x^2 + qb y^2 + qc z^2 + qz z + q0 = 0 with
+  coeffs = (qa, qb, qc, qz, q0), trimmed to z in zRange. Canonical normal =
+  +grad f; orient flips it to outward-of-solid.'''
+  qa, qb, qc, qz, q0 = coeffs
+  return _surf(QUADRIC, (qa, qb, qc, qz, q0), (0., zRange[0], zRange[1]),
                transform, elem, orient)
 
 
@@ -399,6 +418,31 @@ def _intersectAsphere(params, trim, o, d, tMin, mask=None):
   return jnp.where(ok, t, _BIG)
 
 
+def _intersectQuadric(params, trim, o, d, tMin, mask=None):
+  '''f(o + t d) = 0 is an exact quadratic in t for the principal-axis
+  quadric — same cost class as a sphere. The stable-roots helper also
+  covers the degenerate linear case (|a| -> 0: grazing a paraboloid along
+  its axis): the surviving root comes out of the c/q branch.'''
+  qa, qb, qc, qz, q0 = params[0], params[1], params[2], params[3], params[4]
+  a = qa * d[0] ** 2 + qb * d[1] ** 2 + qc * d[2] ** 2
+  b = 2 * (qa * o[0] * d[0] + qb * o[1] * d[1] + qc * o[2] * d[2]) \
+      + qz * d[2]
+  c = (qa * o[0] ** 2 + qb * o[1] ** 2 + qc * o[2] ** 2
+       + qz * o[2] + q0)
+  t1, t2 = _quadraticRoots(a, b, c)
+  # linear fallback: a ~ 0 with b != 0 has the single root -c/b
+  linT = -c / jnp.where(jnp.abs(b) < 1e-20, 1e-20, b)
+  isLin = (jnp.abs(a) < 1e-14 * (jnp.abs(b) + 1e-20)) & (jnp.abs(b) > 1e-20)
+  t1 = jnp.where(isLin, linT, t1)
+  t2 = jnp.where(isLin, _BIG, t2)
+
+  def zOk(t):
+    p = o + t * d
+    return _trimBandOk(trim, mask, p, p[2])
+
+  return _pickRoot(t1, t2, (t1 > tMin) & zOk(t1), (t2 > tMin) & zOk(t2))
+
+
 def _intersectTriangle(params, trim, o, d, tMin, mask=None):
   v0 = params[0:3]
   e1 = params[3:6] - v0
@@ -420,7 +464,8 @@ def _intersectTriangle(params, trim, o, d, tMin, mask=None):
 KIND_INTERSECTORS = {
     'plane': _intersectPlane, 'sphere': _intersectSphere,
     'cylinder': _intersectCylinder, 'asphere': _intersectAsphere,
-    'triangle': _intersectTriangle, 'cone': _intersectCone}
+    'triangle': _intersectTriangle, 'cone': _intersectCone,
+    'quadric': _intersectQuadric}
 
 
 def intersectLocal(kind, params, trim, o, d, tMin, mask=None):
@@ -431,7 +476,8 @@ def intersectLocal(kind, params, trim, o, d, tMin, mask=None):
   if mask is None:
     return lax.switch(kind, [
         _intersectPlane, _intersectSphere, _intersectCylinder,
-        _intersectAsphere, _intersectTriangle, _intersectCone],
+        _intersectAsphere, _intersectTriangle, _intersectCone,
+        _intersectQuadric],
         params, trim, o, d, tMin)
   return lax.switch(kind, [
       lambda *a: _intersectPlane(*a[:5], mask=a[5]),
@@ -439,7 +485,8 @@ def intersectLocal(kind, params, trim, o, d, tMin, mask=None):
       lambda *a: _intersectCylinder(*a[:5], mask=a[5]),
       lambda *a: _intersectAsphere(*a[:5], mask=a[5]),
       lambda *a: _intersectTriangle(*a[:5], mask=a[5]),
-      lambda *a: _intersectCone(*a[:5], mask=a[5])],
+      lambda *a: _intersectCone(*a[:5], mask=a[5]),
+      lambda *a: _intersectQuadric(*a[:5], mask=a[5])],
       params, trim, o, d, tMin, mask)
 
 
@@ -471,5 +518,10 @@ def normalLocal(kind, params, p):
     return transforms.normalize(jnp.array(
         [p[0] / rSafe, p[1] / rSafe, -params[1]]))
 
+  def nQuadric(params, p):
+    return transforms.normalize(jnp.array(
+        [2 * params[0] * p[0], 2 * params[1] * p[1],
+         2 * params[2] * p[2] + params[3]]))
+
   return lax.switch(kind, [nPlane, nSphere, nCylinder, nAsphere, nTriangle,
-                           nCone], params, p)
+                           nCone, nQuadric], params, p)

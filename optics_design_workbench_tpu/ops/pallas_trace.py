@@ -772,6 +772,38 @@ def _intersectConst(r, ox, oy, oz, dx, dy, dz, tMin):
     loV = jnp.where(okD & (lo > tMin) & coneOk(lo), lo, _BIG)
     hiV = jnp.where(okD & (hi > tMin) & coneOk(hi), hi, _BIG)
     return jnp.minimum(loV, hiV)
+  if kind == GS.QUADRIC:
+    # principal-axis quadric qa x^2 + qb y^2 + qc z^2 + qz z + q0 = 0
+    # (geometry/surfaces.py _intersectQuadric): exact quadratic in t,
+    # sphere-cost; covers the b-spline faces brep.py refits (ellipsoids
+    # from Part::Scale etc.)
+    qa, qb, qc, qz, q0 = r['p0'], r['p1'], r['p2'], r['p3'], r['p4']
+    a = qa * ldx * ldx + qb * ldy * ldy + qc * ldz * ldz
+    b = 2 * (qa * lox * ldx + qb * loy * ldy + qc * loz * ldz) + qz * ldz
+    c = (qa * lox * lox + qb * loy * loy + qc * loz * loz
+         + qz * loz + q0)
+    disc = b * b - 4 * a * c
+    okD = disc >= 0
+    sqD = jnp.sqrt(jnp.maximum(disc, 0.))
+    q = -0.5 * (b + jnp.sign(b + 1e-30) * sqD)
+    aS = jnp.where(jnp.abs(a) < 1e-20, 1e-20, a)
+    qS = jnp.where(jnp.abs(q) < 1e-20, 1e-20, q)
+    t1 = q / aS
+    t2 = c / qS
+    linT = -c / jnp.where(jnp.abs(b) < 1e-20, 1e-20, b)
+    isLin = (jnp.abs(a) < 1e-14 * (jnp.abs(b) + 1e-20)) \
+        & (jnp.abs(b) > 1e-20)
+    t1 = jnp.where(isLin, linT, t1)
+    t2 = jnp.where(isLin, _BIG, t2)
+    lo, hi = jnp.minimum(t1, t2), jnp.maximum(t1, t2)
+    okAny = okD | isLin
+
+    def zOkQ(t):
+      z = loz + t * ldz
+      return (z >= r['trim1']) & (z <= r['trim2'])
+    loV = jnp.where(okAny & (lo > tMin) & zOkQ(lo), lo, _BIG)
+    hiV = jnp.where(okAny & (hi > tMin) & zOkQ(hi), hi, _BIG)
+    return jnp.minimum(loV, hiV)
   if kind == GS.ASPHERE:
     c0, kk = r['p0'], r['p1']
     a4, a6, a8 = r['p2'], r['p3'], r['p4']
@@ -826,6 +858,12 @@ def _normalConst(r, lx, ly, lz):
   if kind == GS.CYLINDER:
     inv = lax.rsqrt(lx * lx + ly * ly + 1e-20)
     return lx * inv, ly * inv, jnp.zeros_like(lz)
+  if kind == GS.QUADRIC:
+    nx = 2 * r['p0'] * lx
+    ny = 2 * r['p1'] * ly
+    nz = 2 * r['p2'] * lz + r['p3']
+    inv = lax.rsqrt(nx * nx + ny * ny + nz * nz + 1e-20)
+    return nx * inv, ny * inv, nz * inv
   if kind == GS.CONE:
     # radial out, tipped by -tanA along z (batch_tracer.py:125-129)
     rr = jnp.sqrt(lx * lx + ly * ly)

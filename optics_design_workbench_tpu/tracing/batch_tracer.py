@@ -132,17 +132,25 @@ def _localNormal(kindf, prm, plx, ply, plz):
   kx, ky, kz = _norm3(plx / rSafe, ply / rSafe,
                       -prm[:, 1] * jnp.ones_like(plz))
 
+  # quadric: grad f = (2 qa x, 2 qb y, 2 qc z + qz)
+  qx, qy, qz = _norm3(2 * prm[:, 0] * plx, 2 * prm[:, 1] * ply,
+                      2 * prm[:, 2] * plz + prm[:, 3])
+
   isS = kindf == S.SPHERE
   isC = kindf == S.CYLINDER
   isA = kindf == S.ASPHERE
   isT = kindf == S.TRIANGLE
   isK = kindf == S.CONE
+  isQ = kindf == S.QUADRIC
   nx = jnp.where(isS, sx, jnp.where(isC, cx, jnp.where(isA, ax,
-                 jnp.where(isT, tx, jnp.where(isK, kx, 0.)))))
+                 jnp.where(isT, tx, jnp.where(isK, kx,
+                 jnp.where(isQ, qx, 0.))))))
   ny = jnp.where(isS, sy, jnp.where(isC, cy, jnp.where(isA, ay,
-                 jnp.where(isT, ty, jnp.where(isK, ky, 0.)))))
+                 jnp.where(isT, ty, jnp.where(isK, ky,
+                 jnp.where(isQ, qy, 0.))))))
   nz = jnp.where(isS, sz, jnp.where(isC, 0., jnp.where(isA, az,
-                 jnp.where(isT, tz, jnp.where(isK, kz, 1.)))))
+                 jnp.where(isT, tz, jnp.where(isK, kz,
+                 jnp.where(isQ, qz, 1.))))))
   return nx, ny, nz
 
 

@@ -111,9 +111,12 @@ def test_cone_record_and_kind():
   assert float(cone['params'][1]) == pytest.approx(-2., abs=1e-6)
 
 
-def test_scaled_lens_tessellates_nonuniform():
-  '''Part::Scale with (2, 4, 3) produces elliptic NURBS: must tessellate,
-  and the exact rational periodic bsplines must evaluate without NaNs.'''
+def test_scaled_lens_refits_as_quadrics():
+  '''Part::Scale with a non-uniform factor produces elliptic NURBS; the
+  rational periodic bsplines must evaluate without NaNs and the faces must
+  refit as EXACT quadrics (ellipsoid dome + elliptic cylinder rim) instead
+  of tessellating — 12824 Moeller-Trumbore triangles collapse to 2 closed
+  forms (reference traces the OCC NURBS directly, ray.py:357-383).'''
   text = _blob(_EX2, 'Scale.Shape.brp')
   br = B.parseBRep(text)
   rec = next(r for r in br.surfaces if r['type'] == 'bspline')
@@ -122,7 +125,23 @@ def test_scaled_lens_tessellates_nonuniform():
                       np.linspace(rec['vknots'][0], rec['vknots'][-1], 5))
   assert np.isfinite(pts).all()
   surfs, notes = B.brepToSurfaces(text, elem=0, tessRes=16)
-  assert _kinds(surfs).get(S.TRIANGLE, 0) > 100
+  kinds = _kinds(surfs)
+  assert kinds.get(S.TRIANGLE, 0) == 0, (kinds, notes)
+  assert kinds.get(S.QUADRIC, 0) >= 2, (kinds, notes)
+  # the source solid is Scale(2, 4, 3) of a radius-20 sphere body: the
+  # ellipsoid face must recover semi-axes {40, 80, 60} and the scaled
+  # cylindrical rim {18, 36} (r=9 cylinder scaled in-plane), exactly
+  semiAxes = []
+  for s in surfs:
+    if s['kind'] != S.QUADRIC:
+      continue
+    qa, qb, qc, qz, q0 = [float(v) for v in s['params'][:5]]
+    assert abs(qz) < 1e-6
+    axes = sorted(np.sqrt(-q0 / np.array([v for v in (qa, qb, qc)
+                                          if v > 1e-9])))
+    semiAxes.append(tuple(round(a, 3) for a in axes))
+  assert any(set(a) == {40., 60., 80.} for a in semiAxes), semiAxes
+  assert any(set(a) == {18., 36.} for a in semiAxes), semiAxes
 
 
 def test_exact_nurbs_sphere_detected_in_eval():

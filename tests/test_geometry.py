@@ -236,3 +236,106 @@ class TestNormalsAndSelection:
 
     ts = run(o, d)
     assert np.allclose(np.asarray(ts), 15., atol=1e-3)
+
+
+class TestQuadric:
+  '''QUADRIC kind (principal-axis quadrics; geometry/brep.py refits scaled
+  NURBS onto it — reference traces such faces through OCC directly,
+  ray.py:357-383).'''
+
+  def _ellipsoid(self, a=4., b=2., c=3., zRange=None):
+    # x^2/a^2 + y^2/b^2 + z^2/c^2 = 1, scaled so max coeff = 1
+    coeffs = np.array([1. / a ** 2, 1. / b ** 2, 1. / c ** 2, 0., -1.])
+    coeffs = coeffs / coeffs[:3].max()
+    return S.buildSurfaceTable([S.quadric(
+        np.eye(4), elem=0, coeffs=tuple(coeffs),
+        zRange=(-c, c) if zRange is None else zRange)])
+
+  def test_ellipsoid_axis_hits(self):
+    tab = self._ellipsoid()
+    # along +x from outside: hits at x=-4 first
+    idx, t, has = hit_t(tab, *ray([-10, 0, 0], [1, 0, 0]))
+    assert has and abs(t - 6.) < 1e-4
+    # along +y: semi-axis 2
+    _, t, has = hit_t(tab, *ray([0, -10, 0], [0, 1, 0]))
+    assert has and abs(t - 8.) < 1e-4
+    # along +z: semi-axis 3
+    _, t, has = hit_t(tab, *ray([0, 0, -10], [0, 0, 1]))
+    assert has and abs(t - 7.) < 1e-4
+
+  def test_ellipsoid_off_axis_exact(self):
+    a, b, c = 4., 2., 3.
+    tab = self._ellipsoid(a, b, c)
+    o = np.array([1., 0.5, -10.])
+    _, t, has = hit_t(tab, *ray(o, [0, 0, 1]))
+    # analytic: z = -c*sqrt(1 - x^2/a^2 - y^2/b^2)
+    zs = -c * np.sqrt(1 - o[0] ** 2 / a ** 2 - o[1] ** 2 / b ** 2)
+    assert has and abs((o[2] + t) - zs) < 1e-4
+
+  def test_z_band_trim(self):
+    tab = self._ellipsoid(4., 2., 3., zRange=(1., 3.))
+    # equator hit excluded by the band
+    assert not hit_t(tab, *ray([-10, 0, 0], [1, 0, 0]))[2]
+    # cap hit inside the band
+    assert hit_t(tab, *ray([0, 0, 10], [0, 0, -1]))[2]
+
+  def test_normal_matches_gradient(self):
+    a, b, c = 4., 2., 3.
+    tab = self._ellipsoid(a, b, c)
+    o, d = ray([1., 0.5, -10.], [0, 0, 1])
+    idx, t, has = hit_t(tab, o, d)
+    assert has
+    p = np.asarray(o) + t * np.asarray(d)
+    n, entering = I.hitNormal(tab, jnp.asarray(idx), jnp.asarray(p),
+                              jnp.asarray(d))
+    g = np.array([2 * p[0] / a ** 2, 2 * p[1] / b ** 2, 2 * p[2] / c ** 2])
+    g /= np.linalg.norm(g)
+    n = np.asarray(n)
+    # forward normal: same line as the gradient
+    assert abs(abs(float(n @ g)) - 1.) < 1e-4
+    assert bool(entering)
+
+  def test_sphere_equivalence(self):
+    '''A quadric with qa=qb=qc matches the SPHERE kind to float precision.'''
+    R = 5.
+    quad = S.buildSurfaceTable([S.quadric(
+        np.eye(4), elem=0, coeffs=(1., 1., 1., 0., -R * R),
+        zRange=(-R, R))])
+    sph = S.buildSurfaceTable([S.sphere(np.eye(4), elem=0, radius=R)])
+    rng = np.random.default_rng(3)
+    for _ in range(20):
+      o = rng.normal(size=3) * 10
+      d = rng.normal(size=3)
+      if np.linalg.norm(o) < R + 0.5:
+        continue
+      oj, dj = ray(o, d)
+      _, tq, hq = hit_t(quad, oj, dj)
+      _, ts, hs = hit_t(sph, oj, dj)
+      assert hq == hs
+      if hq:
+        assert abs(tq - ts) < 1e-3
+
+  def test_elliptic_cylinder(self):
+    # x^2/9 + y^2/4 = 1 extruded along z
+    tab = S.buildSurfaceTable([S.quadric(
+        np.eye(4), elem=0, coeffs=(1. / 9, 1. / 4, 0., 0., -1.),
+        zRange=(-5., 5.))])
+    _, t, has = hit_t(tab, *ray([-10, 0, 0], [1, 0, 0]))
+    assert has and abs(t - 7.) < 1e-4
+    _, t, has = hit_t(tab, *ray([0, -10, 1], [0, 1, 0]))
+    assert has and abs(t - 8.) < 1e-4
+    assert not hit_t(tab, *ray([0, -10, 6], [0, 1, 0]))[2]
+
+  def test_paraboloid_linear_ray(self):
+    # z = (x^2 + y^2) / 4  ->  0.25 x^2 + 0.25 y^2 - z = 0 (qz = -1 after
+    # scaling so max quadratic coeff is 0.25 -> normalize by 0.25)
+    tab = S.buildSurfaceTable([S.quadric(
+        np.eye(4), elem=0, coeffs=(1., 1., 0., -4., 0.),
+        zRange=(0., 10.))])
+    # axial ray straight down the axis: the quadratic degenerates to
+    # linear (a == 0); must still hit the vertex
+    _, t, has = hit_t(tab, *ray([0, 0, 10], [0, 0, -1]))
+    assert has and abs(t - 10.) < 1e-3
+    # off-axis vertical ray: z = r^2/4
+    _, t, has = hit_t(tab, *ray([2, 0, 10], [0, 0, -1]))
+    assert has and abs((10. - t) - 1.) < 1e-3

@@ -82,6 +82,42 @@ def test_grating_matches_xla_tracer_interpret():
   assert _nearlyEqualCounts(hP, hX)
 
 
+def test_quadric_lens_matches_xla_interpret():
+  '''QUADRIC surfaces (ellipsoid dome + elliptic-cylinder rim, the closed
+  forms geometry/brep.py refits from scaled-NURBS faces) through the
+  kernel vs the XLA fused step: refraction at a non-axisymmetric surface
+  exercises the quadric gradient normal.'''
+  scene = Scene(label='quadinterp')
+  # plano-convex lens with an ellipsoid front face: ellipsoid semi-axes
+  # (20, 30, 15) centered at z=40, dome cap z in [50, 55] (local z band
+  # [10, 15]); flat back at z=50
+  ell = np.array([1. / 400., 1. / 900., 1. / 225., 0., -1.])
+  ell = ell / ell[:3].max()
+  scene.addOpticalGroup(OpticalGroup(
+      OpticalType='Lens', Label='Lens', RefractiveIndex=1.6,
+      surfaces=[
+          S.quadric(T.translation(0, 0, 40), elem=0, coeffs=tuple(ell),
+                    zRange=(10., 15.)),
+          S.plane(np.eye(4), elem=0, radius=16., orient=-1),
+      ],
+      placements=[T.translation(0, 0, 50)]))
+  scene.addOpticalGroup(OpticalGroup(
+      OpticalType='Absorber', Label='Det',
+      surfaces=[S.plane(np.eye(4), elem=0, halfExtents=(100., 100.))],
+      placements=[T.translation(0, 0, 0)]))
+  scene.addSource(PointSource(
+      Label='Src', PowerDensity='exp(-theta^2/0.05)',
+      ThetaDomain='0, 0.35', Wavelength=532.,
+      ThetaResolutionNumericMode='1e4',
+      placement=T.compose(T.translation(0, 0, 120),
+                          T.rotation((1, 0, 0), 180))))
+  scene.addSimulationSettings(RaysPerIteration=1e4, MaxIntersections=6)
+  hP, hX, cP, cX = _runPair(scene, bounds=(-100., 100., -100., 100.))
+  assert int(cX['hits']) > N // 4          # the lens actually refracts rays
+  assert abs(int(cP['hits']) - int(cX['hits'])) <= 2
+  assert _nearlyEqualCounts(hP, hX)
+
+
 def _stackedDetectorScene():
   scene = Scene(label='stackinterp')
   for i, z in enumerate((40., 60.)):
