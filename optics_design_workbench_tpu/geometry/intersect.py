@@ -36,24 +36,29 @@ def allDistances(table, o, d, tMin, seqAllowed=None):
     sub = table['byKind'][kindName]
     fn = S.KIND_INTERSECTORS[kindName]
 
-    if 'trimMaskIdx' in sub:
-      masks = table['trimMasks']
+    haveMask = 'trimMaskIdx' in sub
+    havePrims = 'trimPrims' in sub
+    masks = table['trimMasks'] if haveMask else None
 
-      def oneMasked(params, trim, w2lRot, w2lOff, mIdx, fn=fn):
-        lo, ld = _toLocal(w2lRot, w2lOff, o, d)
-        return fn(params, trim, lo, ld, tMin, mask=masks[mIdx])
-
-      parts.append(jax.vmap(oneMasked)(sub['params'], sub['trim'],
-                                       sub['w2lRot'], sub['w2lOff'],
-                                       sub['trimMaskIdx']))
-      continue
-
-    def one(params, trim, w2lRot, w2lOff, fn=fn):
+    def one(params, trim, w2lRot, w2lOff, mIdx=None, prims=None, fn=fn):
       lo, ld = _toLocal(w2lRot, w2lOff, o, d)
-      return fn(params, trim, lo, ld, tMin)
+      return fn(params, trim, lo, ld, tMin,
+                mask=(masks[mIdx] if mIdx is not None else None),
+                prims=prims)
 
-    parts.append(jax.vmap(one)(sub['params'], sub['trim'],
-                               sub['w2lRot'], sub['w2lOff']))
+    args = [sub['params'], sub['trim'], sub['w2lRot'], sub['w2lOff']]
+    if haveMask and havePrims:
+      parts.append(jax.vmap(lambda p, t, r, of, mi, pr: one(
+          p, t, r, of, mi, pr))(*args, sub['trimMaskIdx'],
+                                sub['trimPrims']))
+    elif haveMask:
+      parts.append(jax.vmap(lambda p, t, r, of, mi: one(p, t, r, of, mi))(
+          *args, sub['trimMaskIdx']))
+    elif havePrims:
+      parts.append(jax.vmap(lambda p, t, r, of, pr: one(
+          p, t, r, of, prims=pr))(*args, sub['trimPrims']))
+    else:
+      parts.append(jax.vmap(lambda p, t, r, of: one(p, t, r, of))(*args))
   t = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
   if seqAllowed is not None:
     t = jnp.where(seqAllowed, t, jnp.inf)

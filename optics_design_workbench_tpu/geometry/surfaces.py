@@ -51,6 +51,19 @@ kind's UV chart onto bitmap pixels: plane (x, y); sphere/cylinder/cone
 `trimMask` array per kind slice; scenes without bitmap trims never touch
 them (kernels take mask=None and skip the gather entirely).
 
+Trim-primitive trims: trim[0] == 3 (band/annulus base, trim[1:3] as the
+trim[0] == 0 window) and trim[0] == 4 (rect base, plane only, trim[1:3]
+as the trim[0] == 1 window) subtract a short list of HOLE primitives from
+the closed-form base: occupied = base AND NOT any(hole). Holes are exact
+rotated rectangles or discs evaluated on the surface's LOCAL (x, y)
+coordinates at the candidate hit (a vertical boolean cut through ANY of
+the kinds projects to exactly such a shape), packed as a (maxHoles, 7)
+float row per surface: (flag 1=rect/2=disc, cx, cy, p0, p1, cosA, sinA)
+with rect half-extents (p0, p1) and disc radius^2 in p0. Built by
+geometry/brep._fitTrimPrims from boolean-cut CAD faces (e.g. the
+reference example 2's slotted mirrors) — exact where a 192-px bitmap is
+approximate, and ~5 VPU ops per hole instead of a bitmap gather.
+
 orient (float32, +1/-1): multiplies the canonical normal to yield the
 *outward-of-solid* normal, which defines the entering/exiting decision
 (ray.py:403-428). Canonical normals: plane +z, sphere radially out, cylinder
@@ -155,6 +168,17 @@ def buildSurfaceTable(surfs, dtype=jnp.float32):
   # bitmap get an all-ones row (their trim flag never selects it). The trim
   # row of a bitmap face encodes its own UV->pixel map, so zero padding
   # beyond a smaller bitmap's own resolution correctly reads "outside".
+  # trim-primitive holes (geometry/brep._fitTrimPrims): pack every
+  # surface's hole list into one zero-padded (S, maxHoles, 7) array;
+  # surfaces without holes get all-zero rows (flag 0 = inactive).
+  primSurfs = [(i, s) for i, s in enumerate(surfs) if 'trimPrims' in s]
+  primStack = None
+  if primSurfs:
+    maxH = max(len(s['trimPrims']['holes']) for _i, s in primSurfs)
+    primStack = np.zeros((len(surfs), maxH, 7), dtype=np.float32)
+    for i, s in primSurfs:
+      for h, hole in enumerate(s['trimPrims']['holes']):
+        primStack[i, h, :len(hole)] = hole
   bitmapSurfs = [(i, s) for i, s in enumerate(surfs) if 'trimBitmap' in s]
   maskStack = None
   maskIdx = None
@@ -198,12 +222,16 @@ def buildSurfaceTable(surfs, dtype=jnp.float32):
     byKind[_KIND_NAMES[kind]] = {
         k: host[k][start:stop]
         for k in ('params', 'trim', 'w2lRot', 'w2lOff')}
-    if maskIdx is not None and (host['trim'][start:stop, 0] > 1.5).any():
+    if maskIdx is not None and (host['trim'][start:stop, 0] == 2.).any():
       byKind[_KIND_NAMES[kind]]['trimMaskIdx'] = maskIdx[start:stop]
+    if primStack is not None and (host['trim'][start:stop, 0] > 2.5).any():
+      byKind[_KIND_NAMES[kind]]['trimPrims'] = primStack[start:stop]
   table['byKind'] = byKind
   if maskStack is not None:
     table['trimMasks'] = maskStack
     table['trimMaskIdx'] = maskIdx
+  if primStack is not None:
+    table['trimPrims'] = primStack
   # packed per-surface row for the post-selection hot path: ONE (N, K)
   # gather instead of many small-minor-dim gathers — (N,3,3) gathers +
   # matvecs have pathological T(4,128) layouts on TPU (40-60 ms per 1e6
@@ -244,6 +272,32 @@ def numSurfaces(table):
 _BIG = jnp.inf
 
 
+def chartAtan2(y, x):
+  '''Branchless Cephes-style atan2 (4-term minimax after octant/half-angle
+  reduction; error <~1 ulp f32 of pi). Used for the bitmap-trim azimuth
+  chart by BOTH the XLA tracers (via _trimBandOk) and the Pallas kernel
+  (ops/pallas_trace._bitmapOkConst): Mosaic has no atan/atan2 primitive,
+  and sharing ONE formula keeps the two paths' pixel indices bit-identical
+  instead of diverging by an ulp at pixel boundaries. Bitmap CONTENT is
+  baked with np.arctan2 (geometry/brep._deviceUV) — a sub-ulp chart offset
+  relative to the bake shifts nothing at the bitmap's own 1/192 pixel
+  scale.'''
+  ax, ay = jnp.abs(x), jnp.abs(y)
+  hi = jnp.maximum(ax, ay)
+  lo = jnp.minimum(ax, ay)
+  a = lo / jnp.maximum(hi, 1e-30)
+  big = a > 0.41421356237309503     # tan(pi/8): half-angle reduction
+  aa = jnp.where(big, (a - 1.) / (a + 1.), a)
+  z = aa * aa
+  p = ((8.05374449538e-2 * z - 1.38776856032e-1) * z
+       + 1.99777106478e-1) * z - 3.33329491539e-1
+  p = p * z * aa + aa
+  p = jnp.where(big, p + 0.7853981633974483, p)
+  p = jnp.where(ay > ax, 1.5707963267948966 - p, p)
+  p = jnp.where(x < 0, jnp.pi - p, p)
+  return jnp.where(y < 0, -p, p)
+
+
 def _maskLookup(trim, mask, u, v):
   '''Bitmap trim sample: maps UV-chart coordinates onto the (R, R) face
   occupancy bitmap (v-major). Conservative clip at the window border.'''
@@ -259,34 +313,87 @@ def _maskLookup(trim, mask, u, v):
   return inWindow & (mask[iv, iu] > 0)
 
 
-def _trimBandOk(trim, mask, p, v):
+def _applyPrims(prims, x, y, z, baseOk):
+  '''Boolean-cut trim algebra: occupied = (base OR any add-prim) AND NOT
+  any hole-prim. prims is a (maxPrims, 7) row per surface:
+  (flag, cx, cy, p0, p1, cosA, sinA). flag = shape + 10*isAdd +
+  20*isInverted with shapes 1 rect (rotated half-extents p0, p1), 2 disc
+  (radius^2 in p0), 3 half-plane ((x-cx, y-cy).(p0, p1) >= 0), 4 poly2
+  (yr <= p0*xr^2 + p1*xr in the rotated frame — the planar cut of a conic
+  neighbor face), 5 general conic (payload = (A, B, C, D, E, F), inside =
+  A x^2 + B xy + C y^2 + D x + E y + F <= 0 — elliptic/hyperbolic
+  boolean-cut boundaries in any position);
+  6 half-SPACE on the full local point (p0, p1, cosA, sinA as the plane
+  normal (nx, ny, nz) and offset c: nx*x + ny*y + nz*z >= c — tilted
+  planar cuts of revolution/quadric faces whose rims are not v-bands);
+  flag 0 = inactive. Inverted prims test the shape complement ("keep
+  inside the neighbor's arc" boolean intersections).'''
+  addHit = x != x                    # all-false without materializing bools
+  holeHit = x != x
+  for h in range(prims.shape[0]):
+    row = prims[h]
+    isInv = row[0] > 15.5
+    rem = row[0] - jnp.where(isInv, 20., 0.)
+    isAdd = rem > 5.5
+    shape = rem - jnp.where(isAdd, 10., 0.)
+    dxp, dyp = x - row[1], y - row[2]
+    xr = row[5] * dxp + row[6] * dyp
+    yr = -row[6] * dxp + row[5] * dyp
+    rectIn = (jnp.abs(xr) <= row[3]) & (jnp.abs(yr) <= row[4])
+    discIn = dxp * dxp + dyp * dyp <= row[3]
+    halfIn = dxp * row[3] + dyp * row[4] >= 0
+    polyIn = yr <= row[3] * xr * xr + row[4] * xr
+    conicIn = (row[1] * x * x + row[2] * x * y + row[3] * y * y
+               + row[4] * x + row[5] * y + row[6]) <= 0.
+    spaceIn = x * row[1] + y * row[2] + z * row[3] >= row[4]
+    inP = jnp.where(shape > 5.5, spaceIn,
+                    jnp.where(shape > 4.5, conicIn,
+                              jnp.where(shape > 3.5, polyIn,
+                                        jnp.where(shape > 2.5, halfIn,
+                                                  jnp.where(shape > 1.5,
+                                                            discIn,
+                                                            rectIn)))))
+    inP = (inP != isInv) & (row[0] > 0.5)
+    addHit = addHit | (inP & isAdd)
+    holeHit = holeHit | (inP & ~isAdd)
+  return (baseOk | addHit) & ~holeHit
+
+
+def _trimBandOk(trim, mask, p, v, prims=None):
   '''Shared trim for the axis-symmetric kinds: closed-form band
-  trim[1] <= v <= trim[2], or the UV bitmap when trim[0] == 2
-  (u = azimuth).'''
+  trim[1] <= v <= trim[2]; the UV bitmap when trim[0] == 2 (u = azimuth);
+  band minus local-(x, y) hole primitives when trim[0] == 3.'''
   band = (trim[1] <= v) & (v <= trim[2])
+  if prims is not None:
+    band = jnp.where(trim[0] > 2.5,
+                     _applyPrims(prims, p[0], p[1], p[2], band), band)
   if mask is None:
     return band
-  u = jnp.arctan2(p[1], p[0])
-  return jnp.where(trim[0] > 1.5, _maskLookup(trim, mask, u, v), band)
+  u = chartAtan2(p[1], p[0])
+  return jnp.where(trim[0] == 2., _maskLookup(trim, mask, u, v), band)
 
 
-def _trimPlane(trim, p, mask=None):
-  isRect = trim[0] > 0.5
+def _trimPlane(trim, p, mask=None, prims=None):
+  isRect = (trim[0] == 1.) | (trim[0] == 4.)
   rect = (jnp.abs(p[0]) <= trim[1]) & (jnp.abs(p[1]) <= trim[2])
   r = jnp.sqrt(p[0] ** 2 + p[1] ** 2)
   ring = (trim[1] <= r) & (r <= trim[2])
   closed = jnp.where(isRect, rect, ring)
+  if prims is not None:
+    closed = jnp.where(trim[0] > 2.5,
+                       _applyPrims(prims, p[0], p[1], p[2], closed),
+                       closed)
   if mask is None:
     return closed
-  return jnp.where(trim[0] > 1.5, _maskLookup(trim, mask, p[0], p[1]),
+  return jnp.where(trim[0] == 2., _maskLookup(trim, mask, p[0], p[1]),
                    closed)
 
 
-def _intersectPlane(params, trim, o, d, tMin, mask=None):
+def _intersectPlane(params, trim, o, d, tMin, mask=None, prims=None):
   dz = jnp.where(jnp.abs(d[2]) < 1e-12, 1e-12, d[2])
   t = -o[2] / dz
   p = o + t * d
-  ok = (t > tMin) & _trimPlane(trim, p, mask)
+  ok = (t > tMin) & _trimPlane(trim, p, mask, prims)
   return jnp.where(ok, t, _BIG)
 
 
@@ -312,7 +419,7 @@ def _pickRoot(t1, t2, valid1, valid2):
   return jnp.minimum(t1, t2)
 
 
-def _intersectSphere(params, trim, o, d, tMin, mask=None):
+def _intersectSphere(params, trim, o, d, tMin, mask=None, prims=None):
   R = params[0]
   b = 2 * jnp.dot(o, d)
   c = jnp.dot(o, o) - R * R
@@ -320,12 +427,12 @@ def _intersectSphere(params, trim, o, d, tMin, mask=None):
 
   def zOk(t):
     p = o + t * d
-    return _trimBandOk(trim, mask, p, p[2])
+    return _trimBandOk(trim, mask, p, p[2], prims)
 
   return _pickRoot(t1, t2, (t1 > tMin) & zOk(t1), (t2 > tMin) & zOk(t2))
 
 
-def _intersectCylinder(params, trim, o, d, tMin, mask=None):
+def _intersectCylinder(params, trim, o, d, tMin, mask=None, prims=None):
   R = params[0]
   a = d[0] ** 2 + d[1] ** 2
   b = 2 * (o[0] * d[0] + o[1] * d[1])
@@ -334,12 +441,12 @@ def _intersectCylinder(params, trim, o, d, tMin, mask=None):
 
   def zOk(t):
     p = o + t * d
-    return _trimBandOk(trim, mask, p, p[2])
+    return _trimBandOk(trim, mask, p, p[2], prims)
 
   return _pickRoot(t1, t2, (t1 > tMin) & zOk(t1), (t2 > tMin) & zOk(t2))
 
 
-def _intersectCone(params, trim, o, d, tMin, mask=None):
+def _intersectCone(params, trim, o, d, tMin, mask=None, prims=None):
   '''Cone |(x, y)| = r0 + z*tanA (OCC gp_Cone analog; params = (r0, tanA)).
   Quadratic in t with the linear radius term w(t) = w0 + t*wd; only the
   nappe with w >= 0 is real surface.'''
@@ -353,7 +460,7 @@ def _intersectCone(params, trim, o, d, tMin, mask=None):
 
   def ok(t):
     p = o + t * d
-    return (w0 + t * wd >= 0) & _trimBandOk(trim, mask, p, p[2])
+    return (w0 + t * wd >= 0) & _trimBandOk(trim, mask, p, p[2], prims)
 
   return _pickRoot(t1, t2, (t1 > tMin) & ok(t1), (t2 > tMin) & ok(t2))
 
@@ -376,7 +483,7 @@ def _sagPrimeOverR(params, r2):
   return base + poly
 
 
-def _intersectAsphere(params, trim, o, d, tMin, mask=None):
+def _intersectAsphere(params, trim, o, d, tMin, mask=None, prims=None):
   '''Newton iterations on f(t) = z(t) - sag(r(t)); seeded at the tangent
   plane (or best-fit sphere when curvature dominates). Finds the first
   crossing in the common optics regime (one intersection per ray within the
@@ -413,12 +520,12 @@ def _intersectAsphere(params, trim, o, d, tMin, mask=None):
   r2 = p[0] ** 2 + p[1] ** 2
   resid = jnp.abs(p[2] - _sag(params, r2))
   r = jnp.sqrt(r2)
-  ok = ((t > tMin) & (resid < 1e-4) & _trimBandOk(trim, mask, p, r)
+  ok = ((t > tMin) & (resid < 1e-4) & _trimBandOk(trim, mask, p, r, prims)
         & jnp.isfinite(t))
   return jnp.where(ok, t, _BIG)
 
 
-def _intersectQuadric(params, trim, o, d, tMin, mask=None):
+def _intersectQuadric(params, trim, o, d, tMin, mask=None, prims=None):
   '''f(o + t d) = 0 is an exact quadratic in t for the principal-axis
   quadric — same cost class as a sphere. The stable-roots helper also
   covers the degenerate linear case (|a| -> 0: grazing a paraboloid along
@@ -438,12 +545,12 @@ def _intersectQuadric(params, trim, o, d, tMin, mask=None):
 
   def zOk(t):
     p = o + t * d
-    return _trimBandOk(trim, mask, p, p[2])
+    return _trimBandOk(trim, mask, p, p[2], prims)
 
   return _pickRoot(t1, t2, (t1 > tMin) & zOk(t1), (t2 > tMin) & zOk(t2))
 
 
-def _intersectTriangle(params, trim, o, d, tMin, mask=None):
+def _intersectTriangle(params, trim, o, d, tMin, mask=None, prims=None):
   v0 = params[0:3]
   e1 = params[3:6] - v0
   e2 = params[6:9] - v0
@@ -468,26 +575,19 @@ KIND_INTERSECTORS = {
     'quadric': _intersectQuadric}
 
 
-def intersectLocal(kind, params, trim, o, d, tMin, mask=None):
+def intersectLocal(kind, params, trim, o, d, tMin, mask=None, prims=None):
   '''Nearest valid intersection parameter t of a local-frame ray with one
   surface; +inf when there is none. Switch-based single-surface form; the
   batched sweep uses the per-kind kernels directly (see
-  intersect.allDistances).'''
-  if mask is None:
-    return lax.switch(kind, [
-        _intersectPlane, _intersectSphere, _intersectCylinder,
-        _intersectAsphere, _intersectTriangle, _intersectCone,
-        _intersectQuadric],
-        params, trim, o, d, tMin)
-  return lax.switch(kind, [
-      lambda *a: _intersectPlane(*a[:5], mask=a[5]),
-      lambda *a: _intersectSphere(*a[:5], mask=a[5]),
-      lambda *a: _intersectCylinder(*a[:5], mask=a[5]),
-      lambda *a: _intersectAsphere(*a[:5], mask=a[5]),
-      lambda *a: _intersectTriangle(*a[:5], mask=a[5]),
-      lambda *a: _intersectCone(*a[:5], mask=a[5]),
-      lambda *a: _intersectQuadric(*a[:5], mask=a[5])],
-      params, trim, o, d, tMin, mask)
+  intersect.allDistances). mask/prims (bitmap / hole-primitive trims) ride
+  into the branches as closures — absent extras cost nothing.'''
+  fns = [_intersectPlane, _intersectSphere, _intersectCylinder,
+         _intersectAsphere, _intersectTriangle, _intersectCone,
+         _intersectQuadric]
+  branches = [lambda p, t, oo, dd, tm, f=f: f(p, t, oo, dd, tm,
+                                              mask=mask, prims=prims)
+              for f in fns]
+  return lax.switch(kind, branches, params, trim, o, d, tMin)
 
 
 def normalLocal(kind, params, p):

@@ -58,8 +58,6 @@ def pallasEligible(scene):
     return False
   if GS.TRIANGLE in kinds:
     return False
-  if 'trimMasks' in scene['surfaces']:
-    return False   # UV-bitmap face trims (geometry/brep.py) -> XLA path
   return numSurfacesStatic(scene) <= 64
 
 
@@ -70,7 +68,8 @@ def numSurfacesStatic(scene):
 def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
                 maxIntersections, maxRayLength, distTol, powerTol,
                 histRows=None, hitSlots=1, surfAllowed=None, seqSpec=None,
-                sampler=None, scatterConsts=None, nUniformInputs=0):
+                sampler=None, scatterConsts=None, nUniformInputs=0,
+                nMasks=0):
   '''Build the kernel body with the scene baked in as python constants.
   surfRows: list of per-surface dicts of floats; elemRows likewise.
   histRows: if set (= D*H), the kernel accumulates the (histRows, 2*W)
@@ -225,11 +224,13 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
        wl_ref) = refs[:8]
     if nUniformInputs:
       _uniformRefs.extend(refs[i0:i0 + nUniformInputs])
-      out_refs = refs[i0 + nUniformInputs:]
+      rest = refs[i0 + nUniformInputs:]
     elif needSeed:
-      seed_ref, out_refs = refs[i0], refs[i0 + 1:]
+      seed_ref, rest = refs[i0], refs[i0 + 1:]
     else:
-      out_refs = refs[i0:]
+      rest = refs[i0:]
+    maskVals = tuple(rest[k][:] for k in range(nMasks))
+    out_refs = rest[nMasks:]
     if histRows is None:
       binOut_refs = out_refs[0:hitSlots]
       wOut_refs = out_refs[hitSlots:2 * hitSlots]
@@ -249,9 +250,9 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
       wl = wl_ref[:]
     shape = ox.shape
     medium = jnp.full(shape, -1.0)   # element id as float, -1 = vacuum
-    # NOTE: never materialize bool arrays directly (Mosaic lowers that as an
-    # unsupported i8->i1 truncation); derive masks from comparisons
-    alive = pw > -1.0
+    # NOTE: never materialize bool arrays directly (Mosaic lowers that as
+    # an unsupported i8->i1 truncation); derive masks from comparisons.
+    # The fori_loop carry keeps aliveness as float 0/1 for the same reason.
     segCount = jnp.zeros(shape, dtype=jnp.float32)
     hitBin = [jnp.full(shape, -1.0) for _ in range(hitSlots)]
     hitW = [jnp.zeros(shape) for _ in range(hitSlots)]
@@ -259,7 +260,7 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
     hitN = jnp.zeros(shape)
     if seqSpec is not None:
       nStages, stageSets = seqSpec
-      seqF = jnp.zeros(shape)   # per-ray sequence index as float
+    seqF = jnp.zeros(shape)     # per-ray sequence index as float
 
     # dispersion: n(wavelength) per dispersive element, evaluated ONCE
     # (wavelength is constant along a ray) as a Horner polynomial in the
@@ -278,30 +279,40 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
     bounceSurfs = (list(range(S)) if surfAllowed is None
                    else sorted(surfAllowed))
 
-    def _seqGate(s, t):
-      '''Sequential-mode per-ray stage gate for surface s (compile-time
-      stage sets; reference clamps the stage index to the last row,
-      batch_tracer.bounceBatch q=clip(seq, 0, Q-1)).'''
-      if seqSpec is None:
-        return t
-      stages = stageSets[s]
-      if len(stages) >= nStages:
-        return t
-      ok = None
-      for q in stages:
-        term = (seqF >= float(q)) if q == nStages - 1 \
-            else (seqF == float(q))
-        ok = term if ok is None else (ok | term)
-      return jnp.where(ok, t, _BIG)
+    # ---- one bounce as a carry->carry function: rolled into a
+    # lax.fori_loop so the Mosaic program holds ONE bounce body instead of
+    # maxIntersections copies (a 27-surface 8-bounce unroll costs >15 min
+    # of compile); the deterministic-uniform test seam consumes a distinct
+    # input ref per draw, so that path keeps the python unroll ----
+    def _bounceBody(carry):
+      (ox, oy, oz, dx, dy, dz, pw, medium, aliveF, segCount, hitN,
+       seqF, hitBin, hitW, hitC) = carry
+      hitBin, hitW, hitC = list(hitBin), list(hitW), list(hitC)
+      alive = aliveF > 0.5
 
-    for _bounce in range(maxIntersections):
+      def _seqGate(s, t):
+        '''Sequential-mode per-ray stage gate for surface s (compile-time
+        stage sets; reference clamps the stage index to the last row,
+        batch_tracer.bounceBatch q=clip(seq, 0, Q-1)).'''
+        if seqSpec is None:
+          return t
+        stages = stageSets[s]
+        if len(stages) >= nStages:
+          return t
+        ok = None
+        for q in stages:
+          term = (seqF >= float(q)) if q == nStages - 1 \
+              else (seqF == float(q))
+          ok = term if ok is None else (ok | term)
+        return jnp.where(ok, t, _BIG)
+
       # ---- nearest intersection over unrolled surfaces (distances kept
       # live across the selection passes) ----
       ts = {}
       tBest = jnp.full(shape, _BIG)
       for s in bounceSurfs:
         r = surfRows[s]
-        t = _intersectConst(r, ox, oy, oz, dx, dy, dz, distTol)
+        t = _intersectConst(r, ox, oy, oz, dx, dy, dz, distTol, maskVals)
         t = jnp.where(t <= maxRayLength, t, _BIG)
         t = _seqGate(s, t)
         ts[s] = t
@@ -631,8 +642,8 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
         hitC[slot] = jnp.where(take, 1., hitC[slot])
       hitN = hitN + jnp.where(inside, 1., 0.)
 
-      segCount = segCount + alive.astype(jnp.float32)
-      newAlive = alive & hasHit & (newPw >= powerTol)
+      segCount = segCount + jnp.where(alive, 1., 0.)
+      newAliveF = jnp.where(alive & hasHit & (newPw >= powerTol), 1., 0.)
       ox = jnp.where(alive, px, ox)
       oy = jnp.where(alive, py, oy)
       oz = jnp.where(alive, pz, oz)
@@ -641,7 +652,22 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
       dz = jnp.where(alive & hasHit, ndz, dz)
       pw = jnp.where(alive & hasHit, newPw, pw)
       medium = jnp.where(alive & hasHit, newMedium, medium)
-      alive = newAlive
+      return (ox, oy, oz, dx, dy, dz, pw, medium, newAliveF, segCount,
+              hitN, seqF, tuple(hitBin), tuple(hitW), tuple(hitC))
+
+    seqF0 = seqF if seqSpec is not None else jnp.zeros(shape)
+    carry = (ox, oy, oz, dx, dy, dz, pw, medium, jnp.ones(shape),
+             segCount, hitN, seqF0, tuple(hitBin), tuple(hitW),
+             tuple(hitC))
+    if nUniformInputs:
+      for _b in range(maxIntersections):
+        carry = _bounceBody(carry)
+    else:
+      carry = lax.fori_loop(0, maxIntersections,
+                            lambda _i, c: _bounceBody(c), carry)
+    (_ox, _oy, _oz, _dx, _dy, _dz, pw, _medium, _aliveF, segCount,
+     hitN, _seqF, hitBin, hitW, hitC) = carry
+    hitBin, hitW, hitC = list(hitBin), list(hitW), list(hitC)
 
     overflow = jnp.maximum(hitN - float(hitSlots), 0.)
     if histRows is None:
@@ -700,9 +726,96 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
   return kernel
 
 
-def _intersectConst(r, ox, oy, oz, dx, dy, dz, tMin):
+def _bitmapOkConst(r, B, u, v):
+  '''UV-bitmap trim test (trim0 == 2) inside the kernel: the face occupancy
+  bitmap rides as a bit-packed (C, R) VMEM input (byte values, 8 bits per
+  f32 — exact in bf16) and is sampled GATHERLESSLY per ray via the same
+  per-sublane-row one-hot MXU matmul pattern as the in-kernel histogram:
+  row one-hot x packed-mask matmul picks the pixel row's bytes, a column
+  one-hot selects the byte, and the bit is peeled arithmetically. Pixel
+  index math is bit-identical to the XLA path's _maskLookup
+  (geometry/surfaces.py — both use chartAtan2 for azimuth charts).
+  Cost: ~R*C MACs/ray per lookup (~4.6k at R=192) — ~7% of the in-kernel
+  histogram matmul — paid only by bitmap-trimmed surfaces.'''
+  R, C = r['maskRes'], B.shape[0]
+  pu = (u - r['trim1']) * r['trim3']
+  pv = (v - r['trim2']) * r['trim4']
+  iu = jnp.floor(pu)
+  iv = jnp.floor(pv)
+  ju = jnp.floor(iu * 0.125)
+  ub = iu - 8. * ju
+  inWin = (pu >= 0) & (pu < float(R)) & (pv >= 0) & (pv < float(R))
+  Bc = B.astype(jnp.bfloat16)
+  iR = lax.broadcasted_iota(jnp.int32, (R, 128), 0).astype(jnp.float32)
+  iC = lax.broadcasted_iota(jnp.int32, (C, 128), 0).astype(jnp.float32)
+  dn = (((1,), (0,)), ((), ()))
+  rowsOut = []
+  for rI in range(u.shape[0]):
+    ohV = jnp.where(iR == iv[rI:rI + 1, :], 1.0, 0.0).astype(jnp.bfloat16)
+    M1 = lax.dot_general(Bc, ohV, dn, preferred_element_type=jnp.float32)
+    ohU = jnp.where(iC == ju[rI:rI + 1, :], 1.0, 0.0)
+    rowsOut.append(jnp.sum(M1 * ohU, axis=0, keepdims=True))
+  byte = jnp.concatenate(rowsOut, axis=0)
+  # bit ub of the byte; 2^-ub via exact-constant selects (no exp2 in
+  # Mosaic, and float exp would not be exact)
+  scale = jnp.full_like(ub, 1. / 128.)
+  for k in range(6, -1, -1):
+    scale = jnp.where(ub < k + 0.5, 1. / (1 << k), scale)
+  b1 = jnp.floor(byte * scale)
+  bit = b1 - 2. * jnp.floor(b1 * 0.5)
+  return inWin & (bit > 0.5)
+
+
+def _applyPrimsConst(r, x, y, z, baseOk):
+  '''Kernel twin of geometry/surfaces._applyPrims: occupied =
+  (base OR any add-prim) AND NOT any hole-prim, with every primitive a
+  python-float immediate (flag = shape + 10*isAdd + 20*isInverted; shapes
+  1 rect, 2 disc, 3 half-plane, 4 poly2, 5 ellipse — ~5 VPU ops per
+  primitive, no VMEM traffic; shape 6 = 3D half-space on the full local
+  point).'''
+  addHit = None
+  holeHit = None
+  for flag, cx, cy, p0, p1, ca, sa in r['holePrims']:
+    isInv = flag > 15.5
+    rem = flag - 20. if isInv else flag
+    isAdd = rem > 5.5
+    shape = rem - 10. if isAdd else rem
+    dxp, dyp = x - cx, y - cy
+    if shape > 5.5:
+      inP = x * cx + y * cy + z * p0 >= p1
+    elif shape > 4.5:
+      inP = (cx * x * x + cy * x * y + p0 * y * y
+             + p1 * x + ca * y + sa) <= 0.
+    elif shape > 3.5:
+      xr = ca * dxp + sa * dyp
+      yr = -sa * dxp + ca * dyp
+      inP = yr <= p0 * xr * xr + p1 * xr
+    elif shape > 2.5:
+      inP = dxp * p0 + dyp * p1 >= 0
+    elif shape > 1.5:
+      inP = dxp * dxp + dyp * dyp <= p0
+    else:
+      xr = ca * dxp + sa * dyp
+      yr = -sa * dxp + ca * dyp
+      inP = (jnp.abs(xr) <= p0) & (jnp.abs(yr) <= p1)
+    if isInv:
+      inP = ~inP
+    if isAdd:
+      addHit = inP if addHit is None else (addHit | inP)
+    else:
+      holeHit = inP if holeHit is None else (holeHit | inP)
+  out = baseOk if addHit is None else (baseOk | addHit)
+  if holeHit is not None:
+    out = out & ~holeHit
+  return out
+
+
+def _intersectConst(r, ox, oy, oz, dx, dy, dz, tMin, maskVals=()):
   '''Ray-surface distance with the surface's transform/params as python
-  float constants (folds into immediates).'''
+  float constants (folds into immediates). Bitmap-trimmed surfaces
+  (trim0 == 2) test candidate roots against their packed VMEM bitmap in
+  maskVals via _bitmapOkConst; hole-primitive surfaces (trim0 == 3/4)
+  subtract their holes via _holeFreeConst.'''
   lox = r['r00'] * ox + r['r01'] * oy + r['r02'] * oz + r['t0']
   loy = r['r10'] * ox + r['r11'] * oy + r['r12'] * oz + r['t1']
   loz = r['r20'] * ox + r['r21'] * oy + r['r22'] * oz + r['t2']
@@ -714,11 +827,15 @@ def _intersectConst(r, ox, oy, oz, dx, dy, dz, tMin):
     dzS = jnp.where(jnp.abs(ldz) < 1e-12, 1e-12, ldz)
     t = -loz / dzS
     x, y = lox + t * ldx, loy + t * ldy
-    if r['trim0'] > 0.5:
+    if r['trim0'] == 2.:
+      ok = _bitmapOkConst(r, maskVals[r['maskSlot']], x, y)
+    elif r['trim0'] in (1., 4.):
       ok = (jnp.abs(x) <= r['trim1']) & (jnp.abs(y) <= r['trim2'])
     else:
       r2 = x * x + y * y
       ok = (r2 >= r['trim1'] ** 2) & (r2 <= r['trim2'] ** 2)
+    if r['trim0'] in (3., 4.):
+      ok = _applyPrimsConst(r, x, y, 0., ok)
     return jnp.where((t > tMin) & ok, t, _BIG)
   if kind in (GS.SPHERE, GS.CYLINDER):
     if kind == GS.SPHERE:
@@ -741,7 +858,15 @@ def _intersectConst(r, ox, oy, oz, dx, dy, dz, tMin):
 
     def zOk(t):
       z = loz + t * ldz
-      return (z >= r['trim1']) & (z <= r['trim2'])
+      if r['trim0'] == 2.:
+        xx, yy = lox + t * ldx, loy + t * ldy
+        return _bitmapOkConst(r, maskVals[r['maskSlot']],
+                              GS.chartAtan2(yy, xx), z)
+      band = (z >= r['trim1']) & (z <= r['trim2'])
+      if r['trim0'] == 3.:
+        xx, yy = lox + t * ldx, loy + t * ldy
+        band = _applyPrimsConst(r, xx, yy, z, band)
+      return band
     loV = jnp.where(okD & (lo > tMin) & zOk(lo), lo, _BIG)
     hiV = jnp.where(okD & (hi > tMin) & zOk(hi), hi, _BIG)
     return jnp.minimum(loV, hiV)
@@ -767,8 +892,17 @@ def _intersectConst(r, ox, oy, oz, dx, dy, dz, tMin):
 
     def coneOk(t):
       z = loz + t * ldz
-      return ((w0 + t * wd >= 0)
+      if r['trim0'] == 2.:
+        xx, yy = lox + t * ldx, loy + t * ldy
+        return ((w0 + t * wd >= 0)
+                & _bitmapOkConst(r, maskVals[r['maskSlot']],
+                                 GS.chartAtan2(yy, xx), z))
+      band = ((w0 + t * wd >= 0)
               & (z >= r['trim1']) & (z <= r['trim2']))
+      if r['trim0'] == 3.:
+        xx, yy = lox + t * ldx, loy + t * ldy
+        band = _applyPrimsConst(r, xx, yy, z, band)
+      return band
     loV = jnp.where(okD & (lo > tMin) & coneOk(lo), lo, _BIG)
     hiV = jnp.where(okD & (hi > tMin) & coneOk(hi), hi, _BIG)
     return jnp.minimum(loV, hiV)
@@ -800,7 +934,15 @@ def _intersectConst(r, ox, oy, oz, dx, dy, dz, tMin):
 
     def zOkQ(t):
       z = loz + t * ldz
-      return (z >= r['trim1']) & (z <= r['trim2'])
+      if r['trim0'] == 2.:
+        xx, yy = lox + t * ldx, loy + t * ldy
+        return _bitmapOkConst(r, maskVals[r['maskSlot']],
+                              GS.chartAtan2(yy, xx), z)
+      band = (z >= r['trim1']) & (z <= r['trim2'])
+      if r['trim0'] == 3.:
+        xx, yy = lox + t * ldx, loy + t * ldy
+        band = _applyPrimsConst(r, xx, yy, z, band)
+      return band
     loV = jnp.where(okAny & (lo > tMin) & zOkQ(lo), lo, _BIG)
     hiV = jnp.where(okAny & (hi > tMin) & zOkQ(hi), hi, _BIG)
     return jnp.minimum(loV, hiV)
@@ -842,8 +984,14 @@ def _intersectConst(r, ox, oy, oz, dx, dy, dz, tMin):
     rootA = jnp.sqrt(jnp.maximum(1 - (1 + kk) * c0 * c0 * r2, 1e-12))
     sag = c0 * r2 / (1 + rootA) + r2 * r2 * (a4 + r2 * (a6 + r2 * a8))
     rr = jnp.sqrt(r2)
-    ok = ((t > tMin) & (jnp.abs(z - sag) < 1e-4)
-          & (rr >= r['trim1']) & (rr <= r['trim2']))
+    if r['trim0'] == 2.:
+      trimOk = _bitmapOkConst(r, maskVals[r['maskSlot']],
+                              GS.chartAtan2(y, x), rr)
+    else:
+      trimOk = (rr >= r['trim1']) & (rr <= r['trim2'])
+      if r['trim0'] == 3.:
+        trimOk = _applyPrimsConst(r, x, y, z, trimOk)
+    ok = (t > tMin) & (jnp.abs(z - sag) < 1e-4) & trimOk
     return jnp.where(ok, t, _BIG)
   raise ValueError(f'unsupported kind {kind}')
 
@@ -886,16 +1034,26 @@ def _normalConst(r, lx, ly, lz):
 
 def _sceneRows(scene, histSpec):
   '''Extract python-float scene constants (host side; scene arrays must be
-  concrete).'''
+  concrete). Returns (surfRows, elemRows, maskConsts): bitmap-trimmed
+  surfaces (trim0 == 2, geometry/brep.py UV occupancy bitmaps) carry their
+  chart map in trim1..trim4 plus a `maskSlot` index into maskConsts — a
+  list of bit-packed (R, ceil(R/8)) float32 byte matrices fed to the
+  kernel as VMEM inputs and sampled by _bitmapOkConst.'''
   surf = scene['surfaces']
   S = numSurfacesStatic(scene)
   packed = np.asarray(surf['packed'], dtype=float)
   trims = np.asarray(surf['trim'], dtype=float)
   kinds = np.asarray(surf['kind'])
+  maskStack = (np.asarray(surf['trimMasks'])
+               if 'trimMasks' in surf else None)
+  maskIdx = (np.asarray(surf['trimMaskIdx'])
+             if 'trimMaskIdx' in surf else None)
+  maskConsts = []
+  maskSlotOf = {}
   surfRows = []
   for s in range(S):
     p = packed[s]
-    surfRows.append(dict(
+    row = dict(
         kind=int(kinds[s]),
         r00=float(p[0]), r01=float(p[1]), r02=float(p[2]),
         r10=float(p[3]), r11=float(p[4]), r12=float(p[5]),
@@ -906,7 +1064,25 @@ def _sceneRows(scene, histSpec):
         p3=float(p[18]), p4=float(p[19]),
         trim0=float(trims[s, 0]), trim1=float(trims[s, 1]),
         trim2=float(min(trims[s, 2], _BIG)),
-    ))
+    )
+    if row['trim0'] == 2.:
+      if maskStack is None:
+        raise ValueError('bitmap trim flag without trimMasks in the scene')
+      row['trim3'] = float(trims[s, 3])
+      row['trim4'] = float(trims[s, 4])
+      mi = int(maskIdx[s])
+      if mi not in maskSlotOf:
+        maskSlotOf[mi] = len(maskConsts)
+        maskConsts.append(_packMaskBits(maskStack[mi]))
+      row['maskSlot'] = maskSlotOf[mi]
+      row['maskRes'] = int(maskStack[mi].shape[0])
+    elif row['trim0'] in (3., 4.):
+      # hole primitives (geometry/surfaces.py trim codes 3/4) baked as
+      # python-float immediates: ~5 VPU ops per hole in the kernel
+      pr = np.asarray(scene['surfaces']['trimPrims'], dtype=float)[s]
+      row['holePrims'] = tuple(tuple(float(x) for x in hole)
+                               for hole in pr if hole[0] > 0.5)
+    surfRows.append(row)
   ep = np.asarray(scene['elements']['packed'], dtype=float)
   elemToDet = np.asarray(histSpec['elemToDet'])
   boundsArr = np.asarray(histSpec['bounds'])
@@ -929,7 +1105,23 @@ def _sceneRows(scene, histSpec):
         gratType=float(ep[e, 4]), gratLpm=float(max(ep[e, 5], 1e-9)),
         gratDirX=float(ep[e, 6]), gratDirY=float(ep[e, 7]),
         gratDirZ=float(ep[e, 8]), gratOrder=float(ep[e, 9])))
-  return surfRows, elemRows
+  return surfRows, elemRows, maskConsts
+
+
+def _packMaskBits(mask):
+  '''(R, R) uint8 occupancy bitmap -> (C, R) float32 byte matrix with
+  C = ceil(R/8): entry [c, k] holds bits [8c, 8c+8) of pixel row k,
+  LSB-first. Transposed so the kernel's row-gather is a natural
+  (C, R) @ (R, 128) MXU matmul. Byte values <= 255 are exact in bf16, so
+  the one-hot matmul (_bitmapOkConst) loses no bits even at default MXU
+  precision.'''
+  R = mask.shape[0]
+  C = -(-mask.shape[1] // 8)
+  padded = np.zeros((R, C * 8), dtype=np.uint32)
+  padded[:, :mask.shape[1]] = (mask > 0)
+  weights = (1 << np.arange(8, dtype=np.uint32))
+  return (padded.reshape(R, C, 8) * weights).sum(axis=2) \
+      .astype(np.float32).T.copy()
 
 
 def _dispersionPolys(scene, deg=12, tol=2e-5):
@@ -1062,8 +1254,19 @@ def makePallasTraceStep(scene, histSpec, generator, raysPerStep,
         + (14 if scatterConsts else 0)
     maxRows = max(64, (16 << 20) // (live * 128 * 4) // 64 * 64)
     tile = TILE
-    while tile * 2 <= min(raysPerStep, maxRows * 128) \
-        and raysPerStep % (tile * 2) == 0:
+    trims0 = np.asarray(scene['surfaces']['trim'])[:, 0]
+    if (trims0 == 2.).any():
+      # bitmap trims: the VMEM gather (_bitmapOkConst) unrolls one MXU
+      # matmul per sublane row per lookup per bounce — cap the tile so the
+      # Mosaic op count (and compile time) stays bounded
+      while tile > 2048 and raysPerStep % (tile // 2) == 0:
+        tile //= 2
+    # global cap at rows=128: Mosaic compile time scales with the
+    # rows x surfaces x bounces unroll (a 26-surface scene at rows=512
+    # compiles >15 min), and measured throughput gains beyond 16k tiles
+    # are <15% (docstring numbers)
+    while tile * 2 <= min(raysPerStep, maxRows * 128, 16384) \
+        and raysPerStep % (tile * 2) == 0 and not (trims0 == 2.).any():
       tile *= 2
   if raysPerStep % tile:
     raise ValueError(f'raysPerStep must be a multiple of {tile}')
@@ -1092,7 +1295,7 @@ def makePallasTraceStep(scene, histSpec, generator, raysPerStep,
                 * maxIntersections)
   else:
     nUniform = 0
-  surfRows, elemRows = _sceneRows(scene, histSpec)
+  surfRows, elemRows, maskConsts = _sceneRows(scene, histSpec)
   surfAllowed, seqSpec = _staticMasks(scene)
   kernel = _makeKernel(surfRows, elemRows, histSpec['elemToDet'],
                        histSpec['bounds'], (H, W), maxIntersections,
@@ -1101,7 +1304,7 @@ def makePallasTraceStep(scene, histSpec, generator, raysPerStep,
                        hitSlots=hitSlots,
                        surfAllowed=surfAllowed, seqSpec=seqSpec,
                        sampler=sampler, scatterConsts=scatterConsts,
-                       nUniformInputs=nUniform)
+                       nUniformInputs=nUniform, nMasks=len(maskConsts))
   spec = pl.BlockSpec((rows, 128), lambda i: (i, 0),
                       memory_space=pltpu.VMEM)
   seedSpec = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -1110,6 +1313,11 @@ def makePallasTraceStep(scene, histSpec, generator, raysPerStep,
     inSpecs += [spec] * nUniform
   elif sampler is not None or scatterConsts:
     inSpecs = inSpecs + [seedSpec]
+  # bit-packed trim bitmaps: whole-array VMEM inputs, same block every
+  # grid step (scene constants; see _sceneRows/_bitmapOkConst)
+  maskInputs = tuple(jnp.asarray(m) for m in maskConsts)
+  inSpecs += [pl.BlockSpec(m.shape, lambda i: (0, 0),
+                           memory_space=pltpu.VMEM) for m in maskConsts]
   if inKernelHist:
     histSpecBlock = pl.BlockSpec((D * H, 2 * W), lambda i: (0, 0),
                                  memory_space=pltpu.VMEM)
@@ -1178,6 +1386,7 @@ def makePallasTraceStep(scene, histSpec, generator, raysPerStep,
         inputs = inputs + (jax.random.randint(
             jax.random.fold_in(key, 0x5ca7), (1,), 0, 2 ** 31 - 1,
             dtype=jnp.int32),)
+    inputs = inputs + maskInputs
     if inKernelHist:
       delta, segs, ovf = traceCall(*inputs)
       hist = dict(

@@ -57,7 +57,7 @@ def allDistancesBatch(table, ox, oy, oz, dx, dy, dz, tMin, seqAllowed=None):
     sub = table['byKind'][kindName]
     fn = S.KIND_INTERSECTORS[kindName]
 
-    def oneSurface(params, trim, rot, off, mask=None):
+    def oneSurface(params, trim, rot, off, mask=None, prims=None):
       lox = rot[0, 0] * ox + rot[0, 1] * oy + rot[0, 2] * oz + off[0]
       loy = rot[1, 0] * ox + rot[1, 1] * oy + rot[1, 2] * oz + off[1]
       loz = rot[2, 0] * ox + rot[2, 1] * oy + rot[2, 2] * oz + off[2]
@@ -67,19 +67,29 @@ def allDistancesBatch(table, ox, oy, oz, dx, dy, dz, tMin, seqAllowed=None):
       lo = jnp.stack([lox, loy, loz], axis=-1)
       ld = jnp.stack([ldx, ldy, ldz], axis=-1)
       return jax.vmap(lambda o, d: fn(params, trim, o, d, tMin,
-                                      mask=mask))(lo, ld)
+                                      mask=mask, prims=prims))(lo, ld)
 
-    # vmap over the surfaces of this kind -> (S_k, N)
-    if 'trimMaskIdx' in sub:
-      masks = table['trimMasks']
+    # vmap over the surfaces of this kind -> (S_k, N); bitmap masks and
+    # hole-primitive rows ride as extra vmapped operands when present
+    haveMask = 'trimMaskIdx' in sub
+    havePrims = 'trimPrims' in sub
+    masks = table['trimMasks'] if haveMask else None
+    args = [sub['params'], sub['trim'], sub['w2lRot'], sub['w2lOff']]
+    if haveMask and havePrims:
       parts.append(jax.vmap(
-          lambda p, t, r, o, mi, f=oneSurface: f(p, t, r, o, masks[mi]))(
-          sub['params'], sub['trim'], sub['w2lRot'], sub['w2lOff'],
-          sub['trimMaskIdx']))
+          lambda p, t, r, o, mi, pr: oneSurface(p, t, r, o, masks[mi], pr))(
+          *args, sub['trimMaskIdx'], sub['trimPrims']))
+    elif haveMask:
+      parts.append(jax.vmap(
+          lambda p, t, r, o, mi: oneSurface(p, t, r, o, masks[mi]))(
+          *args, sub['trimMaskIdx']))
+    elif havePrims:
+      parts.append(jax.vmap(
+          lambda p, t, r, o, pr: oneSurface(p, t, r, o, prims=pr))(
+          *args, sub['trimPrims']))
     else:
       parts.append(jax.vmap(
-          lambda p, t, r, o: oneSurface(p, t, r, o))(
-          sub['params'], sub['trim'], sub['w2lRot'], sub['w2lOff']))
+          lambda p, t, r, o: oneSurface(p, t, r, o))(*args))
   t = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
   if seqAllowed is not None:
     # seqAllowed is (S, N) or (S, 1), matching t's (S, N) layout here

@@ -85,20 +85,38 @@ def test_revolve_paraboloid_exact():
   assert np.abs(pl[:, 2] - sag).max() < 1e-9
 
 
-def test_cut_slot_bitmap_excludes_slot():
-  '''The boolean slot through the parabolic mirror becomes a UV bitmap
-  trim: the center (small r, all azimuths) is excluded, the outer zone is
-  mostly included.'''
+def test_cut_slot_becomes_trim_prims():
+  '''The boolean slot through the parabolic mirror classifies as EXACT
+  trim primitives (r-band base minus a rect strip hole,
+  geometry/brep._fitTrimPrims) — no bitmap discretization: the slot strip
+  is excluded at every radius, the rest of the zone is included.'''
   surfs, notes = B.brepToSurfaces(_blob(_EX2, 'Cut.Shape.brp'), elem=0)
   asph = next(s for s in surfs if s['kind'] == S.ASPHERE)
-  assert 'trimBitmap' in asph
-  bm = asph['trimBitmap']
-  m = bm['mask']
-  ivLow = int((0.5 - bm['v0']) * bm['invDv'])
-  assert m[ivLow].sum() == 0, 'slot through the vertex must be excluded'
-  ivHigh = int((20. - bm['v0']) * bm['invDv'])
-  frac = m[ivHigh].mean()
-  assert .9 < frac < 1., f'outer zone should be mostly included ({frac})'
+  assert 'trimBitmap' not in asph, notes
+  assert float(asph['trim'][0]) == 3.          # band base + prims
+  holes = asph['trimPrims']['holes']
+  assert holes, notes
+  rects = [h for h in holes if h[0] == 1.]
+  assert rects, f'expected a rect strip hole, got {holes}'
+
+  def occupied(x, y):
+    r = np.hypot(x, y)
+    ok = (asph['trim'][1] <= r) & (r <= asph['trim'][2])
+    for f, cx, cy, p0, p1, ca, sa in holes:
+      xr = ca * (x - cx) + sa * (y - cy)
+      yr = -sa * (x - cx) + ca * (y - cy)
+      if f == 1.:
+        ok = ok & ~((np.abs(xr) <= p0) & (np.abs(yr) <= p1))
+      elif f == 3.:
+        ok = ok & ~((x - cx) * p0 + (y - cy) * p1 >= 0)
+    return ok
+  f, cx, cy, hx, hy, ca, sa = rects[0]
+  t = np.linspace(-min(hx, 19.), min(hx, 19.), 41)
+  assert not occupied(cx + t * ca, cy + t * sa).any(), \
+      'the slot strip must be excluded along its whole length'
+  s = np.linspace(hy + 1., 19., 29)        # perpendicular, past the strip
+  assert occupied(cx - s * sa, cy + s * ca).all(), \
+      'the zone away from the slot must be included'
 
 
 def test_cone_record_and_kind():
@@ -166,15 +184,16 @@ def test_exact_nurbs_sphere_detected_in_eval():
   assert best < 1e-9
 
 
-def test_bitmap_trim_kernel_agrees_with_mask():
-  '''Device-side bitmap trim: rays aimed at slot vs mirror zone of the Cut
-  paraboloid hit exactly where the mask says.'''
+def test_slot_trim_device_intersections():
+  '''Device-side boolean-cut trims (trimPrims): rays aimed at the slot vs
+  the mirror zone of the Cut paraboloid hit exactly where the solid
+  says.'''
   import jax
   import jax.numpy as jnp
   from optics_design_workbench_tpu.geometry import intersect as I
   surfs, _notes = B.brepToSurfaces(_blob(_EX2, 'Cut.Shape.brp'), elem=0)
   table = S.buildSurfaceTable([dict(s) for s in surfs])
-  assert 'trimMasks' in table
+  assert 'trimPrims' in table
   # central ray passes through the slot: no asphere hit
   o = jnp.zeros(3)
   dC = jnp.array([0., 0., 1.])

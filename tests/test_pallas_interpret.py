@@ -424,3 +424,111 @@ def test_in_kernel_sampler_uniform_seam_interpret():
   hC, cC = stepC(key, fused.initHistograms(histSpec))
   assert int(cS['hits']) == int(cC['hits']) and int(cS['hits']) > 0.9 * N
   assert np.array_equal(np.asarray(hS['counts']), np.asarray(hC['counts']))
+
+
+def _slotBitmap(R=64, rDisc=20., slotHalf=2., window=25.):
+  '''Disc occupancy bitmap with a vertical slot cut (the example-2 slotted
+  mirror shape): mask[iv, iu] over a square chart window.'''
+  ax = (np.arange(R) + .5) / R * (2 * window) - window
+  X, Y = np.meshgrid(ax, ax)                     # row iv -> y, col iu -> x
+  mask = ((X ** 2 + Y ** 2 <= rDisc ** 2)
+          & (np.abs(X) >= slotHalf)).astype(np.uint8)
+  return dict(mask=mask, u0=-window, v0=-window,
+              invDu=R / (2 * window), invDv=R / (2 * window))
+
+
+def test_bitmap_trim_plane_matches_xla_interpret():
+  '''UV-bitmap face trims in the kernel (ops/pallas_trace._bitmapOkConst,
+  the packed one-hot MXU gather) vs the XLA path's trimMasks lookup: a
+  slotted plane mirror (reference example 2's boolean-cut shape,
+  ray.py:357-383 trims) — rays through the slot reach the far detector,
+  the rest fold back.'''
+  scene = Scene(label='bitmapinterp')
+  slotted = S.plane(np.eye(4), elem=0, halfExtents=(25., 25.))
+  slotted['trimBitmap'] = _slotBitmap()
+  scene.addOpticalGroup(OpticalGroup(
+      OpticalType='Mirror', Label='Slotted', surfaces=[slotted],
+      placements=[T.translation(0, 0, 50)]))
+  scene.addOpticalGroup(OpticalGroup(
+      OpticalType='Absorber', Label='Det',
+      surfaces=[S.sphere(np.eye(4), elem=0, radius=300., orient=-1)],
+      placements=[np.eye(4)]))
+  scene.addSource(PointSource(
+      Label='Src', PowerDensity='exp(-theta^2/0.1)',
+      ThetaDomain='0, 0.45', Wavelength=532.,
+      ThetaResolutionNumericMode='1e4'))
+  scene.addSimulationSettings(RaysPerIteration=1e4, MaxIntersections=4)
+  hP, hX, cP, cX = _runPair(scene, bounds=(-300., 300., -300., 300.),
+                            maxIntersections=4)
+  assert int(cX['hits']) > 0.9 * N           # everything lands somewhere
+  # the slot must actually split the population: both reflected (z < 0
+  # hemisphere, low rows) and transmitted rays exist
+  assert abs(int(cP['hits']) - int(cX['hits'])) <= 2
+  assert _nearlyEqualCounts(hP, hX)
+
+
+def test_bitmap_trim_azimuth_chart_matches_xla_interpret():
+  '''Azimuth-charted bitmap (cylinder kind: u = chartAtan2, v = z) — the
+  kernel and the XLA path share the polynomial atan2
+  (geometry/surfaces.chartAtan2), so pixel indices agree bit-for-bit.'''
+  R = 64
+  iu = np.arange(R)
+  u = (iu + .5) / R * (2 * np.pi) - np.pi        # azimuth centers
+  ax = (np.arange(R) + .5) / R * 40. - 20.       # z centers
+  U, Z = np.meshgrid(u, ax)
+  mask = ((np.abs(U) <= np.pi / 2) & (np.abs(Z) <= 15.)).astype(np.uint8)
+  cylSurf = S.cylinder(np.eye(4), elem=0, radius=30., zRange=(-20., 20.))
+  cylSurf['trimBitmap'] = dict(mask=mask, u0=-np.pi, v0=-20.,
+                               invDu=R / (2 * np.pi), invDv=R / 40.)
+  scene = Scene(label='azbitmapinterp')
+  scene.addOpticalGroup(OpticalGroup(
+      OpticalType='Mirror', Label='HalfPipe', surfaces=[cylSurf],
+      placements=[T.compose(T.translation(0, 0, 60),
+                            T.rotation((1, 0, 0), 90))]))
+  scene.addOpticalGroup(OpticalGroup(
+      OpticalType='Absorber', Label='Det',
+      surfaces=[S.sphere(np.eye(4), elem=0, radius=300., orient=-1)],
+      placements=[np.eye(4)]))
+  scene.addSource(PointSource(
+      Label='Src', PowerDensity='exp(-theta^2/0.1)',
+      ThetaDomain='0, 0.5', Wavelength=532.,
+      ThetaResolutionNumericMode='1e4'))
+  scene.addSimulationSettings(RaysPerIteration=1e4, MaxIntersections=4)
+  hP, hX, cP, cX = _runPair(scene, bounds=(-300., 300., -300., 300.),
+                            maxIntersections=4)
+  assert int(cX['hits']) > 0.9 * N
+  assert abs(int(cP['hits']) - int(cX['hits'])) <= 2
+  assert _nearlyEqualCounts(hP, hX)
+
+
+def test_trim_prims_matches_xla_interpret():
+  '''Hole/add trim primitives in the kernel
+  (ops/pallas_trace._applyPrimsConst, compile-time immediates) vs the XLA
+  path (geometry/surfaces._applyPrims): a slotted disc mirror (annulus
+  base minus a rotated rect strip, example 2's boolean-cut shape) plus a
+  half-plane cut — rays through the slot pass, the rest fold back.'''
+  scene = Scene(label='priminterp')
+  slotted = S.plane(np.eye(4), elem=0, radius=22.)
+  slotted['trim'][0] = 3.                      # annulus base + prims
+  ang = np.deg2rad(30.)
+  slotted['trimPrims'] = dict(holes=[
+      (1., 0.5, -0.25, 1e7, 2.2, float(np.cos(ang)), float(np.sin(ang))),
+      (3., 14., 14., 1., 1., 0., 0.),          # half-plane corner cut
+  ])
+  scene.addOpticalGroup(OpticalGroup(
+      OpticalType='Mirror', Label='Slotted', surfaces=[slotted],
+      placements=[T.translation(0, 0, 50)]))
+  scene.addOpticalGroup(OpticalGroup(
+      OpticalType='Absorber', Label='Det',
+      surfaces=[S.sphere(np.eye(4), elem=0, radius=300., orient=-1)],
+      placements=[np.eye(4)]))
+  scene.addSource(PointSource(
+      Label='Src', PowerDensity='exp(-theta^2/0.1)',
+      ThetaDomain='0, 0.45', Wavelength=532.,
+      ThetaResolutionNumericMode='1e4'))
+  scene.addSimulationSettings(RaysPerIteration=1e4, MaxIntersections=4)
+  hP, hX, cP, cX = _runPair(scene, bounds=(-300., 300., -300., 300.),
+                            maxIntersections=4)
+  assert int(cX['hits']) > 0.9 * N
+  assert abs(int(cP['hits']) - int(cX['hits'])) <= 2
+  assert _nearlyEqualCounts(hP, hX)
