@@ -138,3 +138,101 @@ def test_fans_shard_with_padding_matches_single_device(tmp_path):
   np.testing.assert_allclose(s2['points'], s1['points'], atol=1e-5)
   np.testing.assert_array_equal(s2['fanIndex'], s1['fanIndex'])
   np.testing.assert_array_equal(s2['rayIndex'], s1['rayIndex'])
+
+
+_DCN_WORKER = '''
+import json, os, sys
+
+import jax
+jax.config.update('jax_platforms', 'cpu')
+jax.config.update('jax_cpu_collectives_implementation', 'gloo')
+
+sys.path.insert(0, sys.argv[3])
+from optics_design_workbench_tpu.parallel import mesh as M
+from optics_design_workbench_tpu.parallel import sharded
+from optics_design_workbench_tpu import benchmarks
+from optics_design_workbench_tpu.tracing import fused
+
+M.initDistributed(coordinatorAddress=sys.argv[1],
+                  numProcesses=2, processId=int(sys.argv[2]))
+import numpy as np
+assert len(jax.devices()) == 8, jax.devices()
+mesh = M.makeMesh()
+scene = benchmarks.buildLensMirrorScene(tmpdir=os.environ['DCN_TMP'])
+device, info = scene.compile()
+device['powerTol'] = 1e-6
+src = scene.lightSources()[0]
+histSpec = fused.makeHistogramSpec(device, info,
+                                   bounds=(-60., 60., -60., 60.),
+                                   bins=(32, 32))
+step = sharded.makeShardedFusedStep(mesh, device, src.deviceGenerator(),
+                                    histSpec, raysPerStep=8 * 256,
+                                    maxIntersections=4, maxRayLength=1e6,
+                                    distTol=1e-4)
+h = fused.initHistograms(histSpec)
+h, c = step(jax.random.PRNGKey(0), h)
+
+def fetch(x):
+  return (np.asarray(x.addressable_data(0))
+          if hasattr(x, 'addressable_data') else np.asarray(x))
+
+print(json.dumps(dict(segments=int(fetch(c['segments'])),
+                      hits=int(fetch(c['hits'])),
+                      checksum=float(fetch(h['counts']).sum()))))
+'''
+
+
+def test_two_process_dcn_matches_single_process(tmp_path):
+  '''Multi-host (DCN) execution: two OS processes, each with 4 forced CPU
+  devices, join one 8-device mesh via parallel.mesh.initDistributed
+  (jax.distributed + gloo CPU collectives) and run the sharded fused step.
+  Both processes must see the identical psum-replicated result, and it
+  must equal the same step on a single-process 8-device mesh (the shard
+  streams depend only on global shard indices — SURVEY section 2.2
+  "jax.distributed (DCN across slices)").'''
+  import json
+  import os
+  import socket
+  import subprocess
+  import sys
+
+  worker = tmp_path / 'dcn_worker.py'
+  worker.write_text(_DCN_WORKER)
+  with socket.socket() as s:
+    s.bind(('localhost', 0))
+    port = s.getsockname()[1]
+  repoRoot = os.path.dirname(os.path.dirname(os.path.abspath(
+      benchmarks.__file__)))
+  env = dict(os.environ,
+             JAX_PLATFORMS='cpu',
+             XLA_FLAGS='--xla_force_host_platform_device_count=4',
+             DCN_TMP=str(tmp_path))
+  procs = [subprocess.Popen(
+      [sys.executable, str(worker), f'localhost:{port}', str(i), repoRoot],
+      stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env)
+      for i in range(2)]
+  outs = []
+  for p in procs:
+    out, err = p.communicate(timeout=420)
+    assert p.returncode == 0, err[-2000:]
+    outs.append(json.loads(out.strip().splitlines()[-1]))
+  assert outs[0] == outs[1], outs
+
+  # single-process 8-device mesh, same key -> identical shard streams
+  from optics_design_workbench_tpu.parallel import sharded
+  mesh = makeMesh(nDevices=8)
+  scene = benchmarks.buildLensMirrorScene(tmpdir=str(tmp_path / 'solo'))
+  device, info = scene.compile()
+  device['powerTol'] = 1e-6
+  src = scene.lightSources()[0]
+  histSpec = fused.makeHistogramSpec(device, info,
+                                     bounds=(-60., 60., -60., 60.),
+                                     bins=(32, 32))
+  step = sharded.makeShardedFusedStep(mesh, device, src.deviceGenerator(),
+                                      histSpec, raysPerStep=8 * 256,
+                                      maxIntersections=4, maxRayLength=1e6,
+                                      distTol=1e-4)
+  h, c = step(jax.random.PRNGKey(0), fused.initHistograms(histSpec))
+  assert int(c['segments']) == outs[0]['segments']
+  assert int(c['hits']) == outs[0]['hits']
+  assert float(np.asarray(h['counts']).sum()) == outs[0]['checksum']
