@@ -571,7 +571,14 @@ class ParameterSweeper:
 
     keys = jax.random.split(jax.random.PRNGKey(seed), len(parameterSets))
     try:
-      hists = jax.jit(jax.vmap(one))(stacked, keys)
+      # lax.map (scan) over the stacked-scene axis, NOT vmap: each variant
+      # already saturates the chip at raysPerScene=1e5, so inter-variant
+      # parallelism buys nothing while the vmapped trace multiplies the
+      # XLA program (round-2 observed: ~15 min cold compile for 11
+      # variants on the relay); the mapped body compiles ONCE and the
+      # scenes ride as traced carry slices
+      hists = jax.jit(lambda s, k: jax.lax.map(
+          lambda sk: one(sk[0], sk[1]), (s, k)))(stacked, keys)
       power = np.asarray(hists['power'])
       counts = np.asarray(hists['counts'])
     except Exception as e:

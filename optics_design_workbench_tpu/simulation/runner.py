@@ -487,10 +487,12 @@ def runSimulation(scene, action, endIf=None, seed=None, store=None,
                 else hitAcc + counters['hits']
             if 'hitOverflow' in counters:
               ovfAcc += counters['hitOverflow']
-          # count only the n REQUESTED rays toward end criteria, not the
-          # TILE padding the kernel traces (padding rays escape on bounce 1
-          # and record nothing)
-          results.incrementRayCount(n * inner)
+          # count the rays the step ACTUALLY traced: the kernel path pads
+          # the batch to a TILE multiple and its generator/sampler draws
+          # REAL rays for the padding too (their hits land in the
+          # histograms), so the padded count is the correct normalization
+          # for power-per-ray statistics; the XLA path has nStep == n
+          results.incrementRayCount(nStep * inner)
           passExtraIters = max(passExtraIters, inner - 1)
           results.totalRecordedHits += int(hitAcc)
           if ovfAcc and int(ovfAcc) and src.Label not in overflowWarned:
