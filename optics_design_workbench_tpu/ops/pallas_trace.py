@@ -69,7 +69,7 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
                 maxIntersections, maxRayLength, distTol, powerTol,
                 histRows=None, hitSlots=1, surfAllowed=None, seqSpec=None,
                 sampler=None, scatterConsts=None, nUniformInputs=0,
-                nMasks=0):
+                nMasks=0, rawRecords=False):
   '''Build the kernel body with the scene baked in as python constants.
   surfRows: list of per-surface dicts of floats; elemRows likewise.
   histRows: if set (= D*H), the kernel accumulates the (histRows, 2*W)
@@ -231,7 +231,14 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
       rest = refs[i0:]
     maskVals = tuple(rest[k][:] for k in range(nMasks))
     out_refs = rest[nMasks:]
-    if histRows is None:
+    if rawRecords:
+      # 9 ring outputs per slot: elem, power, world point, incoming
+      # direction, isEntering (the kernel twin of batch_tracer's records)
+      rawOut_refs = [out_refs[k * hitSlots:(k + 1) * hitSlots]
+                     for k in range(9)]
+      segOut_ref = out_refs[9 * hitSlots]
+      ovfOut_ref = out_refs[9 * hitSlots + 1]
+    elif histRows is None:
       binOut_refs = out_refs[0:hitSlots]
       wOut_refs = out_refs[hitSlots:2 * hitSlots]
       cOut_refs = out_refs[2 * hitSlots:3 * hitSlots]
@@ -257,6 +264,9 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
     hitBin = [jnp.full(shape, -1.0) for _ in range(hitSlots)]
     hitW = [jnp.zeros(shape) for _ in range(hitSlots)]
     hitC = [jnp.zeros(shape) for _ in range(hitSlots)]
+    nRaw = 6 if rawRecords else 0   # px py pz dx dy dz (+ent rides hitC)
+    hitRaw = [[jnp.zeros(shape) for _ in range(hitSlots)]
+              for _ in range(nRaw)]
     hitN = jnp.zeros(shape)
     if seqSpec is not None:
       nStages, stageSets = seqSpec
@@ -286,8 +296,9 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
     # input ref per draw, so that path keeps the python unroll ----
     def _bounceBody(carry):
       (ox, oy, oz, dx, dy, dz, pw, medium, aliveF, segCount, hitN,
-       seqF, hitBin, hitW, hitC) = carry
+       seqF, hitBin, hitW, hitC, hitRaw) = carry
       hitBin, hitW, hitC = list(hitBin), list(hitW), list(hitC)
+      hitRaw = [list(r) for r in hitRaw]
       alive = aliveF > 0.5
 
       def _seqGate(s, t):
@@ -624,22 +635,39 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
               | gratTransExit
         seqF = seqF + jnp.where(alive & hasHit & seqInc, 1., 0.)
 
-      # ---- record EVERY in-bounds detector pass into the hit-slot ring
-      # (reference records on each pass, ray.py:276-277; overflow beyond
-      # hitSlots overwrites the last slot) ----
-      fx = (plxA - bx0) / (bx1 - bx0)
-      fy = (plyA - by0) / (by1 - by0)
-      inside = ((fx >= 0) & (fx < 1) & (fy >= 0) & (fy < 1)
-                & recFlag & hasHit & alive & (detIdx >= 0))
-      ixF = jnp.floor(fx * W)
-      iyF = jnp.floor(fy * H)
-      binF = (detIdx * H + iyF) * W + ixF
-      for slot in range(hitSlots):
-        take = inside & (jnp.minimum(hitN, float(hitSlots - 1))
-                         == float(slot))
-        hitBin[slot] = jnp.where(take, binF, hitBin[slot])
-        hitW[slot] = jnp.where(take, pw, hitW[slot])
-        hitC[slot] = jnp.where(take, 1., hitC[slot])
+      # ---- record EVERY detector pass into the hit-slot ring (reference
+      # records on each pass, ray.py:276-277; overflow beyond hitSlots
+      # overwrites the last slot). Histogram mode gates on the in-bounds
+      # bin; raw-records mode matches batch_tracer's recordHit (every
+      # recording-element hit, no bounds) and keeps elem/point/incoming
+      # direction/isEntering per slot ----
+      if rawRecords:
+        inside = recFlag & hasHit & alive
+        vals = (elemF, pw, jnp.where(isEntering, 1., 0.),
+                px, py, pz, dx, dy, dz)
+        for slot in range(hitSlots):
+          take = inside & (jnp.minimum(hitN, float(hitSlots - 1))
+                           == float(slot))
+          hitBin[slot] = jnp.where(take, vals[0], hitBin[slot])
+          hitW[slot] = jnp.where(take, vals[1], hitW[slot])
+          hitC[slot] = jnp.where(take, vals[2], hitC[slot])
+          for k in range(6):
+            hitRaw[k][slot] = jnp.where(take, vals[3 + k],
+                                        hitRaw[k][slot])
+      else:
+        fx = (plxA - bx0) / (bx1 - bx0)
+        fy = (plyA - by0) / (by1 - by0)
+        inside = ((fx >= 0) & (fx < 1) & (fy >= 0) & (fy < 1)
+                  & recFlag & hasHit & alive & (detIdx >= 0))
+        ixF = jnp.floor(fx * W)
+        iyF = jnp.floor(fy * H)
+        binF = (detIdx * H + iyF) * W + ixF
+        for slot in range(hitSlots):
+          take = inside & (jnp.minimum(hitN, float(hitSlots - 1))
+                           == float(slot))
+          hitBin[slot] = jnp.where(take, binF, hitBin[slot])
+          hitW[slot] = jnp.where(take, pw, hitW[slot])
+          hitC[slot] = jnp.where(take, 1., hitC[slot])
       hitN = hitN + jnp.where(inside, 1., 0.)
 
       segCount = segCount + jnp.where(alive, 1., 0.)
@@ -653,12 +681,13 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
       pw = jnp.where(alive & hasHit, newPw, pw)
       medium = jnp.where(alive & hasHit, newMedium, medium)
       return (ox, oy, oz, dx, dy, dz, pw, medium, newAliveF, segCount,
-              hitN, seqF, tuple(hitBin), tuple(hitW), tuple(hitC))
+              hitN, seqF, tuple(hitBin), tuple(hitW), tuple(hitC),
+              tuple(tuple(r) for r in hitRaw))
 
     seqF0 = seqF if seqSpec is not None else jnp.zeros(shape)
     carry = (ox, oy, oz, dx, dy, dz, pw, medium, jnp.ones(shape),
              segCount, hitN, seqF0, tuple(hitBin), tuple(hitW),
-             tuple(hitC))
+             tuple(hitC), tuple(tuple(r) for r in hitRaw))
     if nUniformInputs:
       for _b in range(maxIntersections):
         carry = _bounceBody(carry)
@@ -666,10 +695,19 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
       carry = lax.fori_loop(0, maxIntersections,
                             lambda _i, c: _bounceBody(c), carry)
     (_ox, _oy, _oz, _dx, _dy, _dz, pw, _medium, _aliveF, segCount,
-     hitN, _seqF, hitBin, hitW, hitC) = carry
+     hitN, _seqF, hitBin, hitW, hitC, hitRaw) = carry
     hitBin, hitW, hitC = list(hitBin), list(hitW), list(hitC)
+    hitRaw = [list(r) for r in hitRaw]
 
     overflow = jnp.maximum(hitN - float(hitSlots), 0.)
+    if rawRecords:
+      ringCols = [hitBin, hitW, hitC] + hitRaw
+      for k in range(9):
+        for slot in range(hitSlots):
+          rawOut_refs[k][slot][:] = ringCols[k][slot]
+      segOut_ref[:] = segCount
+      ovfOut_ref[:] = overflow
+      return
     if histRows is None:
       for slot in range(hitSlots):
         binOut_refs[slot][:] = hitBin[slot]
@@ -1448,3 +1486,145 @@ def makePallasTraceStep(scene, histSpec, generator, raysPerStep,
     return hist, jax.tree.map(lambda x: jnp.sum(x, axis=0), counters)
 
   return stepScan
+
+
+def makePallasRawStep(scene, histSpec, generator, raysPerStep,
+                      maxIntersections, maxRayLength, distTol,
+                      hitSlots='auto', sampler=None, tile='auto',
+                      interpret=False, uniformProvider='prng'):
+  '''Build `(key) -> records`: RAW per-hit rows from the kernel's hit-slot
+  ring in batch_tracer-records form — slot-major (hitSlots, N) arrays
+  recordHit / hitElem / point / direction / power / isEntering plus the
+  per-ray `segValid` proxy (segments) and `hitOverflow`. The output feeds
+  simulation.runner.compactRecordsToHits -> ResultsStore.addHitBatch
+  unchanged, lifting stored per-hit runs off the full XLA records path
+  (per-bounce (B, N) HBM round-trips) onto the fused kernel (reference
+  per-hit storage contract: results_store.py:348-460). Semantics match
+  batch_tracer.bounceBatch records: EVERY recording-element hit is kept
+  (no histogram-bounds gating), direction is the INCOMING direction and
+  power the pre-interaction power at the hit.'''
+  H = W = 1                                    # binning unused in raw mode
+  if hitSlots == 'auto':
+    hitSlots = autoHitSlots(scene, histSpec, maxIntersections)
+  from ..tracing.batch_tracer import scatterConstants
+  scatterConsts = scatterConstants(scene)
+  trims0 = np.asarray(scene['surfaces']['trim'])[:, 0]
+  if tile == 'auto':
+    nSurf = numSurfacesStatic(scene)
+    live = 22 + nSurf + 9 * hitSlots + (14 if scatterConsts else 0)
+    maxRows = max(64, (16 << 20) // (live * 128 * 4) // 64 * 64)
+    tile = TILE
+    while tile > 2048 and (raysPerStep % (tile // 2) == 0) \
+        and ((trims0 == 2.).any() or tile * 128 > maxRows * 128):
+      tile //= 2
+    while tile * 2 <= min(raysPerStep, maxRows * 128, 16384) \
+        and raysPerStep % (tile * 2) == 0 and not (trims0 == 2.).any():
+      tile *= 2
+  if raysPerStep % tile:
+    raise ValueError(f'raysPerStep must be a multiple of {tile}')
+  rows = tile // 128
+  totalRows = raysPerStep // 128
+  grid = (raysPerStep // tile,)
+  if uniformProvider == 'input':
+    lobeC = [c for c in (scatterConsts or ()) if c[1] in (0, 1, 2)]
+    modsC = [c for c in (scatterConsts or ()) if c[1] == 3]
+    perBounce = lambda cs: (0 if not cs else
+                            2 + (2 if any(c[4] or c[5] for c in cs) else 0))
+    samplerDraws = 0 if sampler is None \
+        else (5 if sampler.get('type') == 'surface' else 2)
+    nUniform = (samplerDraws
+                + (perBounce(lobeC) + perBounce(modsC)) * maxIntersections)
+  else:
+    nUniform = 0
+  surfRows, elemRows, maskConsts = _sceneRows(scene, histSpec)
+  surfAllowed, seqSpec = _staticMasks(scene)
+  powerTol = float(scene.get('powerTol', 1e-6))
+  kernel = _makeKernel(surfRows, elemRows, histSpec['elemToDet'],
+                       histSpec['bounds'], (H, W), maxIntersections,
+                       float(maxRayLength), float(distTol), powerTol,
+                       histRows=None, hitSlots=hitSlots,
+                       surfAllowed=surfAllowed, seqSpec=seqSpec,
+                       sampler=sampler, scatterConsts=scatterConsts,
+                       nUniformInputs=nUniform, nMasks=len(maskConsts),
+                       rawRecords=True)
+  spec = pl.BlockSpec((rows, 128), lambda i: (i, 0),
+                      memory_space=pltpu.VMEM)
+  seedSpec = pl.BlockSpec(memory_space=pltpu.SMEM)
+  inSpecs = [] if sampler is not None else [spec] * 8
+  if nUniform:
+    inSpecs += [spec] * nUniform
+  elif sampler is not None or scatterConsts:
+    inSpecs = inSpecs + [seedSpec]
+  maskInputs = tuple(jnp.asarray(m) for m in maskConsts)
+  inSpecs += [pl.BlockSpec(m.shape, lambda i: (0, 0),
+                           memory_space=pltpu.VMEM) for m in maskConsts]
+  nOut = 9 * hitSlots + 2
+  traceCall = pl.pallas_call(
+      kernel, grid=grid, in_specs=inSpecs, out_specs=[spec] * nOut,
+      out_shape=[jax.ShapeDtypeStruct((totalRows, 128),
+                                      jnp.float32)] * nOut,
+      interpret=(pltpu.InterpretParams() if interpret else False),
+  )
+  needSeed = (sampler is not None or scatterConsts) and not nUniform
+
+  @jax.jit
+  def step(key):
+    def tiled(x):
+      return x.reshape(totalRows, 128)
+
+    if sampler is not None:
+      if nUniform:
+        us = jax.random.uniform(jax.random.fold_in(key, 0x0177),
+                                (nUniform, totalRows, 128))
+        inputs = tuple(us[i] for i in range(nUniform))
+      else:
+        inputs = (jax.random.randint(key, (1,), 0, 2 ** 31 - 1,
+                                     dtype=jnp.int32),)
+    else:
+      batch = generator(key, raysPerStep)
+      if 'ox' in batch:
+        wlCol = batch.get('wl')
+        if wlCol is None:
+          wlCol = jnp.zeros_like(batch['pw'])
+        elif jnp.ndim(wlCol) == 0:
+          wlCol = jnp.full_like(batch['pw'], wlCol)
+        cols = (batch['ox'], batch['oy'], batch['oz'],
+                batch['dx'], batch['dy'], batch['dz'], batch['pw'], wlCol)
+      else:
+        o, d = batch['origins'], batch['directions']
+        cols = (o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
+                batch['powers'], batch['wavelengths'])
+      inputs = tuple(tiled(x) for x in cols)
+      if nUniform:
+        us = jax.random.uniform(jax.random.fold_in(key, 0x0177),
+                                (nUniform, totalRows, 128))
+        inputs = inputs + tuple(us[i] for i in range(nUniform))
+      elif scatterConsts:
+        inputs = inputs + (jax.random.randint(
+            jax.random.fold_in(key, 0x5ca7), (1,), 0, 2 ** 31 - 1,
+            dtype=jnp.int32),)
+    outs = traceCall(*(inputs + maskInputs))
+    flatN = raysPerStep
+
+    def ring(k):
+      return jnp.stack([outs[k * hitSlots + s].reshape(flatN)
+                        for s in range(hitSlots)])
+
+    elemR = ring(0)
+    records = dict(
+        recordHit=elemR >= 0,
+        hitElem=elemR.astype(jnp.int32),
+        power=ring(1),
+        isEntering=ring(2) > 0.5,
+        point=jnp.stack([ring(3), ring(4), ring(5)], axis=-1),
+        direction=jnp.stack([ring(6), ring(7), ring(8)], axis=-1),
+    )
+    counters = dict(
+        segments=jnp.sum(outs[9 * hitSlots].reshape(flatN))
+        .astype(jnp.int32),
+        hits=jnp.sum(elemR >= 0).astype(jnp.int32),
+        hitOverflow=jnp.sum(outs[9 * hitSlots + 1].reshape(flatN))
+        .astype(jnp.int32))
+    return records, counters
+
+  return step

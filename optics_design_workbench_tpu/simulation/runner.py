@@ -381,9 +381,11 @@ def runSimulation(scene, action, endIf=None, seed=None, store=None,
     # ---- histogram-first recording: on-device accumulation state ----
     histMode = recording == 'histogram' and mode in ('true', 'pseudo')
     histSteps, hists, histMeta, histSpec = {}, {}, None, None
+    rawSteps = {}
     overflowWarned = set()
     histFlushTimer = timing.IntervalTimer(flushEverySeconds)
-    if histMode:
+    if histMode or (store and mode == 'true'):
+      # histSpec doubles as the raw-hit fast path's element/detector map
       from ..tracing import fused as fusedMod
       histSpec = fusedMod.makeHistogramSpec(run.device, run.info,
                                             bounds=histBounds,
@@ -535,6 +537,45 @@ def runSimulation(scene, action, endIf=None, seed=None, store=None,
                                * float(src.RaysPerIterationScale))))
           if run.mesh is not None:
             n = -(-n // run.mesh.size) * run.mesh.size
+
+          # ---- raw-hit fast path: the kernel's hit-slot ring produces
+          # batch_tracer-shaped records directly (slot-major), skipping
+          # the per-bounce (B, N) records trace entirely; ray polylines
+          # (RecordRays) still need the XLA records path ----
+          sc = run.sceneFor(src)
+          from ..ops import pallas_trace
+          if (store and mode == 'true' and not bool(src.RecordRays)
+              and run.mesh is None and histSpec is not None
+              and pallas_trace.pallasEligible(sc)
+              and jax.default_backend() == 'tpu'
+              and hasattr(src, 'deviceColumnsGenerator')):
+            entry = rawSteps.get(src.Label)
+            if entry is None:
+              nPad = -(-n // 2048) * 2048
+              samplerSpec = (src.pallasSamplerSpec()
+                             if hasattr(src, 'pallasSamplerSpec') else None)
+              entry = rawSteps[src.Label] = (pallas_trace.makePallasRawStep(
+                  sc, histSpec, src.deviceColumnsGenerator(),
+                  raysPerStep=nPad, sampler=samplerSpec,
+                  maxIntersections=settings.maxIntersections(),
+                  maxRayLength=settings.maxRayLength(),
+                  distTol=max(settings.distanceTolerance(), 1e-4)), nPad)
+            stepR, nPad = entry
+            key, sub = jax.random.split(key)
+            records, _rawCounters = stepR(sub)
+            results.incrementRayCount(nPad)
+            hits = compactRecordsToHits(records, {},
+                                        run.info['elementLabels'],
+                                        enabledKeys=enabledKeys or None)
+            for label, cols in hits.items():
+              meta = {k: v for k, v in cols.items()
+                      if k not in ('points', 'directions', 'powers',
+                                   'isEntering')}
+              results.addHitBatch(src.Label, label, cols['points'],
+                                  cols['directions'], cols['powers'],
+                                  cols['isEntering'], meta)
+            continue
+
           key, sub = jax.random.split(key)
           batch = gen(sub, n, stratified=(mode == 'pseudo'))
         else:

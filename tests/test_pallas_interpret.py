@@ -532,3 +532,54 @@ def test_trim_prims_matches_xla_interpret():
   assert int(cX['hits']) > 0.9 * N
   assert abs(int(cP['hits']) - int(cX['hits'])) <= 2
   assert _nearlyEqualCounts(hP, hX)
+
+
+def test_raw_hit_records_match_xla_interpret():
+  '''Raw per-hit rows from the kernel hit ring
+  (pallas_trace.makePallasRawStep) vs the XLA records path
+  (tracing.trace): identical hit multisets — points, incoming directions,
+  powers, isEntering — per element, on the stacked pass-through-detector
+  scene (the ring must keep EVERY recording pass; reference
+  results_store.py:348-460 per-hit contract).'''
+  from optics_design_workbench_tpu.tracing import trace
+
+  scene = _stackedDetectorScene()
+  device, info = scene.compile()
+  device['powerTol'] = 1e-6
+  src = scene.lightSources()[0]
+  from optics_design_workbench_tpu.tracing import fused as fusedMod
+  histSpec = fusedMod.makeHistogramSpec(device, info,
+                                        bounds=(-50., 50., -50., 50.),
+                                        bins=(32, 128))
+  key = jax.random.PRNGKey(23)
+  stepR = pallas_trace.makePallasRawStep(
+      device, histSpec, src.deviceColumnsGenerator(), raysPerStep=N,
+      maxIntersections=6, maxRayLength=1e6, distTol=1e-4,
+      interpret=True, tile=TILE)
+  rec, counters = stepR(key)
+  assert int(counters['hits']) > 1.5 * N      # two detectors + mirror pass
+
+  gen = src.deviceGenerator()
+  batch = gen(key, N)
+  _state, recX = trace(device, batch['origins'], batch['directions'],
+                       batch['powers'], batch['wavelengths'],
+                       maxIntersections=6, maxRayLength=1e6, distTol=1e-4,
+                       recordSegments=False)
+
+  def rowset(recordHit, hitElem, point, direction, power, isEntering):
+    m = np.asarray(recordHit).reshape(-1)
+    cols = np.concatenate([
+        np.asarray(hitElem).reshape(-1, 1)[m],
+        np.asarray(point).reshape(-1, 3)[m],
+        np.asarray(direction).reshape(-1, 3)[m],
+        np.asarray(power).reshape(-1, 1)[m],
+        np.asarray(isEntering).reshape(-1, 1)[m].astype(float)], axis=1)
+    return cols[np.lexsort(cols.T[::-1])]
+
+  rP = rowset(rec['recordHit'], rec['hitElem'], rec['point'],
+              rec['direction'], rec['power'], rec['isEntering'])
+  rX = rowset(recX['recordHit'], recX['hitElem'], recX['point'],
+              recX['direction'], recX['power'], recX['isEntering'])
+  assert rP.shape == rX.shape, (rP.shape, rX.shape)
+  assert np.allclose(rP, rX, atol=1e-4), \
+      np.abs(rP - rX).max(axis=0)
