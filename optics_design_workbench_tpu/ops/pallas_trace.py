@@ -56,9 +56,11 @@ def pallasEligible(scene):
       return False
   if 'nTable' in scene['elements'] and not dispersionFitsInKernel(scene):
     return False
-  if GS.TRIANGLE in kinds:
-    return False
-  return numSurfacesStatic(scene) <= 64
+  kindArr = np.asarray(scene['surfaces']['kind'])
+  nTri = int((kindArr == GS.TRIANGLE).sum())
+  if nTri > 128:
+    return False        # big tessellations stay on the XLA path
+  return (numSurfacesStatic(scene) - nTri) <= 64
 
 
 def numSurfacesStatic(scene):
@@ -364,14 +366,23 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
       for s in bounceSurfs:
         r = surfRows[s]
         m = sIdx == float(s)
-        lx = r['r00'] * px + r['r01'] * py + r['r02'] * pz + r['t0']
-        ly = r['r10'] * px + r['r11'] * py + r['r12'] * pz + r['t1']
-        lz = r['r20'] * px + r['r21'] * py + r['r22'] * pz + r['t2']
-        nlx, nly, nlz = _normalConst(r, lx, ly, lz)
-        # world normal via transpose, then outward orientation
-        nwx = (r['r00'] * nlx + r['r10'] * nly + r['r20'] * nlz) * r['orient']
-        nwy = (r['r01'] * nlx + r['r11'] * nly + r['r21'] * nlz) * r['orient']
-        nwz = (r['r02'] * nlx + r['r12'] * nly + r['r22'] * nlz) * r['orient']
+        if r.get('ident'):
+          lx, ly, lz = px, py, pz
+          nlx, nly, nlz = _normalConst(r, lx, ly, lz)
+          nwx, nwy, nwz = (nlx * r['orient'], nly * r['orient'],
+                           nlz * r['orient'])
+        else:
+          lx = r['r00'] * px + r['r01'] * py + r['r02'] * pz + r['t0']
+          ly = r['r10'] * px + r['r11'] * py + r['r12'] * pz + r['t1']
+          lz = r['r20'] * px + r['r21'] * py + r['r22'] * pz + r['t2']
+          nlx, nly, nlz = _normalConst(r, lx, ly, lz)
+          # world normal via transpose, then outward orientation
+          nwx = (r['r00'] * nlx + r['r10'] * nly
+                 + r['r20'] * nlz) * r['orient']
+          nwy = (r['r01'] * nlx + r['r11'] * nly
+                 + r['r21'] * nlz) * r['orient']
+          nwz = (r['r02'] * nlx + r['r12'] * nly
+                 + r['r22'] * nlz) * r['orient']
         nxA = jnp.where(m, nwx, nxA)
         nyA = jnp.where(m, nwy, nyA)
         nzA = jnp.where(m, nwz, nzA)
@@ -854,13 +865,37 @@ def _intersectConst(r, ox, oy, oz, dx, dy, dz, tMin, maskVals=()):
   (trim0 == 2) test candidate roots against their packed VMEM bitmap in
   maskVals via _bitmapOkConst; hole-primitive surfaces (trim0 == 3/4)
   subtract their holes via _holeFreeConst.'''
-  lox = r['r00'] * ox + r['r01'] * oy + r['r02'] * oz + r['t0']
-  loy = r['r10'] * ox + r['r11'] * oy + r['r12'] * oz + r['t1']
-  loz = r['r20'] * ox + r['r21'] * oy + r['r22'] * oz + r['t2']
-  ldx = r['r00'] * dx + r['r01'] * dy + r['r02'] * dz
-  ldy = r['r10'] * dx + r['r11'] * dy + r['r12'] * dz
-  ldz = r['r20'] * dx + r['r21'] * dy + r['r22'] * dz
+  if r.get('ident'):
+    lox, loy, loz, ldx, ldy, ldz = ox, oy, oz, dx, dy, dz
+  else:
+    lox = r['r00'] * ox + r['r01'] * oy + r['r02'] * oz + r['t0']
+    loy = r['r10'] * ox + r['r11'] * oy + r['r12'] * oz + r['t1']
+    loz = r['r20'] * ox + r['r21'] * oy + r['r22'] * oz + r['t2']
+    ldx = r['r00'] * dx + r['r01'] * dy + r['r02'] * dz
+    ldy = r['r10'] * dx + r['r11'] * dy + r['r12'] * dz
+    ldz = r['r20'] * dx + r['r21'] * dy + r['r22'] * dz
   kind = r['kind']
+  if kind == GS.TRIANGLE:
+    # Moeller-Trumbore with the triangle's edges as immediates
+    # (geometry/surfaces._intersectTriangle twin; triangles are stored in
+    # world coords, transform = identity)
+    e1x, e1y, e1z = r['triE1']
+    e2x, e2y, e2z = r['triE2']
+    pvx = ldy * e2z - ldz * e2y
+    pvy = ldz * e2x - ldx * e2z
+    pvz = ldx * e2y - ldy * e2x
+    det = e1x * pvx + e1y * pvy + e1z * pvz
+    detS = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+    tvx, tvy, tvz = lox - r['p0'], loy - r['p1'], loz - r['p2']
+    u = (tvx * pvx + tvy * pvy + tvz * pvz) / detS
+    qvx = tvy * e1z - tvz * e1y
+    qvy = tvz * e1x - tvx * e1z
+    qvz = tvx * e1y - tvy * e1x
+    v = (ldx * qvx + ldy * qvy + ldz * qvz) / detS
+    t = (e2x * qvx + e2y * qvy + e2z * qvz) / detS
+    ok = ((jnp.abs(det) > 1e-12) & (u >= 0) & (v >= 0) & (u + v <= 1)
+          & (t > tMin))
+    return jnp.where(ok, t, _BIG)
   if kind == GS.PLANE:
     dzS = jnp.where(jnp.abs(ldz) < 1e-12, 1e-12, ldz)
     t = -loz / dzS
@@ -1038,6 +1073,10 @@ def _normalConst(r, lx, ly, lz):
   kind = r['kind']
   if kind == GS.PLANE:
     return (jnp.zeros_like(lx), jnp.zeros_like(ly), jnp.ones_like(lz))
+  if kind == GS.TRIANGLE:
+    nx, ny, nz = r['triN']
+    return (jnp.full_like(lx, nx), jnp.full_like(ly, ny),
+            jnp.full_like(lz, nz))
   if kind == GS.SPHERE:
     inv = lax.rsqrt(lx * lx + ly * ly + lz * lz + 1e-20)
     return lx * inv, ly * inv, lz * inv
@@ -1099,10 +1138,23 @@ def _sceneRows(scene, histSpec):
         t0=float(p[9]), t1=float(p[10]), t2=float(p[11]),
         orient=float(p[12]), elemF=float(p[13]),
         p0=float(p[15]), p1=float(p[16]), p2=float(p[17]),
-        p3=float(p[18]), p4=float(p[19]),
+        p3=float(p[18]), p4=float(p[19]), p5=float(p[20]),
+        p6=float(p[21]), p7=float(p[22]), p8=float(p[23]),
         trim0=float(trims[s, 0]), trim1=float(trims[s, 1]),
         trim2=float(min(trims[s, 2], _BIG)),
     )
+    row['ident'] = bool(
+        np.allclose(p[0:9], np.eye(3).reshape(-1), atol=1e-12)
+        and np.allclose(p[9:12], 0., atol=1e-12))
+    if row['kind'] == GS.TRIANGLE:
+      v0 = np.array([row['p0'], row['p1'], row['p2']])
+      e1 = np.array([row['p3'], row['p4'], row['p5']]) - v0
+      e2 = np.array([row['p6'], row['p7'], row['p8']]) - v0
+      nT = np.cross(e1, e2)
+      nT = nT / max(np.linalg.norm(nT), 1e-30)
+      row['triE1'] = tuple(float(x) for x in e1)
+      row['triE2'] = tuple(float(x) for x in e2)
+      row['triN'] = tuple(float(x) for x in nT)
     if row['trim0'] == 2.:
       if maskStack is None:
         raise ValueError('bitmap trim flag without trimMasks in the scene')

@@ -583,3 +583,36 @@ def test_raw_hit_records_match_xla_interpret():
   assert rP.shape == rX.shape, (rP.shape, rX.shape)
   assert np.allclose(rP, rX, atol=1e-4), \
       np.abs(rP - rX).max(axis=0)
+
+
+def test_triangle_mesh_matches_xla_interpret():
+  '''Small triangle meshes in the kernel (Moeller-Trumbore with edge
+  immediates, constant normals): a two-triangle square fold mirror vs the
+  XLA batch tracer (reference: arbitrary tessellated OCC faces,
+  ray.py:357-383).'''
+  import math
+  scene = Scene(label='triinterp')
+  # square mirror at z=60 tilted 45 deg about x: two world-space triangles
+  c, s = math.cos(math.radians(45.)), math.sin(math.radians(45.))
+
+  def pt(x, y):
+    return (x, y * c, 60. + y * s)
+  tris = [S.triangle(pt(-25, -25), pt(25, -25), pt(25, 25), elem=0),
+          S.triangle(pt(-25, -25), pt(25, 25), pt(-25, 25), elem=0)]
+  scene.addOpticalGroup(OpticalGroup(
+      OpticalType='Mirror', Label='FoldTri', surfaces=tris,
+      placements=[np.eye(4)]))
+  scene.addOpticalGroup(OpticalGroup(
+      OpticalType='Absorber', Label='Det',
+      surfaces=[S.sphere(np.eye(4), elem=0, radius=300., orient=-1)],
+      placements=[np.eye(4)]))
+  scene.addSource(PointSource(
+      Label='Src', PowerDensity='exp(-theta^2/0.05)',
+      ThetaDomain='0, 0.3', Wavelength=532.,
+      ThetaResolutionNumericMode='1e4'))
+  scene.addSimulationSettings(RaysPerIteration=1e4, MaxIntersections=3)
+  hP, hX, cP, cX = _runPair(scene, bounds=(-300., 300., -300., 300.),
+                            maxIntersections=3)
+  assert int(cX['hits']) > 0.9 * N
+  assert abs(int(cP['hits']) - int(cX['hits'])) <= 2
+  assert _nearlyEqualCounts(hP, hX)
