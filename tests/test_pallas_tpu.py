@@ -484,3 +484,162 @@ def test_surface_source_in_kernel_sampler_matches_xla():
   assert abs(hitsA - hitsB) < 0.01 * N
   assert abs(cyA - cyB) < 0.5 and abs(cxA - cxB) < 0.5
   assert abs(spA - spB) < 0.02 * max(spA, spB)
+
+
+def test_example2_prim_scene_matches_xla(tmp_path):
+  '''Reference example 2 (26 surfaces: quadric refits + boolean-cut trim
+  primitives, zero bitmaps) through the kernel vs the XLA fused step:
+  equal hit totals and near-identical binning on hardware.'''
+  import os
+  import shutil
+  from optics_design_workbench_tpu.models.fcstd_ingest import loadFCStd
+  from optics_design_workbench_tpu.ops import pallas_trace
+  from optics_design_workbench_tpu.tracing import fused
+
+  ref2 = '/root/reference/examples/2-lens-and-mirror/main.FCStd'
+  if not os.path.exists(ref2):
+    pytest.skip('reference FCStd not available')
+  src2 = tmp_path / 'm2.FCStd'
+  shutil.copy(ref2, src2)
+  scene = loadFCStd(str(src2))
+  device, info = scene.compile()
+  device['powerTol'] = 1e-6
+  assert 'trimMasks' not in device['surfaces']
+  assert pallas_trace.pallasEligible(device)
+  src = scene.lightSources()[0]
+  histSpec = fused.makeHistogramSpec(device, info,
+                                     bounds=(-60., 60., -60., 60.),
+                                     bins=(256, 256))
+  kw = dict(raysPerStep=1 << 18, maxIntersections=8, maxRayLength=1e6,
+            distTol=1e-4)
+  key = jax.random.PRNGKey(3)
+  stepP = pallas_trace.makePallasTraceStep(
+      device, histSpec, src.deviceColumnsGenerator(), **kw)
+  hP, cP = stepP(key, fused.initHistograms(histSpec))
+  stepX = fused.makeFusedStep(device, src.deviceGenerator(), histSpec,
+                              **kw)
+  hX, cX = stepX(key, fused.initHistograms(histSpec))
+  assert abs(int(cP['hits']) - int(cX['hits'])) <= 5
+  dP, dX = np.asarray(hP['counts']), np.asarray(hX['counts'])
+  # tolerate boundary-ulp bin migrations (prim tests under different
+  # fusion orders), not content differences
+  assert np.abs(dP - dX).sum() <= 0.002 * dX.sum() + 8
+
+
+def test_raw_records_step_matches_xla(tmp_path):
+  '''makePallasRawStep's slot-major records equal the XLA records path as
+  a row multiset on hardware, and sustain the raw-storage rate.'''
+  import time
+  from optics_design_workbench_tpu.models import (Scene, PointSource,
+                                                  OpticalGroup)
+  from optics_design_workbench_tpu.geometry import surfaces as S
+  from optics_design_workbench_tpu.geometry import transforms as T
+  from optics_design_workbench_tpu.ops import pallas_trace
+  from optics_design_workbench_tpu.tracing import fused, trace
+
+  scene = Scene(label='rawtpu')
+  scene.addOpticalGroup(OpticalGroup(
+      OpticalType='Vacuum', Label='Det', RecordHits=True,
+      surfaces=[S.plane(np.eye(4), elem=0, halfExtents=(50., 50.))],
+      placements=[T.translation(0, 0, 40)]))
+  scene.addOpticalGroup(OpticalGroup(
+      OpticalType='Mirror', Label='Back',
+      surfaces=[S.plane(np.eye(4), elem=0, halfExtents=(50., 50.))],
+      placements=[T.translation(0, 0, 90.)]))
+  scene.addSource(PointSource(
+      Label='Src', PowerDensity='exp(-theta^2/0.02)',
+      ThetaDomain='0, 0.3', Wavelength=532.,
+      ThetaResolutionNumericMode='1e4'))
+  scene.addSimulationSettings(RaysPerIteration=1e5, MaxIntersections=6)
+  device, info = scene.compile()
+  device['powerTol'] = 1e-6
+  src = scene.lightSources()[0]
+  histSpec = fused.makeHistogramSpec(device, info,
+                                     bounds=(-50., 50., -50., 50.),
+                                     bins=(32, 128))
+  N = 1 << 18
+  key = jax.random.PRNGKey(29)
+  stepR = pallas_trace.makePallasRawStep(
+      device, histSpec, src.deviceColumnsGenerator(), raysPerStep=N,
+      maxIntersections=6, maxRayLength=1e6, distTol=1e-4)
+  rec, counters = stepR(key)
+  gen = src.deviceGenerator()
+  batch = gen(key, N)
+  _state, recX = trace(device, batch['origins'], batch['directions'],
+                       batch['powers'], batch['wavelengths'],
+                       maxIntersections=6, maxRayLength=1e6, distTol=1e-4,
+                       recordSegments=False)
+
+  def rowset(recordHit, hitElem, point, power):
+    m = np.asarray(recordHit).reshape(-1)
+    cols = np.concatenate([
+        np.asarray(hitElem).reshape(-1, 1)[m],
+        np.asarray(point).reshape(-1, 3)[m],
+        np.asarray(power).reshape(-1, 1)[m]], axis=1)
+    return cols[np.lexsort(cols.T[::-1])]
+
+  rP = rowset(rec['recordHit'], rec['hitElem'], rec['point'],
+              rec['power'])
+  rX = rowset(recX['recordHit'], recX['hitElem'], recX['point'],
+              recX['power'])
+  assert rP.shape == rX.shape
+  assert np.allclose(rP, rX, atol=1e-4)
+  # throughput: device-side step only (compaction+fetch measured e2e in
+  # the runner); warm step should clear 20 M rays/s worth of budget
+  t0 = time.perf_counter()
+  for i in range(4):
+    rec, counters = stepR(jax.random.fold_in(key, i))
+    _ = int(counters['hits'])
+  rate = 4 * N / (time.perf_counter() - t0)
+  print(f'raw step rate: {rate/1e6:.1f} M rays/s')
+  assert rate > 5e6
+
+
+def test_triangle_mesh_matches_xla_tpu():
+  '''Two-triangle fold mirror through the kernel on hardware (the
+  interpret twin lives in test_pallas_interpret.py).'''
+  import math
+  from optics_design_workbench_tpu.models import (Scene, PointSource,
+                                                  OpticalGroup)
+  from optics_design_workbench_tpu.geometry import surfaces as S
+  from optics_design_workbench_tpu.ops import pallas_trace
+  from optics_design_workbench_tpu.tracing import fused
+
+  c, s = math.cos(math.radians(45.)), math.sin(math.radians(45.))
+
+  def pt(x, y):
+    return (x, y * c, 60. + y * s)
+
+  scene = Scene(label='tritpu')
+  scene.addOpticalGroup(OpticalGroup(
+      OpticalType='Mirror', Label='FoldTri',
+      surfaces=[S.triangle(pt(-25, -25), pt(25, -25), pt(25, 25), elem=0),
+                S.triangle(pt(-25, -25), pt(25, 25), pt(-25, 25), elem=0)],
+      placements=[np.eye(4)]))
+  scene.addOpticalGroup(OpticalGroup(
+      OpticalType='Absorber', Label='Det',
+      surfaces=[S.sphere(np.eye(4), elem=0, radius=300., orient=-1)],
+      placements=[np.eye(4)]))
+  scene.addSource(PointSource(
+      Label='Src', PowerDensity='exp(-theta^2/0.05)',
+      ThetaDomain='0, 0.3', Wavelength=532.,
+      ThetaResolutionNumericMode='1e4'))
+  scene.addSimulationSettings(RaysPerIteration=1e5, MaxIntersections=3)
+  device, info = scene.compile()
+  device['powerTol'] = 1e-6
+  assert pallas_trace.pallasEligible(device)
+  src = scene.lightSources()[0]
+  histSpec = fused.makeHistogramSpec(device, info,
+                                     bounds=(-300., 300., -300., 300.),
+                                     bins=(64, 128))
+  kw = dict(raysPerStep=1 << 17, maxIntersections=3, maxRayLength=1e6,
+            distTol=1e-4)
+  key = jax.random.PRNGKey(7)
+  stepP = pallas_trace.makePallasTraceStep(
+      device, histSpec, src.deviceColumnsGenerator(), **kw)
+  hP, cP = stepP(key, fused.initHistograms(histSpec))
+  stepX = fused.makeFusedStep(device, src.deviceGenerator(), histSpec,
+                              **kw)
+  hX, cX = stepX(key, fused.initHistograms(histSpec))
+  assert int(cP['hits']) == int(cX['hits'])
+  assert np.array_equal(np.asarray(hP['counts']), np.asarray(hX['counts']))
