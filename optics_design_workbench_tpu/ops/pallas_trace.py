@@ -71,7 +71,7 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
                 maxIntersections, maxRayLength, distTol, powerTol,
                 histRows=None, hitSlots=1, surfAllowed=None, seqSpec=None,
                 sampler=None, scatterConsts=None, nUniformInputs=0,
-                nMasks=0, rawRecords=False):
+                nMasks=0, rawRecords=False, unrollBounces=False):
   '''Build the kernel body with the scene baked in as python constants.
   surfRows: list of per-surface dicts of floats; elemRows likewise.
   histRows: if set (= D*H), the kernel accumulates the (histRows, 2*W)
@@ -699,7 +699,11 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
     carry = (ox, oy, oz, dx, dy, dz, pw, medium, jnp.ones(shape),
              segCount, hitN, seqF0, tuple(hitBin), tuple(hitW),
              tuple(hitC), tuple(tuple(r) for r in hitRaw))
-    if nUniformInputs:
+    if nUniformInputs or unrollBounces:
+      # python unroll: required by the deterministic-uniform test seam
+      # (distinct input refs per draw) and chosen for small scenes where
+      # the unrolled Mosaic program still compiles in seconds and
+      # schedules slightly better than the rolled loop
       for _b in range(maxIntersections):
         carry = _bounceBody(carry)
     else:
@@ -1351,11 +1355,14 @@ def makePallasTraceStep(scene, histSpec, generator, raysPerStep,
       # Mosaic op count (and compile time) stays bounded
       while tile > 2048 and raysPerStep % (tile // 2) == 0:
         tile //= 2
-    # global cap at rows=128: Mosaic compile time scales with the
-    # rows x surfaces x bounces unroll (a 26-surface scene at rows=512
-    # compiles >15 min), and measured throughput gains beyond 16k tiles
-    # are <15% (docstring numbers)
-    while tile * 2 <= min(raysPerStep, maxRows * 128, 16384) \
+    # Mosaic compile time scales with the unrolled op count (rows x
+    # surfaces x bounces: a 26-surface 8-bounce unroll at rows=512 took
+    # >15 min). Small scenes keep the round-2 configuration (python
+    # unroll + tiles up to the VMEM budget — big tiles are worth ~+15%);
+    # larger scenes cap the tile at rows=128 and roll the bounce loop.
+    smallScene = nSurf * maxIntersections <= 80 and not (trims0 == 2.).any()
+    tileCap = maxRows * 128 if smallScene else 16384
+    while tile * 2 <= min(raysPerStep, tileCap) \
         and raysPerStep % (tile * 2) == 0 and not (trims0 == 2.).any():
       tile *= 2
   if raysPerStep % tile:
@@ -1394,7 +1401,9 @@ def makePallasTraceStep(scene, histSpec, generator, raysPerStep,
                        hitSlots=hitSlots,
                        surfAllowed=surfAllowed, seqSpec=seqSpec,
                        sampler=sampler, scatterConsts=scatterConsts,
-                       nUniformInputs=nUniform, nMasks=len(maskConsts))
+                       nUniformInputs=nUniform, nMasks=len(maskConsts),
+                       unrollBounces=(numSurfacesStatic(scene)
+                                      * maxIntersections <= 80))
   spec = pl.BlockSpec((rows, 128), lambda i: (i, 0),
                       memory_space=pltpu.VMEM)
   seedSpec = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -1598,7 +1607,9 @@ def makePallasRawStep(scene, histSpec, generator, raysPerStep,
                        surfAllowed=surfAllowed, seqSpec=seqSpec,
                        sampler=sampler, scatterConsts=scatterConsts,
                        nUniformInputs=nUniform, nMasks=len(maskConsts),
-                       rawRecords=True)
+                       rawRecords=True,
+                       unrollBounces=(numSurfacesStatic(scene)
+                                      * maxIntersections <= 80))
   spec = pl.BlockSpec((rows, 128), lambda i: (i, 0),
                       memory_space=pltpu.VMEM)
   seedSpec = pl.BlockSpec(memory_space=pltpu.SMEM)
