@@ -108,3 +108,59 @@ def test_dispersion_batch_path():
   sin700 = float(np.asarray(rec['direction'])[1, 1, 0])
   assert abs(sin400 - np.sin(a) / 1.6) < 1e-4
   assert abs(sin700 - np.sin(a) / 1.4) < 1e-4
+
+
+def test_batch_matches_per_ray_on_quadric_prim_scene():
+  '''Quadric surfaces + boolean-cut trim primitives + a triangle through
+  BOTH tracers: the column-SoA batch kernel must agree with the per-ray
+  reference kernel on the round-3 surface classes (quadric refits,
+  trimPrims, world-space triangles).'''
+  import math
+  ell = np.array([1. / 400., 1. / 900., 1. / 225., 0., -1.])
+  ell = ell / ell[:3].max()
+  slotted = S.plane(T.translation(0, 0, 80), elem=1, radius=40.)
+  slotted['trim'][0] = 3.                  # annulus base + prims
+  ang = math.radians(25.)
+  slotted['trimPrims'] = dict(holes=[
+      (1., 0., 0., 1e7, 3., math.cos(ang), math.sin(ang)),   # slot strip
+      (22., 0., 5., 35. ** 2, 0., 0., 0.),  # keep inside r=35 (inv disc)
+  ])
+  surfs = [
+      S.quadric(T.translation(0, 0, 40), elem=0, coeffs=tuple(ell),
+                zRange=(10., 15.)),
+      S.plane(T.translation(0, 0, 50), elem=0, radius=16., orient=-1),
+      slotted,
+      S.triangle((-60., -60., 120.), (60., -60., 120.), (0., 60., 120.),
+                 elem=2),
+  ]
+  elems = [
+      TR.element('Lens', refractiveIndex=1.6),
+      TR.element('Mirror', reflectivity=0.95),
+      TR.element('Absorber', recordHits=True),
+  ]
+  scene = dict(surfaces=S.buildSurfaceTable(surfs),
+               elements=TR.buildElementTable(elems),
+               powerTol=1e-6)
+  rng = np.random.RandomState(5)
+  N = 512
+  o = jnp.asarray(np.column_stack([rng.uniform(-12, 12, N),
+                                   rng.uniform(-12, 12, N),
+                                   np.full(N, 130.)]))
+  d = jnp.asarray(np.column_stack([rng.uniform(-.15, .15, N),
+                                   rng.uniform(-.15, .15, N),
+                                   np.full(N, -1.)]))
+  d = d / jnp.linalg.norm(d, axis=1, keepdims=True)
+  state = (o, d, jnp.ones((N,)), jnp.full((N,), 550.),
+           jnp.full((N,), VACUUM_MEDIUM, dtype=jnp.int32),
+           jnp.zeros((N,), dtype=jnp.int32), jnp.ones((N,), dtype=bool))
+  for bounce in range(5):
+    stRef, recRef = jax.vmap(partial(bounceOne, scene, 1e-4, 1000.))(*state)
+    stB, recB = bounceBatch(scene, 1e-4, 1000., *state)
+    for k in ('hitElem', 'recordHit', 'isHit'):
+      assert np.array_equal(np.asarray(recRef[k]), np.asarray(recB[k])), \
+          (bounce, k)
+    np.testing.assert_allclose(np.asarray(stRef[0]), np.asarray(stB[0]),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(stRef[2]), np.asarray(stB[2]),
+                               atol=1e-5)
+    state = stB

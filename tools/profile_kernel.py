@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+'''
+Kernel cost-breakdown profiler (run on real TPU):
+
+    PYTHONPATH=/root/repo:/root/.axon_site python tools/profile_kernel.py \
+        [path/to/scene.FCStd]
+
+Sweeps maxIntersections, tile size and unroll mode on the given scene
+(default: the bench scene AND reference example 2 when available) so a
+throughput regression can be attributed to a specific axis — bounce-loop
+cost, tile/grid bookkeeping, rolled-vs-unrolled scheduling, or the
+histogram matmul. One process, interleaved best-of-N windows (the relay
+adds 10-30% run-to-run noise; CLAUDE.md).
+'''
+
+import sys
+import time
+
+import numpy as np
+import jax
+
+
+def bench(step, hist0, n=6):
+  h = dict(hist0)
+  h, c = step(jax.random.PRNGKey(5), h)
+  _ = int(c['segments'])                       # force D2H sync
+  t0 = time.perf_counter()
+  tot = 0
+  for i in range(n):
+    h, c = step(jax.random.fold_in(jax.random.PRNGKey(7), i), h)
+    tot += int(c['segments'])
+  dt = time.perf_counter() - t0
+  return tot / dt / 1e9, dt / n * 1e3
+
+
+def profileScene(label, device, info, src, maxI):
+  from optics_design_workbench_tpu.ops import pallas_trace
+  from optics_design_workbench_tpu.tracing import fused
+  device = dict(device)
+  device['powerTol'] = 1e-6
+  histSpec = fused.makeHistogramSpec(device, info,
+                                     bounds=(-60., 60., -60., 60.),
+                                     bins=(256, 256))
+  gen = src.deviceColumnsGenerator()
+  n = 1 << 20
+  for mi in sorted({1, 2, 4, maxI}):
+    for tile in (8192, 16384):
+      if n % tile:
+        continue
+      kw = dict(raysPerStep=n, maxIntersections=mi, maxRayLength=1e6,
+                distTol=1e-4)
+      t0 = time.perf_counter()
+      try:
+        step = pallas_trace.makePallasTraceStep(device, histSpec, gen,
+                                                tile=tile, **kw)
+        g, ms = bench(step, fused.initHistograms(histSpec))
+        print(f'{label}: mi={mi} tile={tile}: {g:.3f} G seg/s '
+              f'({ms:.1f} ms/step; build+compile '
+              f'{time.perf_counter() - t0:.0f}s)', flush=True)
+      except Exception as e:
+        print(f'{label}: mi={mi} tile={tile}: FAILED {str(e)[:120]}',
+              flush=True)
+  # XLA fused reference
+  from optics_design_workbench_tpu.tracing import fused as fusedMod
+  t0 = time.perf_counter()
+  stepX = fusedMod.makeFusedStep(device, src.deviceGenerator(), histSpec,
+                                 raysPerStep=n, maxIntersections=maxI,
+                                 maxRayLength=1e6, distTol=1e-4)
+  g, ms = bench(stepX, fusedMod.initHistograms(histSpec))
+  print(f'{label}: XLA fused mi={maxI}: {g:.3f} G seg/s ({ms:.1f} ms/step; '
+        f'build {time.perf_counter() - t0:.0f}s)', flush=True)
+
+
+def main():
+  from optics_design_workbench_tpu import benchmarks
+  if len(sys.argv) > 1:
+    from optics_design_workbench_tpu.models.fcstd_ingest import loadFCStd
+    scene = loadFCStd(sys.argv[1])
+    device, info = scene.compile()
+    profileScene(sys.argv[1], device, info, scene.lightSources()[0], 8)
+    return
+  scene = benchmarks.buildLensMirrorScene(tmpdir='/tmp')
+  device, info = scene.compile()
+  profileScene('bench', device, info, scene.lightSources()[0], 6)
+  import os
+  ref2 = '/root/reference/examples/2-lens-and-mirror/main.FCStd'
+  if os.path.exists(ref2):
+    import shutil
+    shutil.copy(ref2, '/tmp/profile_m2.FCStd')
+    from optics_design_workbench_tpu.models.fcstd_ingest import loadFCStd
+    scene2 = loadFCStd('/tmp/profile_m2.FCStd')
+    dev2, info2 = scene2.compile()
+    profileScene('example2', dev2, info2, scene2.lightSources()[0], 8)
+
+
+if __name__ == '__main__':
+  main()
