@@ -229,3 +229,41 @@ def test_all_reference_fcstds_parse():
           failed.append((os.path.basename(f), n, str(e)))
   assert parsed > 50
   assert not failed, failed[:5]
+
+
+def test_reference_corpus_classification_census():
+  '''Classification regression guard across every reference FCStd: the
+  closed-form paths (rect/disc/band/zRange/trim-prims/quadric) must keep
+  covering the corpus — new bitmap or tessellation fallbacks on these
+  files mean a fitter regression (geometry/brep._fitTrimPrims).'''
+  import collections
+  import glob
+  files = glob.glob('/root/reference/**/*.FCStd', recursive=True)
+  if not files:
+    pytest.skip('reference not available')
+  # per-file ceilings for the APPROXIMATE fallbacks, measured 2026-08-17
+  # (the STEP-imported surface-source part is genuinely freeform)
+  bitmapCeiling = {'imported-stepfile-as-surface-source.FCStd': 42,
+                   'lambert-source.FCStd': 1, 'lens-overlap.FCStd': 2}
+  tessCeiling = {'imported-stepfile-as-surface-source.FCStd': 8}
+  for f in sorted(files):
+    name = f.rsplit('/', 1)[-1]
+    cnt = collections.Counter()
+    with zipfile.ZipFile(f) as z:
+      for n in z.namelist():
+        if not n.endswith('.brp'):
+          continue
+        text = z.read(n).decode('latin-1')
+        if 'TShapes' not in text:
+          continue
+        try:
+          _surfs, notes = B.brepToSurfaces(text, elem=0)
+        except ValueError:
+          continue                    # no-geometry blobs
+        for note in notes:
+          cnt[note.split('(')[0].strip()] += 1
+    assert cnt.get('bitmap trim', 0) <= bitmapCeiling.get(name, 0), \
+        (name, dict(cnt))
+    assert cnt.get('tessellated bspline', 0) + cnt.get(
+        'tessellated torus', 0) <= tessCeiling.get(name, 0), \
+        (name, dict(cnt))
