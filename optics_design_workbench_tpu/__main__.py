@@ -42,6 +42,10 @@ def main(argv=None):
   runP.add_argument('--seed', type=int, default=None)
   runP.add_argument('--store', action='store_true', default=None,
                     help='force storing results for single-shot actions')
+  runP.add_argument('--draw', action='store_true',
+                    help='collect ray polylines of a single-shot action '
+                         'into drawn-rays.ply/.npz in the run folder (the '
+                         'headless analog of the GUI ray view)')
 
   infoP = sub.add_parser('info', help='print the scene inventory')
   infoP.add_argument('scene')
@@ -60,7 +64,7 @@ def main(argv=None):
     from . import simulation
     scene = _loadScene(args.scene)
     runPath = simulation.runSimulation(scene, args.action, seed=args.seed,
-                                       store=args.store)
+                                       store=args.store, draw=args.draw)
     if runPath:
       print(runPath)
     return 0

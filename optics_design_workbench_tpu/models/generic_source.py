@@ -23,6 +23,12 @@ class GenericSource(PropertyMixin):
             ('MaxIntersectionsScale', 1.0, ''),
             ('MaxRayLengthScale', 1.0, ''),
         ]),
+        ('View', [
+            ('ViewColor', (1., 0., 0.),
+             'starting RGB color of drawn rays — the headless analog of '
+             'the source ShapeMaterial DiffuseColor the reference reads '
+             'in generic_source.py:89-94'),
+        ]),
     ]
 
   def __init__(self, placement=None, **kwargs):

@@ -50,6 +50,14 @@ class OpticalGroup(PropertyMixin):
              'record ray hits on this group (defaults per type like '
              'optical_group.py:141-160: True for Absorber/Vacuum)'),
         ]),
+        ('View', [
+            ('ViewColor', (0.35, 0.35, 0.4),
+             'RGB color blended into drawn rays after a hit on this group '
+             '(reference: ViewObject.Color, ray.py:136-142)'),
+            ('ViewColorWeight', 0.0,
+             'blend weight in [0, 1]; 0 disables the color change '
+             '(reference: ViewObject.Weight, ray.py:136-142)'),
+        ]),
     ]
 
   def __init__(self, surfaces=None, placements=None, **kwargs):

@@ -294,6 +294,13 @@ def runSimulation(scene, action, endIf=None, seed=None, store=None,
   fast path's throughput instead of paying the full raw-hit fetch (the raw
   pipeline moves ~1M rays/s; the fused path ~290M rays/s on one v5e).
   histBounds: detector-local (x0, x1, y0, y1) or dict label->bounds.
+
+  draw=True collects the traced polylines of a SINGLE-SHOT action into a
+  simulation.draw.DrawnRays (written to the run folder as drawn-rays.ply /
+  .npz — the headless analog of the reference GUI's drawn ray objects,
+  generic_source.py:86-140). Pass an existing DrawnRays instance as `draw`
+  to collect into it; continuous actions ignore draw with a warning (the
+  reference GUI likewise only draws single-shot actions).
   '''
   resultsFolder = results_store.getResultsFolderPath(
       scene.path or scene.label)
@@ -314,6 +321,18 @@ def runSimulation(scene, action, endIf=None, seed=None, store=None,
   settings = scene.activeSimulationSettings()
   mode = _actionMode(action)
   continuous = action in CONTINUOUS_ACTIONS
+
+  # headless ray drawing (single-shot only — matches the GUI)
+  drawn, drawParams = None, {}
+  if draw:
+    if continuous:
+      io.warn('draw=True is ignored for continuous actions '
+              '(the reference GUI only draws single-shot runs)')
+    else:
+      from . import draw as drawMod
+      drawn = (draw if isinstance(draw, drawMod.DrawnRays)
+               else drawMod.DrawnRays())
+      drawParams = drawMod.sceneDrawParams(scene)
 
   # WorkerProcessCount -> shard count: an explicit integer > 1 requests the
   # batch be sharded over that many local devices (the TPU analog of the
@@ -455,7 +474,7 @@ def runSimulation(scene, action, endIf=None, seed=None, store=None,
           continue
         # ---- histogram-first fast path (any source with a device
         # generator: point sources AND surface sources) ----
-        if histMode and src.supportsDeviceSampling():
+        if histMode and drawn is None and src.supportsDeviceSampling():
           from ..tracing import fused as fusedMod
           n = max(1, int(round(settings.raysPerIteration()
                                * float(src.RaysPerIterationScale))))
@@ -545,6 +564,7 @@ def runSimulation(scene, action, endIf=None, seed=None, store=None,
           sc = run.sceneFor(src)
           from ..ops import pallas_trace
           if (store and mode == 'true' and not bool(src.RecordRays)
+              and drawn is None
               and run.mesh is None and histSpec is not None
               and pallas_trace.pallasEligible(sc)
               and jax.default_backend() == 'tpu'
@@ -593,11 +613,15 @@ def runSimulation(scene, action, endIf=None, seed=None, store=None,
             continue
 
         # ---- trace ----
-        recordSegs = bool(src.RecordRays)
+        recordSegs = bool(src.RecordRays) or drawn is not None
         key, traceKey = jax.random.split(key)
         state, records = run.traceBatch(src, batch, recordSegs,
                                         key=traceKey)
         results.incrementRayCount(n)
+        if drawn is not None:
+          drawn.add(records, sourceLabel=src.Label,
+                    sourceColor=getattr(src, 'ViewColor', (1., 0., 0.)),
+                    **drawParams)
 
         # ---- record ----
         if store:
@@ -671,6 +695,11 @@ def runSimulation(scene, action, endIf=None, seed=None, store=None,
           flushHistograms()
       except Exception as e:
         io.warn(f'final histogram flush failed: {e}')
+      if drawn is not None and drawn.rayCount:
+        try:
+          drawn.save(results.runPath())
+        except Exception as e:
+          io.warn(f'writing drawn rays failed: {e}')
       if isWorker:
         try:
           results.dumpProgress(workerId=workerId)    # final cumulative dump
