@@ -8,6 +8,7 @@ freecad_elements/simulation_actions.py):
       <scene> is a *.scene.pkl or an FCStd project of the reference
       workbench (ingested without FreeCAD).
   python -m optics_design_workbench_tpu info <scene>
+  python -m optics_design_workbench_tpu export <scene> out.ply [--rays fans]
   python -m optics_design_workbench_tpu runs <scene>
   python -m optics_design_workbench_tpu bench
   python -m optics_design_workbench_tpu dryrun-multichip [n]
@@ -53,6 +54,17 @@ def main(argv=None):
   runsP = sub.add_parser('runs', help='list raw result folders')
   runsP.add_argument('scene')
 
+  expP = sub.add_parser('export', help='tessellate the scene to a colored '
+                        'PLY mesh, optionally with traced rays')
+  expP.add_argument('scene')
+  expP.add_argument('out', help='output .ply path')
+  expP.add_argument('--resolution', type=int, default=48)
+  expP.add_argument('--rays', choices=['fans', 'singletrue', 'singlepseudo'],
+                    default=None,
+                    help='also run this single-shot action and include the '
+                         'drawn ray polylines')
+  expP.add_argument('--seed', type=int, default=None)
+
   sub.add_parser('bench', help='run the headline benchmark')
 
   dryP = sub.add_parser('dryrun-multichip', help='multi-chip compile check')
@@ -67,6 +79,20 @@ def main(argv=None):
                                        store=args.store, draw=args.draw)
     if runPath:
       print(runPath)
+    return 0
+
+  if args.cmd == 'export':
+    from .geometry.tessellate import writeScenePLY
+    scene = _loadScene(args.scene)
+    drawn = None
+    if args.rays:
+      from . import simulation
+      from .simulation.draw import DrawnRays
+      drawn = DrawnRays()
+      simulation.runSimulation(scene, args.rays, seed=args.seed,
+                               draw=drawn, store=False)
+    print(writeScenePLY(scene, args.out, resolution=args.resolution,
+                        drawnRays=drawn))
     return 0
 
   if args.cmd == 'info':

@@ -1,0 +1,324 @@
+'''
+Scene tessellation for headless viewing — meshes the exact analytic surface
+records back into triangles so a scene can be inspected in any standard 3D
+viewer next to its drawn rays (simulation/draw.py).
+
+The reference gets its 3D view for free: FreeCAD/OCC tessellates the
+Part::Feature shapes the workbench operates on (reference: ray.py:303-311
+lists the obj.Shape/BoundBox accessors; the GUI draws those shapes). Here
+the scene IS the analytic table (geometry/surfaces.py), so this module is
+the inverse of brep.py's ingest: parametric grids per surface kind, trimmed
+by the same ring/rect/band windows, boolean-cut trim primitives
+(surfaces._applyPrims) and UV occupancy bitmaps the tracer applies — a
+vertex is kept exactly when a ray could hit there.
+
+Writers: `writeScenePLY(scene, path, drawnRays=...)` emits one PLY with
+per-element colored faces (ViewColor) plus, optionally, the colored ray
+edges of a DrawnRays — scene and rays in a single MeshLab/Blender-ready
+file.
+'''
+
+import numpy as np
+
+from . import surfaces as S
+from ..utils import io
+
+
+# --------------------------------------------------- numpy trim evaluation
+
+def _applyPrimsNp(prims, x, y, z, baseOk):
+  '''Numpy twin of surfaces._applyPrims (same row layout; see there).'''
+  addHit = np.zeros_like(baseOk)
+  holeHit = np.zeros_like(baseOk)
+  for row in np.asarray(prims, dtype=float):
+    flag = row[0]
+    if flag <= 0.5:
+      continue
+    isInv = flag > 15.5
+    rem = flag - (20. if isInv else 0.)
+    isAdd = rem > 5.5
+    shape = rem - (10. if isAdd else 0.)
+    dxp, dyp = x - row[1], y - row[2]
+    xr = row[5] * dxp + row[6] * dyp
+    yr = -row[6] * dxp + row[5] * dyp
+    if shape > 5.5:
+      inP = x * row[1] + y * row[2] + z * row[3] >= row[4]
+    elif shape > 4.5:
+      inP = (row[1] * x * x + row[2] * x * y + row[3] * y * y
+             + row[4] * x + row[5] * y + row[6]) <= 0.
+    elif shape > 3.5:
+      inP = yr <= row[3] * xr * xr + row[4] * xr
+    elif shape > 2.5:
+      inP = dxp * row[3] + dyp * row[4] >= 0
+    elif shape > 1.5:
+      inP = dxp * dxp + dyp * dyp <= row[3]
+    else:
+      inP = (np.abs(xr) <= row[3]) & (np.abs(yr) <= row[4])
+    inP = inP != isInv
+    if isAdd:
+      addHit |= inP
+    else:
+      holeHit |= inP
+  return (baseOk | addHit) & ~holeHit
+
+
+def _bitmapOkNp(bm, u, v):
+  '''Numpy twin of surfaces._maskLookup over a trimBitmap record.'''
+  mask = np.asarray(bm['mask'])
+  R = mask.shape[0]
+  fu = (u - bm['u0']) * bm['invDu']
+  fv = (v - bm['v0']) * bm['invDv']
+  iu = np.clip(np.floor(fu).astype(int), 0, R - 1)
+  iv = np.clip(np.floor(fv).astype(int), 0, R - 1)
+  return (fu >= 0) & (fu < R) & (fv >= 0) & (fv < R) & (mask[iv, iu] > 0)
+
+
+def _vertexOk(surf, pts, u, v):
+  '''Occupancy of local points `pts` (..., 3) with band/window coordinate
+  (u, v) under the surface's trims — the tessellation-side mirror of
+  surfaces._trimPlane/_trimBandOk.'''
+  ok = np.ones(pts.shape[:-1], dtype=bool)
+  if 'trimBitmap' in surf:
+    ok &= _bitmapOkNp(surf['trimBitmap'], u, v)
+  if 'trimPrims' in surf:
+    ok = _applyPrimsNp(surf['trimPrims']['holes'],
+                       pts[..., 0], pts[..., 1], pts[..., 2], ok)
+  return ok
+
+
+# ------------------------------------------------------------- param grids
+
+def _gridTris(nu, nv, occ):
+  '''Triangle indices over an (nu+1, nv+1) vertex grid, keeping cells whose
+  three corners are occupied. Azimuth grids are seam-closed by the
+  duplicated phi=0/2pi vertex column, so no wrap handling is needed.'''
+  cols = nv + 1
+  tris = []
+  for i in range(nu):
+    for j in range(nv):
+      a, b = i * cols + j, i * cols + j + 1
+      c, d = (i + 1) * cols + j, (i + 1) * cols + j + 1
+      if occ[a] and occ[b] and occ[c]:
+        tris.append((a, b, c))
+      if occ[b] and occ[d] and occ[c]:
+        tris.append((b, d, c))
+  return tris
+
+
+def _finite(lo, hi, cap):
+  lo = -cap if not np.isfinite(lo) else lo
+  hi = cap if not np.isfinite(hi) else hi
+  return float(lo), float(hi)
+
+
+def tessellateSurface(surf, resolution=48, infiniteExtent=150.):
+  '''Mesh one analytic surface record into (verts (V, 3), tris (T, 3)) in
+  WORLD coordinates. Unbounded trims (infinite plane radius / z band) are
+  capped at `infiniteExtent`. Returns empty arrays for kinds/param
+  combinations with no closed-form chart (warned once).'''
+  kind = int(surf['kind'])
+  params = np.asarray(surf['params'], dtype=float)
+  trim = np.asarray(surf['trim'], dtype=float)
+  res = int(resolution)
+  phi = np.linspace(0., 2 * np.pi, res + 1)
+
+  if kind == S.KIND_CODES['triangle']:
+    verts = params[:9].reshape(3, 3)
+    return _toWorld(surf, verts), np.array([[0, 1, 2]])
+
+  if kind == S.KIND_CODES['plane']:
+    if 'trimBitmap' in surf:
+      bm = surf['trimBitmap']
+      R = np.asarray(bm['mask']).shape[0]
+      x = np.linspace(bm['u0'], bm['u0'] + R / bm['invDu'], res + 1)
+      y = np.linspace(bm['v0'], bm['v0'] + R / bm['invDv'], res + 1)
+      X, Y = np.meshgrid(x, y, indexing='ij')
+    elif trim[0] in (1., 4.):                     # rect half-extents
+      x = np.linspace(-trim[1], trim[1], res + 1)
+      y = np.linspace(-trim[2], trim[2], res + 1)
+      X, Y = np.meshgrid(x, y, indexing='ij')
+    else:                                         # ring rMin..rMax
+      rMin, rMax = trim[1], trim[2]
+      rMax = infiniteExtent if not np.isfinite(rMax) else rMax
+      r = np.linspace(max(rMin, 0.), rMax, res + 1)
+      X = np.cos(phi)[:, None] * r[None, :]
+      Y = np.sin(phi)[:, None] * r[None, :]
+    pts = np.stack([X, Y, np.zeros_like(X)], axis=-1)
+    u, v = pts[..., 0], pts[..., 1]
+
+  elif kind == S.KIND_CODES['sphere']:
+    R = params[0]
+    z1, z2 = np.clip(trim[1], -R, R), np.clip(trim[2], -R, R)
+    th = np.linspace(np.arccos(np.clip(z2 / R, -1, 1)),
+                     np.arccos(np.clip(z1 / R, -1, 1)), res + 1)
+    sth = np.sin(th)
+    pts = np.stack([R * np.cos(phi)[:, None] * sth[None, :],
+                    R * np.sin(phi)[:, None] * sth[None, :],
+                    np.broadcast_to(R * np.cos(th), (res + 1, res + 1))],
+                   axis=-1)
+    u = _chartU(pts)
+    v = pts[..., 2]
+
+  elif kind == S.KIND_CODES['cylinder']:
+    R = params[0]
+    z1, z2 = _finite(trim[1], trim[2], infiniteExtent)
+    z = np.linspace(z1, z2, res + 1)
+    pts = np.stack([R * np.cos(phi)[:, None] * np.ones_like(z)[None, :],
+                    R * np.sin(phi)[:, None] * np.ones_like(z)[None, :],
+                    np.broadcast_to(z, (res + 1, res + 1))], axis=-1)
+    u, v = _chartU(pts), pts[..., 2]
+
+  elif kind == S.KIND_CODES['cone']:
+    r0, tanA = params[0], params[1]
+    z1, z2 = _finite(trim[1], trim[2], infiniteExtent)
+    z = np.linspace(z1, z2, res + 1)
+    r = np.maximum(r0 + z * tanA, 0.)
+    pts = np.stack([np.cos(phi)[:, None] * r[None, :],
+                    np.sin(phi)[:, None] * r[None, :],
+                    np.broadcast_to(z, (res + 1, res + 1))], axis=-1)
+    u, v = _chartU(pts), pts[..., 2]
+
+  elif kind == S.KIND_CODES['asphere']:
+    rMin, rMax = trim[1], trim[2]
+    if not np.isfinite(rMax):
+      c = abs(params[0])
+      rMax = (0.999 / (c * max(1. + params[1], 1e-9) ** .5)
+              if c > 1e-12 else infiniteExtent)
+      rMax = min(rMax, infiniteExtent)
+    r = np.linspace(max(rMin, 0.), rMax, res + 1)
+    r2 = r * r
+    c, k = params[0], params[1]
+    root = np.sqrt(np.maximum(1 - (1 + k) * c * c * r2, 1e-12))
+    sag = c * r2 / (1 + root) + r2 * r2 * (params[2] + r2 * (
+        params[3] + r2 * params[4]))
+    pts = np.stack([np.cos(phi)[:, None] * r[None, :],
+                    np.sin(phi)[:, None] * r[None, :],
+                    np.broadcast_to(sag, (res + 1, res + 1))], axis=-1)
+    u, v = _chartU(pts), np.broadcast_to(r, pts.shape[:-1])
+
+  elif kind == S.KIND_CODES['quadric']:
+    qa, qb, qc, qz, q0 = params[:5]
+    if qa <= 0 or qb <= 0:
+      io.warn(f'tessellate: quadric with non-positive x/y coefficients '
+              f'({qa:g}, {qb:g}) has no revolution chart; skipped')
+      return np.zeros((0, 3)), np.zeros((0, 3), dtype=int)
+    z1, z2 = _finite(trim[1], trim[2], infiniteExtent)
+    z = np.linspace(z1, z2, res + 1)
+    val = -(q0 + qz * z + qc * z * z)
+    good = val > 0
+    rx = np.sqrt(np.maximum(val, 0.) / qa)
+    ry = np.sqrt(np.maximum(val, 0.) / qb)
+    pts = np.stack([np.cos(phi)[:, None] * rx[None, :],
+                    np.sin(phi)[:, None] * ry[None, :],
+                    np.broadcast_to(z, (res + 1, res + 1))], axis=-1)
+    u, v = _chartU(pts), pts[..., 2]
+    occ = _vertexOk(surf, pts, u, v) & good[None, :]
+    return _assemble(surf, pts, occ, res, res)
+
+  else:
+    io.warn(f'tessellate: unknown surface kind {kind}; skipped')
+    return np.zeros((0, 3)), np.zeros((0, 3), dtype=int)
+
+  occ = _vertexOk(surf, pts, u, v)
+  return _assemble(surf, pts, occ, res, res)
+
+
+def _chartU(pts):
+  return np.arctan2(pts[..., 1], pts[..., 0])
+
+
+def _toWorld(surf, verts):
+  m = np.asarray(surf['transform'], dtype=float)
+  return verts @ m[:3, :3].T + m[:3, 3]
+
+
+def _assemble(surf, pts, occ, nu, nv):
+  V = pts.reshape(-1, 3)
+  tris = _gridTris(nu, nv, occ.reshape(-1))
+  if not tris:
+    return np.zeros((0, 3)), np.zeros((0, 3), dtype=int)
+  tris = np.asarray(tris, dtype=int)
+  used = np.unique(tris)
+  remap = np.full(len(V), -1, dtype=int)
+  remap[used] = np.arange(len(used))
+  return _toWorld(surf, V[used]), remap[tris]
+
+
+# ------------------------------------------------------------ scene export
+
+def tessellateScene(scene, resolution=48, infiniteExtent=150.):
+  '''[(groupLabel, color, verts, tris), ...] over every group placement —
+  the same instance expansion as Scene.compile (models/scene.py:112-121).'''
+  out = []
+  for group in scene.opticalObjects():
+    color = tuple(getattr(group, 'ViewColor', None) or (0.35, 0.35, 0.4))
+    for placement in group.placements:
+      for spec in group.surfaces:
+        inst = dict(spec)
+        inst['transform'] = np.asarray(placement, dtype=float) @ \
+            np.asarray(spec['transform'], dtype=float)
+        verts, tris = tessellateSurface(inst, resolution=resolution,
+                                        infiniteExtent=infiniteExtent)
+        if len(tris):
+          out.append((group.Label, color, verts, tris))
+  return out
+
+
+def writeScenePLY(scene, path, resolution=48, infiniteExtent=150.,
+                  drawnRays=None):
+  '''One ASCII PLY holding the tessellated scene (per-element vertex
+  colors) and, when `drawnRays` (a simulation.draw.DrawnRays) is given,
+  the colored ray polylines as edge elements — the full headless analog
+  of the reference's 3D view in a single file.'''
+  pieces = tessellateScene(scene, resolution=resolution,
+                           infiniteExtent=infiniteExtent)
+  verts, colors, faces = [], [], []
+  off = 0
+  for _label, color, v, t in pieces:
+    verts.append(v)
+    colors.append(np.broadcast_to(np.asarray(color, dtype=float), v.shape))
+    faces.append(t + off)
+    off += len(v)
+  nRayVerts = nEdges = 0
+  rayV = rayC = None
+  if drawnRays is not None and drawnRays.rayCount:
+    rayV = drawnRays.points
+    rayC = np.empty_like(rayV)
+    for i in range(drawnRays.rayCount):
+      a, b = drawnRays.offsets[i], drawnRays.offsets[i + 1]
+      sa, sb = a - i, b - i - 1
+      rayC[a] = drawnRays.colors[sa]
+      rayC[a + 1:b] = drawnRays.colors[sa:sb]
+    nRayVerts = len(rayV)
+    nEdges = drawnRays.segmentCount
+  V = np.concatenate(verts) if verts else np.zeros((0, 3))
+  C = np.concatenate(colors) if colors else np.zeros((0, 3))
+  F = np.concatenate(faces) if faces else np.zeros((0, 3), dtype=int)
+  with open(path, 'w') as f:
+    f.write('ply\nformat ascii 1.0\n'
+            'comment optics_design_workbench_tpu scene\n'
+            f'element vertex {len(V) + nRayVerts}\n'
+            'property float x\nproperty float y\nproperty float z\n'
+            'property uchar red\nproperty uchar green\n'
+            'property uchar blue\n'
+            f'element face {len(F)}\n'
+            'property list uchar int vertex_indices\n'
+            f'element edge {nEdges}\n'
+            'property int vertex1\nproperty int vertex2\n'
+            'end_header\n')
+    for block, cols in ((V, C),) + (((rayV, rayC),) if nRayVerts else ()):
+      rgb = np.clip(cols * 255. + .5, 0, 255).astype(np.uint8)
+      for p, c in zip(block, rgb):
+        f.write(f'{p[0]:.6g} {p[1]:.6g} {p[2]:.6g} '
+                f'{c[0]} {c[1]} {c[2]}\n')
+    for t in F:
+      f.write(f'3 {t[0]} {t[1]} {t[2]}\n')
+    if nEdges:
+      for i in range(drawnRays.rayCount):
+        a = int(drawnRays.offsets[i]) + len(V)
+        b = int(drawnRays.offsets[i + 1]) + len(V)
+        for v in range(a, b - 1):
+          f.write(f'{v} {v + 1}\n')
+  io.verb(f'wrote scene mesh ({len(V)} verts, {len(F)} faces'
+          + (f', {nEdges} ray edges' if nEdges else '') + f') to {path}')
+  return path
