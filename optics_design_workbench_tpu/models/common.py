@@ -70,6 +70,21 @@ class PropertyMixin:
     if kwargs:
       raise TypeError(f'unknown properties: {sorted(kwargs)}')
 
+  def __getattr__(self, name):
+    # forward compatibility for pickled scenes: an instance saved before a
+    # property was added to the schema unpickles without that attribute —
+    # fall back to the schema default instead of AttributeError (the
+    # reference gets the same behavior from FreeCAD re-adding missing
+    # properties on document load, common.py:180-195)
+    if name.startswith('_'):
+      raise AttributeError(name)
+    for _g, props in self._properties():
+      for pname, default, _doc in props:
+        if pname == name:
+          object.__setattr__(self, name, default)
+          return default
+    raise AttributeError(name)
+
   def propertyNames(self):
     return [name for _g, props in self._properties() for name, _d, _ in props]
 

@@ -377,6 +377,8 @@ def runSimulation(scene, action, endIf=None, seed=None, store=None,
 
   deviceGens = {}
   results = None
+  hists = {}         # referenced in `finally` — must exist even when the
+                     # run fails before the histogram-mode setup below
   try:
     endIter = settings.endAfterIterations() if continuous else 1
     results = results_store.SimulationResults(
@@ -399,7 +401,7 @@ def runSimulation(scene, action, endIf=None, seed=None, store=None,
 
     # ---- histogram-first recording: on-device accumulation state ----
     histMode = recording == 'histogram' and mode in ('true', 'pseudo')
-    histSteps, hists, histMeta, histSpec = {}, {}, None, None
+    histSteps, histMeta, histSpec = {}, None, None
     rawSteps = {}
     overflowWarned = set()
     histFlushTimer = timing.IntervalTimer(flushEverySeconds)

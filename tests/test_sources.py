@@ -197,3 +197,17 @@ def test_fit_piecewise_poly_accuracy():
   # a hard step cannot be fit by a few smooth segments
   step = np.where(q < .5, 0., 1.)
   assert _fitPiecewisePoly(step) is None
+
+
+def test_old_pickle_gains_new_schema_defaults():
+  '''A scene pickled before a property existed must unpickle with the
+  schema default (PropertyMixin.__getattr__) instead of AttributeError —
+  saved .scene.pkl files survive workbench upgrades, like FreeCAD re-adds
+  missing properties on document load.'''
+  import pickle
+  from optics_design_workbench_tpu.models import PointSource
+  s = PointSource(Label='x', PowerDensity='1')
+  del s.__dict__['ViewColor']            # simulate the pre-upgrade pickle
+  s2 = pickle.loads(pickle.dumps(s))
+  assert s2.ViewColor == (1., 0., 0.)
+  assert 'ViewColor' in s2.propertiesDict()
