@@ -69,5 +69,36 @@ def main():
                         vs_baseline=segPerSec / 1e9)))
 
 
+def _mainWithWatchdog(timeoutSeconds=1500):
+  '''The axon relay can hang indefinitely (observed outages: a 128x128
+  matmul never returns). Run the bench in a worker thread and emit a
+  value=0 JSON line instead of hanging the driver forever.'''
+  import threading
+  import os
+  done = threading.Event()
+
+  def run():
+    try:
+      main()
+    except Exception as e:
+      print(f'bench failed: {e}', file=sys.stderr)
+      print(json.dumps(dict(metric='mc_ray_segments_per_sec', value=0.0,
+                            unit='segments/s', vs_baseline=0.0,
+                            error=str(e)[:200])))
+    finally:
+      done.set()
+
+  t = threading.Thread(target=run, daemon=True)
+  t.start()
+  if not done.wait(timeoutSeconds):
+    print(f'bench watchdog: no result after {timeoutSeconds}s '
+          f'(TPU relay hung?), emitting value=0', file=sys.stderr)
+    print(json.dumps(dict(metric='mc_ray_segments_per_sec', value=0.0,
+                          unit='segments/s', vs_baseline=0.0,
+                          error='watchdog timeout — TPU relay unresponsive')),
+          flush=True)
+    os._exit(1)
+
+
 if __name__ == '__main__':
-  main()
+  _mainWithWatchdog()
