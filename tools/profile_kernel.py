@@ -71,8 +71,90 @@ def profileScene(label, device, info, src, maxI):
         f'build {time.perf_counter() - t0:.0f}s)', flush=True)
 
 
+def profileFusedPhases(label, device, info, src, maxI, n=1 << 20):
+  '''Decompose the XLA fused fallback (tracing/fused.py) into its phases:
+  sampling only, trace with pre-drawn rays, full step, and full step with
+  the histogram scatter neutralized — the cost attribution VERDICT round-2
+  asked for ("XLA fused fallback is unprofiled").'''
+  import jax.numpy as jnp
+  from optics_design_workbench_tpu.tracing import fused
+
+  device = dict(device)
+  device['powerTol'] = 1e-6
+  histSpec = fused.makeHistogramSpec(device, info,
+                                     bounds=(-60., 60., -60., 60.),
+                                     bins=(256, 256))
+  gen = src.deviceGenerator()
+
+  def timeIt(fn, sync, reps=6):
+    out = fn(jax.random.PRNGKey(3))
+    _ = sync(out)                                # warm + compile
+    t0 = time.perf_counter()
+    for i in range(reps):
+      out = fn(jax.random.fold_in(jax.random.PRNGKey(5), i))
+    _ = sync(out)
+    return (time.perf_counter() - t0) / reps * 1e3
+
+  # 1) sampling only
+  sampleJit = jax.jit(lambda k: gen(k, n, stratified=False))
+  msSample = timeIt(sampleJit, lambda b: float(b['origins'][0, 0]))
+
+  # 2) full fused step (sample + trace + bin)
+  step = fused.makeFusedStep(device, gen, histSpec, raysPerStep=n,
+                             maxIntersections=maxI, maxRayLength=1e6,
+                             distTol=1e-4)
+  hist0 = fused.initHistograms(histSpec)
+  msFull = timeIt(lambda k: step(k, hist0),
+                  lambda out: int(out[1]['segments']))
+
+  # 3) full step minus the histogram scatter: elemToDet=-1 keeps every
+  # bounce's `inside` false, so the lax.cond never runs the scatter
+  noBin = dict(histSpec)
+  noBin['elemToDet'] = jnp.full_like(histSpec['elemToDet'], -1)
+  stepNB = fused.makeFusedStep(device, gen, noBin, raysPerStep=n,
+                               maxIntersections=maxI, maxRayLength=1e6,
+                               distTol=1e-4)
+  msNoBin = timeIt(lambda k: stepNB(k, hist0),
+                   lambda out: int(out[1]['segments']))
+
+  # 4) trace-only with pre-drawn rays (isolates threefry sampling)
+  batch0 = jax.block_until_ready(sampleJit(jax.random.PRNGKey(9)))
+  traceJit = jax.jit(lambda b: fused.traceHistogram(
+      device, histSpec, hist0, b['origins'], b['directions'], b['powers'],
+      b['wavelengths'], maxIntersections=maxI, maxRayLength=1e6,
+      distTol=1e-4))
+  out = traceJit(batch0)
+  _ = int(out[1]['segments'])
+  t0 = time.perf_counter()
+  for _i in range(6):
+    out = traceJit(batch0)
+  _ = int(out[1]['segments'])     # D2H fetch = real sync, BEFORE the clock
+  msTrace = (time.perf_counter() - t0) / 6 * 1e3
+
+  print(f'{label}: XLA fused phase breakdown @ {n} rays, maxI={maxI}:\n'
+        f'  sampling only       {msSample:8.1f} ms\n'
+        f'  trace (pre-drawn)   {msTrace:8.1f} ms\n'
+        f'  full minus binning  {msNoBin:8.1f} ms\n'
+        f'  full step           {msFull:8.1f} ms\n'
+        f'  => sampling={msFull - msTrace:.1f} ms, '
+        f'binning={msFull - msNoBin:.1f} ms (by difference)', flush=True)
+
+
 def main():
   from optics_design_workbench_tpu import benchmarks
+  if '--fused' in sys.argv:
+    sys.argv.remove('--fused')
+    from optics_design_workbench_tpu import benchmarks as B
+    if len(sys.argv) > 1:
+      from optics_design_workbench_tpu.models.fcstd_ingest import loadFCStd
+      scene = loadFCStd(sys.argv[1])
+      dev, info = scene.compile()
+      profileFusedPhases(sys.argv[1], dev, info, scene.lightSources()[0], 8)
+    else:
+      scene = B.buildLensMirrorScene(tmpdir='/tmp')
+      dev, info = scene.compile()
+      profileFusedPhases('bench', dev, info, scene.lightSources()[0], 6)
+    return
   if len(sys.argv) > 1:
     from optics_design_workbench_tpu.models.fcstd_ingest import loadFCStd
     scene = loadFCStd(sys.argv[1])
