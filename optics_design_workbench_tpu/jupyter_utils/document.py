@@ -310,6 +310,15 @@ class RawFolder:
         segBase += k
     return rays
 
+  def drawnRays(self):
+    '''Load the DrawnRays snapshot of a `runSimulation(..., draw=True)`
+    run (drawn-rays.npz), or None if the run did not draw — the notebook
+    hook for the headless ray view (simulation/draw.py).'''
+    from ..simulation.draw import DrawnRays
+    if not os.path.exists(os.path.join(self.path, 'drawn-rays.npz')):
+      return None
+    return DrawnRays.load(self.path)
+
   def progress(self):
     '''Latest aggregated progress snapshot.'''
     masters = sorted(glob.glob(os.path.join(self.path, 'progress',
