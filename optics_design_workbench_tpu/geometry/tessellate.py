@@ -283,12 +283,7 @@ def writeScenePLY(scene, path, resolution=48, infiniteExtent=150.,
   rayV = rayC = None
   if drawnRays is not None and drawnRays.rayCount:
     rayV = drawnRays.points
-    rayC = np.empty_like(rayV)
-    for i in range(drawnRays.rayCount):
-      a, b = drawnRays.offsets[i], drawnRays.offsets[i + 1]
-      sa, sb = a - i, b - i - 1
-      rayC[a] = drawnRays.colors[sa]
-      rayC[a + 1:b] = drawnRays.colors[sa:sb]
+    rayC = drawnRays.vertexColors()
     nRayVerts = len(rayV)
     nEdges = drawnRays.segmentCount
   V = np.concatenate(verts) if verts else np.zeros((0, 3))

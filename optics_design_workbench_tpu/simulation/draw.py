@@ -105,21 +105,26 @@ class DrawnRays:
 
     counts = segValid.sum(axis=0)                          # (N,)
     rays = np.nonzero(counts > 0)[0]
-    ptsList, colList, powList = [], [], []
-    offs = [int(self.offsets[-1])]
-    for n in rays:
-      k = int(counts[n])          # valid segments are a prefix (alive mask
-      ptsList.append(np.concatenate([p1[:k, n], p2[k - 1:k, n]]))  # monotone)
-      colList.append(segColors[:k, n])
-      powList.append(power[:k, n])
-      offs.append(offs[-1] + k + 1)
+    k = counts[rays].astype(np.int64)   # valid segments are a prefix
+    # vectorized ragged assembly (single-shot batches can be large):
+    # polyline n = [p1[0..k-1, n], p2[k-1, n]] since p1[b+1] == p2[b]
+    nPts = k + 1
+    starts = np.cumsum(nPts) - nPts
+    rayIdxP = np.repeat(rays, nPts)
+    j = np.arange(int(nPts.sum())) - np.repeat(starts, nPts)
+    jb = np.minimum(j, np.repeat(k - 1, nPts))
+    isLast = j == np.repeat(k, nPts)
+    pts = np.where(isLast[:, None], p2[jb, rayIdxP], p1[jb, rayIdxP])
+    segStarts = np.cumsum(k) - k
+    rayIdxS = np.repeat(rays, k)
+    js = np.arange(int(k.sum())) - np.repeat(segStarts, k)
 
     srcIdx = self._sourceIndex(sourceLabel)
-    self.points = np.concatenate([self.points] + ptsList)
-    self.offsets = np.concatenate([self.offsets,
-                                   np.asarray(offs[1:], dtype=np.int64)])
-    self.colors = np.concatenate([self.colors] + colList)
-    self.powers = np.concatenate([self.powers] + powList)
+    self.points = np.concatenate([self.points, pts])
+    self.offsets = np.concatenate(
+        [self.offsets, self.offsets[-1] + np.cumsum(nPts)])
+    self.colors = np.concatenate([self.colors, segColors[js, rayIdxS]])
+    self.powers = np.concatenate([self.powers, power[js, rayIdxS]])
     self.sourceIdx = np.concatenate(
         [self.sourceIdx, np.full(len(rays), srcIdx, dtype=np.int32)])
     return self
@@ -147,15 +152,20 @@ class DrawnRays:
 
   def segments(self):
     '''Flat (S, 2, 3) segment view with (S, 3) colors and (S,) powers.'''
-    segs = np.empty((self.segmentCount, 2, 3))
-    s = 0
-    for i in range(self.rayCount):
-      pts, _, _ = self.polyline(i)
-      k = len(pts) - 1
-      segs[s:s + k, 0] = pts[:-1]
-      segs[s:s + k, 1] = pts[1:]
-      s += k
+    V = len(self.points)
+    keep = np.ones(max(V - 1, 0), dtype=bool)
+    keep[self.offsets[1:-1] - 1] = False   # no segment across polylines
+    segs = np.stack([self.points[:-1][keep], self.points[1:][keep]], axis=1)
     return segs, self.colors, self.powers
+
+  def vertexColors(self):
+    '''(V, 3) per-vertex colors: each vertex takes its incoming segment's
+    color (a polyline's first vertex takes its first segment's color).'''
+    ptRay = np.repeat(np.arange(self.rayCount, dtype=np.int64),
+                      np.diff(self.offsets))
+    segIdx = np.arange(len(self.points), dtype=np.int64) - ptRay - 1
+    firstSeg = self.offsets[:-1][ptRay] - ptRay
+    return self.colors[np.maximum(segIdx, firstSeg)]
 
   def clear(self):
     '''Drop all collected rays (the reference's `clear` action deletes the
@@ -169,13 +179,7 @@ class DrawnRays:
     '''ASCII PLY: colored vertices + edge list (MeshLab/Blender-ready).
     Per-vertex color is the color of the incoming segment (the last
     segment's color for a polyline's final vertex).'''
-    vcolors = np.empty_like(self.points)
-    for i in range(self.rayCount):
-      a, b = self.offsets[i], self.offsets[i + 1]
-      sa, sb = a - i, b - i - 1
-      vcolors[a] = self.colors[sa] if sb > sa else 0.
-      vcolors[a + 1:b] = self.colors[sa:sb]
-    rgb = np.clip(vcolors * 255. + .5, 0, 255).astype(np.uint8)
+    rgb = np.clip(self.vertexColors() * 255. + .5, 0, 255).astype(np.uint8)
     with open(path, 'w') as f:
       f.write('ply\nformat ascii 1.0\n'
               f'comment optics_design_workbench_tpu drawn rays\n'
