@@ -41,11 +41,18 @@ _BIG = 3.0e38
 
 def pallasEligible(scene):
   '''Static host-side check whether the fast kernel supports this scene.'''
+  return pallasIneligibleReason(scene) is None
+
+
+def pallasIneligibleReason(scene):
+  '''None when the fast kernel supports this scene, else a short
+  human-readable reason (surfaced by the runner so users know why a run
+  took the slower XLA fused path and which knob would fix it).'''
   try:
     kinds = set(np.asarray(scene['surfaces']['kind']).tolist())
     opts = set(np.asarray(scene['elements']['optType']).tolist())
   except Exception:
-    return False
+    return 'scene arrays are not host-inspectable (traced/abstract)'
   if 'scatter' in scene:
     # in-kernel scatter covers phi-separable lobes — incidence-independent
     # or theta_in-conditioned — plus smooth DiracDelta event mixtures
@@ -53,14 +60,21 @@ def pallasEligible(scene):
     # fits that miss tolerance keep the XLA gather path
     from ..tracing.batch_tracer import scatterConstants
     if scatterConstants(scene) is None:
-      return False
+      return ('scatter PDFs are theta/phi-coupled or miss the in-kernel '
+              'fit tolerance (phi-separable lobes run in the kernel)')
   if 'nTable' in scene['elements'] and not dispersionFitsInKernel(scene):
-    return False
+    return ('dispersive n(wavelength) tables do not fit the in-kernel '
+            'polynomial model')
   kindArr = np.asarray(scene['surfaces']['kind'])
   nTri = int((kindArr == GS.TRIANGLE).sum())
   if nTri > 128:
-    return False        # big tessellations stay on the XLA path
-  return (numSurfacesStatic(scene) - nTri) <= 64
+    return (f'{nTri} mesh triangles > the 128 the kernel holds as '
+            f'immediates (big tessellations stay on the XLA path)')
+  nOther = numSurfacesStatic(scene) - nTri
+  if nOther > 64:
+    return (f'{nOther} analytic surfaces > the 64-surface kernel sweep '
+            f'budget')
+  return None
 
 
 def numSurfacesStatic(scene):

@@ -417,6 +417,12 @@ def runSimulation(scene, action, endIf=None, seed=None, store=None,
     def buildHistStep(src, n):
       from ..tracing import fused as fusedMod
       sc = run.sceneFor(src)
+      if jax.default_backend() == 'tpu':
+        from ..ops import pallas_trace as PT
+        reason = PT.pallasIneligibleReason(sc)
+        if reason:
+          io.verb(f'{src.Label}: taking the XLA fused path — kernel '
+                  f'ineligible: {reason}')
       maxI = max(1, int(round(settings.maxIntersections()
                               * float(src.MaxIntersectionsScale))))
       kwargs = dict(raysPerStep=n, maxIntersections=maxI,
