@@ -264,6 +264,37 @@ def tessellateScene(scene, resolution=48, infiniteExtent=150.):
   return out
 
 
+def plotScene(scene, ax=None, drawnRays=None, resolution=24,
+              infiniteExtent=150., alpha=0.3, maxRays=300):
+  '''Matplotlib 3-D view of the tessellated scene (per-element ViewColor,
+  translucent) with optional drawn rays over it — the notebook analog of
+  the reference's FreeCAD viewport.'''
+  import matplotlib.pyplot as plt
+  from mpl_toolkits.mplot3d.art3d import Poly3DCollection
+  if ax is None:
+    ax = plt.figure().add_subplot(projection='3d')
+  lo = np.full(3, np.inf)
+  hi = np.full(3, -np.inf)
+  for _label, color, v, t in tessellateScene(scene, resolution=resolution,
+                                             infiniteExtent=infiniteExtent):
+    ax.add_collection3d(Poly3DCollection(
+        v[t], facecolors=[tuple(color) + (alpha,)],
+        edgecolors='none'))
+    lo = np.minimum(lo, v.min(axis=0))
+    hi = np.maximum(hi, v.max(axis=0))
+  if drawnRays is not None and drawnRays.rayCount:
+    drawnRays.plot(ax=ax, maxRays=maxRays)
+    lo = np.minimum(lo, drawnRays.points.min(axis=0))
+    hi = np.maximum(hi, drawnRays.points.max(axis=0))
+  if np.isfinite(lo).all():
+    pad = 0.05 * max(float((hi - lo).max()), 1.)
+    ax.set_xlim(lo[0] - pad, hi[0] + pad)
+    ax.set_ylim(lo[1] - pad, hi[1] + pad)
+    ax.set_zlim(lo[2] - pad, hi[2] + pad)
+  ax.set_xlabel('x'), ax.set_ylabel('y'), ax.set_zlabel('z')
+  return ax
+
+
 def writeScenePLY(scene, path, resolution=48, infiniteExtent=150.,
                   drawnRays=None):
   '''One ASCII PLY holding the tessellated scene (per-element vertex

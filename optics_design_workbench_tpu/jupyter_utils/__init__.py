@@ -13,6 +13,8 @@ from .parameter_sweeper import ParameterSweeper, Parameter, MetaParameter
 from .progress import ProgressTracker, setupProgressTracker
 from .retries import retryOnError
 from .transforms import applyTransformation
+from ..simulation.draw import DrawnRays
+from ..geometry.tessellate import plotScene, writeScenePLY
 
 
 def openFreecadGui(*args, **kwargs):

@@ -225,6 +225,29 @@ class DrawnRays:
     return folder
 
   @classmethod
+  def fromRays(cls, rays, sourceColor=(1., 0., 0.), sourceLabel='source'):
+    '''Build a DrawnRays from stored ray polylines (the list-of-dicts
+    encoding of RawFolder.loadRays / results_store ray files:
+    dict(points (K+1, 3), powers (K,), media)) so RecordRays runs can be
+    drawn/exported after the fact. Stored rays carry no color events;
+    every segment gets the source color.'''
+    self = cls()
+    rays = [r for r in rays if len(r['points']) >= 2]
+    if not rays:
+      return self
+    self.points = np.concatenate([np.asarray(r['points'], dtype=float)
+                                  for r in rays])
+    nPts = np.array([len(r['points']) for r in rays], dtype=np.int64)
+    self.offsets = np.concatenate([[0], np.cumsum(nPts)])
+    self.powers = np.concatenate([np.asarray(r['powers'], dtype=float)
+                                  for r in rays])
+    self.colors = np.broadcast_to(np.asarray(_rgb(sourceColor)),
+                                  (len(self.powers), 3)).copy()
+    self.sourceIdx = np.zeros(len(rays), dtype=np.int32)
+    self.sourceLabels = [sourceLabel]
+    return self
+
+  @classmethod
   def load(cls, folder):
     '''Reload a save()d snapshot from a run folder.'''
     z = np.load(os.path.join(folder, 'drawn-rays.npz'))

@@ -148,3 +148,32 @@ class TestDrawPlot:
     ax2 = drawn.plot(plane='xz', maxRays=16)
     assert ax2.name != '3d'
     plt.close('all')
+
+
+class TestFromStoredRays:
+
+  def test_from_rays_and_scene_plot(self, scene, tmp_path):
+    '''RecordRays run -> loadRays -> DrawnRays.fromRays -> plotScene: the
+    stored-polyline visualization path (reference users inspect stored
+    rays in the FreeCAD view; here via matplotlib / PLY).'''
+    from optics_design_workbench_tpu.jupyter_utils import (DrawnRays as DR,
+                                                           plotScene,
+                                                           rawFolders)
+    for src in scene.lightSources():
+      src.RecordRays = True
+    runPath = simulation.runSimulation(scene, 'singletrue', seed=2)
+    from optics_design_workbench_tpu.jupyter_utils.document import RawFolder
+    rays = RawFolder(runPath).loadRays()
+    assert len(rays) == 64
+    drawn = DR.fromRays(rays, sourceColor=(0., 1., 0.))
+    assert drawn.rayCount == 64
+    assert drawn.segmentCount == sum(len(r['powers']) for r in rays)
+    segs, colors, powers = drawn.segments()
+    assert len(segs) == drawn.segmentCount
+    np.testing.assert_allclose(colors[0], (0., 1., 0.))
+    import matplotlib
+    matplotlib.use('Agg')
+    import matplotlib.pyplot as plt
+    ax = plotScene(scene, drawnRays=drawn, resolution=8)
+    assert ax.name == '3d'
+    plt.close('all')
