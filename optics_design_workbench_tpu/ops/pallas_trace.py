@@ -1379,6 +1379,10 @@ def makePallasTraceStep(scene, histSpec, generator, raysPerStep,
     while tile * 2 <= min(raysPerStep, tileCap) \
         and raysPerStep % (tile * 2) == 0 and not (trims0 == 2.).any():
       tile *= 2
+    # small batches (e.g. a per-shard slice of a sharded step): shrink the
+    # tile to divide raysPerStep instead of erroring
+    while tile > 128 and raysPerStep % tile:
+      tile //= 2
   if raysPerStep % tile:
     raise ValueError(f'raysPerStep must be a multiple of {tile}')
   # 2-D (rows, 128) tiles — Mosaic mishandles 1-D i1 vectors
@@ -1595,6 +1599,8 @@ def makePallasRawStep(scene, histSpec, generator, raysPerStep,
     while tile * 2 <= min(raysPerStep, maxRows * 128, 16384) \
         and raysPerStep % (tile * 2) == 0 and not (trims0 == 2.).any():
       tile *= 2
+    while tile > 128 and raysPerStep % tile:
+      tile //= 2
   if raysPerStep % tile:
     raise ValueError(f'raysPerStep must be a multiple of {tile}')
   rows = tile // 128

@@ -1,3 +1,4 @@
 from .mesh import makeMesh, raysSharding
-from .sharded import makeShardedFusedStep, makeShardedPallasStep
+from .sharded import (makeShardedFusedStep, makeShardedPallasStep,
+                      makeShardedPallasRawStep)
 from .multiprocess import runMultiprocess

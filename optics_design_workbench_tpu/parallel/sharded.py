@@ -107,3 +107,43 @@ def makeShardedPallasStep(mesh, scene, histSpec, columnsGenerator,
     return sharded(keys, histograms)
 
   return step
+
+
+def makeShardedPallasRawStep(mesh, scene, histSpec, columnsGenerator,
+                             raysPerStep, maxIntersections, maxRayLength,
+                             distTol, sampler=None, axisName='rays',
+                             interpret=False):
+  '''Multi-chip variant of the RAW per-hit kernel step
+  (ops/pallas_trace.makePallasRawStep): every chip traces its shard and
+  keeps its hit-slot records device-resident and SHARDED on the ray axis
+  (no gather over ICI — the host fetch at record-compaction time is the
+  only consolidation, like the reference's per-worker result files,
+  results_store.py:348-460); scalar counters psum over ICI.'''
+  from ..ops import pallas_trace
+  nShards = mesh.shape[axisName]
+  if raysPerStep % nShards:
+    raise ValueError(f'raysPerStep={raysPerStep} must be divisible by the '
+                     f'mesh size {nShards}')
+  inner = pallas_trace.makePallasRawStep(
+      scene, histSpec, columnsGenerator, raysPerStep=raysPerStep // nShards,
+      maxIntersections=maxIntersections, maxRayLength=maxRayLength,
+      distTol=distTol, sampler=sampler, interpret=interpret)
+
+  def shardStep(key):
+    shardIdx = jax.lax.axis_index(axisName)
+    records, counters = inner(jax.random.fold_in(key[0], shardIdx))
+    counters = jax.tree.map(lambda c: jax.lax.psum(c, axisName), counters)
+    return records, counters
+
+  recSpecs = dict(
+      recordHit=P(None, axisName), hitElem=P(None, axisName),
+      power=P(None, axisName), isEntering=P(None, axisName),
+      point=P(None, axisName, None), direction=P(None, axisName, None))
+  sharded = shard_map(shardStep, mesh=mesh, in_specs=(P(axisName),),
+                      out_specs=(recSpecs, P()), check_vma=False)
+
+  @jax.jit
+  def step(key):
+    return sharded(jax.random.split(key, nShards))
+
+  return step

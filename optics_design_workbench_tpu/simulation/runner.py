@@ -572,22 +572,29 @@ def runSimulation(scene, action, endIf=None, seed=None, store=None,
           sc = run.sceneFor(src)
           from ..ops import pallas_trace
           if (store and mode == 'true' and not bool(src.RecordRays)
-              and drawn is None
-              and run.mesh is None and histSpec is not None
+              and drawn is None and histSpec is not None
               and pallas_trace.pallasEligible(sc)
               and jax.default_backend() == 'tpu'
               and hasattr(src, 'deviceColumnsGenerator')):
             entry = rawSteps.get(src.Label)
             if entry is None:
-              nPad = -(-n // 2048) * 2048
+              meshN = run.mesh.size if run.mesh is not None else 1
+              nPad = -(-n // (2048 * meshN)) * (2048 * meshN)
               samplerSpec = (src.pallasSamplerSpec()
                              if hasattr(src, 'pallasSamplerSpec') else None)
-              entry = rawSteps[src.Label] = (pallas_trace.makePallasRawStep(
-                  sc, histSpec, src.deviceColumnsGenerator(),
-                  raysPerStep=nPad, sampler=samplerSpec,
-                  maxIntersections=settings.maxIntersections(),
-                  maxRayLength=settings.maxRayLength(),
-                  distTol=max(settings.distanceTolerance(), 1e-4)), nPad)
+              kw = dict(raysPerStep=nPad, sampler=samplerSpec,
+                        maxIntersections=settings.maxIntersections(),
+                        maxRayLength=settings.maxRayLength(),
+                        distTol=max(settings.distanceTolerance(), 1e-4))
+              if run.mesh is not None:
+                from ..parallel import makeShardedPallasRawStep
+                stepR = makeShardedPallasRawStep(
+                    run.mesh, sc, histSpec, src.deviceColumnsGenerator(),
+                    **kw)
+              else:
+                stepR = pallas_trace.makePallasRawStep(
+                    sc, histSpec, src.deviceColumnsGenerator(), **kw)
+              entry = rawSteps[src.Label] = (stepR, nPad)
             stepR, nPad = entry
             key, sub = jax.random.split(key)
             records, _rawCounters = stepR(sub)

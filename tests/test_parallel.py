@@ -236,3 +236,47 @@ def test_two_process_dcn_matches_single_process(tmp_path):
   assert int(c['segments']) == outs[0]['segments']
   assert int(c['hits']) == outs[0]['hits']
   assert float(np.asarray(h['counts']).sum()) == outs[0]['checksum']
+
+
+def test_sharded_raw_step_matches_per_shard_kernels():
+  '''makeShardedPallasRawStep (interpret mode on the CPU mesh) must produce
+  exactly the records of running the per-shard raw kernel with the same
+  folded keys and concatenating — record sharding on the ray axis, psum'd
+  counters (the multi-chip stored-run fast path, runner.py raw branch).'''
+  from optics_design_workbench_tpu.parallel import makeShardedPallasRawStep
+  from optics_design_workbench_tpu.ops import pallas_trace
+  from optics_design_workbench_tpu.tracing import fused as fusedMod
+
+  mesh = makeMesh(nDevices=8)
+  scene = benchmarks.buildLensMirrorScene(tmpdir=None)
+  device, info = scene.compile()
+  device['powerTol'] = 1e-6
+  src = scene.lightSources()[0]
+  histSpec = fusedMod.makeHistogramSpec(device, info,
+                                        bounds=(-60., 60., -60., 60.),
+                                        bins=(32, 32))
+  N = 8 * 2048
+  kw = dict(maxIntersections=4, maxRayLength=1e6, distTol=1e-4)
+  gen = src.deviceColumnsGenerator()
+  stepSharded = makeShardedPallasRawStep(mesh, device, histSpec, gen,
+                                         raysPerStep=N, interpret=True,
+                                         **kw)
+  key = jax.random.PRNGKey(3)
+  records, counters = stepSharded(key)
+  assert records['hitElem'].shape[1] == N
+
+  single = pallas_trace.makePallasRawStep(device, histSpec, gen,
+                                          raysPerStep=N // 8,
+                                          interpret=True, **kw)
+  keys = jax.random.split(key, 8)
+  parts = [single(jax.random.fold_in(keys[i], i)) for i in range(8)]
+  expected = {k: np.concatenate([np.asarray(p[0][k]) for p in parts],
+                                axis=1)
+              for k in parts[0][0]}
+  for k in expected:
+    np.testing.assert_array_equal(np.asarray(records[k]), expected[k],
+                                  err_msg=k)
+  assert int(counters['segments']) == sum(int(p[1]['segments'])
+                                          for p in parts)
+  assert int(counters['hits']) == sum(int(p[1]['hits']) for p in parts)
+  assert int(counters['hits']) > 0.9 * N
