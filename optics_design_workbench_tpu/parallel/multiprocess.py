@@ -50,13 +50,20 @@ simulation.runSimulation(
 
 def runMultiprocess(scene, action, workerCount=2, pollSeconds=.5,
                     timeoutSeconds=3600, forceCpu=False, recording='raw',
-                    maxWorkerReviveCount=3, env=None):
+                    maxWorkerReviveCount=3, env=None,
+                    workerMaxLifetimeSeconds=None):
   '''Run `action` on `scene` with `workerCount` OS worker processes writing
   into one shared run folder; returns the run folder path. The master
   process does no tracing itself (the reference's lazy-master mainloop B,
   simulation_loop.py:634-707). A worker that DIES (nonzero exit) while a
   continuous run is still going is revived up to `maxWorkerReviveCount`
-  times (the reference's worker babysitting, simulation_loop.py:688-698).'''
+  times (the reference's worker babysitting, simulation_loop.py:688-698).
+  workerMaxLifetimeSeconds gives workers a scheduled end-of-life (+ up to
+  20% random jitter so they never all respawn together) after which they
+  are cleanly respawned — the reference does this (10 h + 2 h jitter,
+  worker_process.py:44-45, simulation_loop.py:483-494) to outrun FreeCAD
+  memory leaks; here it bounds any slow host-side growth on week-long
+  runs. Scheduled respawns do not count against maxWorkerReviveCount.'''
   from ..simulation import results_store
   from ..simulation.lifecycle import Lifecycle
 
@@ -101,7 +108,18 @@ def runMultiprocess(scene, action, workerCount=2, pollSeconds=.5,
           workerIndex=w, workerCount=int(workerCount))
       return subprocess.Popen([sys.executable, '-c', code], env=childEnv)
 
-    restarts = [0] * int(workerCount)
+    restarts = [0] * int(workerCount)      # unique-workerId incarnations
+    crashRevives = [0] * int(workerCount)  # counted against the revive cap
+    # end-of-life clocks start at the incarnation's FIRST progress dump,
+    # not at launch: interpreter/jit startup must not eat into the
+    # lifetime (a short lifetime would otherwise starve slow-importing
+    # workers into a kill-before-work loop)
+    firstProgress = [None] * int(workerCount)
+    eolAt = [None] * int(workerCount)
+    if workerMaxLifetimeSeconds:
+      import random as _random
+      eolAt = [workerMaxLifetimeSeconds * (1. + .2 * _random.random())
+               for _ in range(int(workerCount))]
     for w in range(int(workerCount)):
       procs.append(launch(w))
 
@@ -122,11 +140,31 @@ def runMultiprocess(scene, action, workerCount=2, pollSeconds=.5,
         for w, p in enumerate(procs):
           rc = p.poll()
           if rc is not None and rc != 0 \
-              and restarts[w] < int(maxWorkerReviveCount):
+              and crashRevives[w] < int(maxWorkerReviveCount):
+            crashRevives[w] += 1
             restarts[w] += 1
             io.warn(f'worker {w} died (rc={rc}); reviving '
-                    f'(#{restarts[w]}/{maxWorkerReviveCount})')
+                    f'(#{crashRevives[w]}/{maxWorkerReviveCount})')
+            firstProgress[w] = None
             procs[w] = launch(w, restarts[w])
+          elif rc is None and eolAt[w] is not None:
+            key = f'w{w}r{restarts[w]}'
+            if firstProgress[w] is None \
+                and key in results.progressByWorker:
+              firstProgress[w] = time.time()
+            if firstProgress[w] is not None \
+                and time.time() - firstProgress[w] > eolAt[w]:
+              # scheduled end-of-life: clean respawn, not a crash revival
+              io.info(f'worker {w} reached its scheduled end-of-life '
+                      f'({eolAt[w]:.0f}s of work); respawning')
+              p.terminate()
+              try:
+                p.wait(timeout=10)
+              except subprocess.TimeoutExpired:
+                p.kill()
+              restarts[w] += 1
+              firstProgress[w] = None
+              procs[w] = launch(w, restarts[w])
       if all(p.poll() is not None for p in procs):
         # every worker exited on its own (single-shot actions / all dead)
         break

@@ -398,6 +398,8 @@ def runSimulation(scene, action, endIf=None, seed=None, store=None,
     enabledKeys = settings.enabledMetadataKeys()
     chunkTimer = timing.IntervalTimer(3600)
     perfTimer = timing.IntervalTimer(60)
+    from ..utils.profiling import TracemallocReporter
+    memReporter = TracemallocReporter()   # ODW_TPU_TRACEMALLOC=<s> enables
 
     # ---- histogram-first recording: on-device accumulation state ----
     histMode = recording == 'histogram' and mode in ('true', 'pseudo')
@@ -690,6 +692,7 @@ def runSimulation(scene, action, endIf=None, seed=None, store=None,
         lifecycle.setIsFinished(True)
       if perfTimer.check():
         io.info(results.performanceDescription())
+      memReporter.maybeReport()
       if chunkTimer.check():
         try:
           results_store.chunkFiles(results.runPath())

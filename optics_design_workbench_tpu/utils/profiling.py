@@ -49,3 +49,45 @@ class ThroughputMeter:
             f'({self.rays/dt/1e6:.2f} M rays/s), '
             f'{self.segments/dt/1e6:.2f} M segments/s, '
             f'{self.hits/dt*3600:.3g} recorded hits/hour')
+
+
+class TracemallocReporter:
+  '''Periodic host-allocation report — the analog of the reference's
+  optional tracemalloc top-20 dump every _TRACEMALLOC_INTERVAL seconds
+  (simulation_loop.py:43, 58-60, 548-551; disabled by an `inf` interval in
+  release builds). Enable by passing a finite interval or setting
+  ODW_TPU_TRACEMALLOC=<seconds> in the environment; the runner calls
+  maybeReport() once per iteration.'''
+
+  def __init__(self, intervalSeconds=None, top=20):
+    import os
+    if intervalSeconds is None:
+      intervalSeconds = float(os.environ.get('ODW_TPU_TRACEMALLOC', 'inf'))
+    self.interval = float(intervalSeconds)
+    self.top = int(top)
+    self._next = None
+    if self.enabled:
+      import tracemalloc
+      if not tracemalloc.is_tracing():
+        tracemalloc.start()
+      self._next = time.time() + self.interval
+
+  @property
+  def enabled(self):
+    return self.interval not in (float('inf'),) and self.interval > 0
+
+  def maybeReport(self):
+    if not self.enabled or time.time() < self._next:
+      return False
+    self._next = time.time() + self.interval
+    import tracemalloc
+    snap = tracemalloc.take_snapshot()
+    stats = snap.statistics('lineno')[:self.top]
+    total = sum(s.size for s in snap.statistics('filename')) / 1e6
+    lines = [f'tracemalloc: {total:.1f} MB traced, top {len(stats)}:']
+    for s in stats:
+      frame = s.traceback[0]
+      lines.append(f'  {s.size/1e6:7.2f} MB  {frame.filename}:{frame.lineno}'
+                   f' (x{s.count})')
+    io.info('\n'.join(lines))
+    return True

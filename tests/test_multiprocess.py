@@ -143,7 +143,8 @@ def test_dead_worker_is_revived(tmp_path):
 
   def currentWriterPids():
     pids = set()
-    for run in glob.glob(os.path.join(resultsFolder, 'simulation-run-*')):
+    for run in glob.glob(os.path.join(resultsFolder, 'raw',
+                                       'simulation-run-*')):
       pids |= writerPids(run)
     return pids
 
@@ -164,8 +165,37 @@ def test_dead_worker_is_revived(tmp_path):
   t = threading.Thread(target=killer, daemon=True)
   t.start()
   runPath = runMultiprocess(scene, 'true', workerCount=2, forceCpu=True,
-                            pollSeconds=.3, timeoutSeconds=70)
+                            pollSeconds=.3, timeoutSeconds=150)
   t.join(timeout=5)
   pids = writerPids(runPath)
   assert len(pids) >= 3, \
       f'expected >=3 writer pids (one revival), got {pids}'
+
+
+def test_scheduled_worker_end_of_life(tmp_path):
+  '''workerMaxLifetimeSeconds: a continuous run's workers are cleanly
+  respawned past their lifetime (reference: 10h+2h-jitter worker
+  end-of-life, worker_process.py:44-45) and the run still completes with
+  hits from both incarnations.'''
+  from optics_design_workbench_tpu.parallel.multiprocess import \
+      runMultiprocess
+  from optics_design_workbench_tpu.utils import io as uio
+  logPath = uio.setLogfile(str(tmp_path / 'master.log'))
+  scene = makeScene(str(tmp_path / 'eol'))
+  # pace the run so the tracing work (the EOL clock starts at a worker's
+  # first progress dump, not at launch: startup/jit time must not eat the
+  # lifetime) spans several 5s lifetimes — ~20k rays/s/worker on the CPU
+  # mesh means 3e5 rays is ~8s of tracing per worker
+  scene.activeSimulationSettings().EndAfterRays = '3e5'
+  scene.activeSimulationSettings().RaysPerIteration = 200
+  runFolder = runMultiprocess(scene, 'true', workerCount=2, forceCpu=True,
+                              timeoutSeconds=900,
+                              workerMaxLifetimeSeconds=5)
+  from optics_design_workbench_tpu.jupyter_utils.document import RawFolder
+  raw = RawFolder(runFolder)
+  prog = raw.progress()
+  assert prog['totalTracedRays'] >= 3e5
+  hits = raw.loadHits()
+  assert len(hits) > 0
+  # the scheduled respawn actually happened (logged by the master)
+  assert 'scheduled end-of-life' in open(logPath).read()

@@ -643,3 +643,63 @@ def test_triangle_mesh_matches_xla_tpu():
   hX, cX = stepX(key, fused.initHistograms(histSpec))
   assert int(cP['hits']) == int(cX['hits'])
   assert np.array_equal(np.asarray(hP['counts']), np.asarray(hX['counts']))
+
+
+def test_sharded_raw_step_on_one_chip_matches_single():
+  '''makeShardedPallasRawStep on a 1-device TPU mesh runs the Mosaic
+  kernel under shard_map and must equal the plain raw step with the same
+  per-shard folded key (the composition the multi-chip stored-run fast
+  path uses, runner.py raw branch).'''
+  from optics_design_workbench_tpu import benchmarks
+  from optics_design_workbench_tpu.parallel import (makeMesh,
+                                                    makeShardedPallasRawStep)
+  from optics_design_workbench_tpu.ops import pallas_trace
+  from optics_design_workbench_tpu.tracing import fused
+
+  mesh = makeMesh(nDevices=1)
+  scene = benchmarks.buildLensMirrorScene(tmpdir=None)
+  device, info = scene.compile()
+  device['powerTol'] = 1e-6
+  src = scene.lightSources()[0]
+  histSpec = fused.makeHistogramSpec(device, info,
+                                     bounds=(-60., 60., -60., 60.),
+                                     bins=(64, 64))
+  N = 1 << 14
+  kw = dict(maxIntersections=4, maxRayLength=1e6, distTol=1e-4)
+  gen = src.deviceColumnsGenerator()
+  stepSharded = makeShardedPallasRawStep(mesh, device, histSpec, gen,
+                                         raysPerStep=N, **kw)
+  key = jax.random.PRNGKey(11)
+  rec, counters = stepSharded(key)
+
+  single = pallas_trace.makePallasRawStep(device, histSpec, gen,
+                                          raysPerStep=N, **kw)
+  expKey = jax.random.fold_in(jax.random.split(key, 1)[0], 0)
+  recS, countersS = single(expKey)
+  for k in rec:
+    np.testing.assert_array_equal(np.asarray(rec[k]), np.asarray(recS[k]),
+                                  err_msg=k)
+  assert int(counters['hits']) == int(countersS['hits']) > 0
+
+
+def test_small_batch_raw_step_tile_shrink():
+  '''raysPerStep=2048 (< the 8192 default TILE) must compile and run: the
+  auto-tile shrinks to divide small batches (regression for the latent
+  small-nPad ValueError in the runner's raw branch).'''
+  from optics_design_workbench_tpu import benchmarks
+  from optics_design_workbench_tpu.ops import pallas_trace
+  from optics_design_workbench_tpu.tracing import fused
+
+  scene = benchmarks.buildLensMirrorScene(tmpdir=None)
+  device, info = scene.compile()
+  device['powerTol'] = 1e-6
+  src = scene.lightSources()[0]
+  histSpec = fused.makeHistogramSpec(device, info,
+                                     bounds=(-60., 60., -60., 60.),
+                                     bins=(64, 64))
+  step = pallas_trace.makePallasRawStep(
+      device, histSpec, src.deviceColumnsGenerator(), raysPerStep=2048,
+      maxIntersections=4, maxRayLength=1e6, distTol=1e-4)
+  rec, counters = step(jax.random.PRNGKey(2))
+  assert rec['hitElem'].shape[1] == 2048
+  assert int(counters['hits']) > 1800     # nearly every ray lands
