@@ -62,28 +62,69 @@ def _applyPrimsNp(prims, x, y, z, baseOk):
   return (baseOk | addHit) & ~holeHit
 
 
-def _bitmapOkNp(bm, u, v):
-  '''Numpy twin of surfaces._maskLookup over a trimBitmap record.'''
+def _bitmapOkNp(bm, u, v, tolerancePx=0.):
+  '''Numpy twin of surfaces._maskLookup over a trimBitmap record.
+  tolerancePx widens the WINDOW border test by that many pixels (used by
+  the tessellation occupancy test with 0.5: grid vertices landing exactly
+  on the window's far edge — fu == R — are the limit of occupied cells and
+  must not drop the whole boundary cell ring; interior mask edges are
+  unaffected).'''
   mask = np.asarray(bm['mask'])
   R = mask.shape[0]
   fu = (u - bm['u0']) * bm['invDu']
   fv = (v - bm['v0']) * bm['invDv']
   iu = np.clip(np.floor(fu).astype(int), 0, R - 1)
   iv = np.clip(np.floor(fv).astype(int), 0, R - 1)
-  return (fu >= 0) & (fu < R) & (fv >= 0) & (fv < R) & (mask[iv, iu] > 0)
+  t = tolerancePx
+  return ((fu >= -t) & (fu < R + t) & (fv >= -t) & (fv < R + t)
+          & (mask[iv, iu] > 0))
 
 
-def _vertexOk(surf, pts, u, v):
+def _vertexOk(surf, pts, u, v, baseOk=None):
   '''Occupancy of local points `pts` (..., 3) with band/window coordinate
   (u, v) under the surface's trims — the tessellation-side mirror of
-  surfaces._trimPlane/_trimBandOk.'''
-  ok = np.ones(pts.shape[:-1], dtype=bool)
+  surfaces._trimPlane/_trimBandOk. baseOk is the base-window test; it
+  defaults to all-True because most grids span exactly the base window,
+  but grids EXTENDED past it (boolean-ADD tabs) must pass the real one.'''
+  ok = (np.ones(pts.shape[:-1], dtype=bool) if baseOk is None
+        else np.asarray(baseOk))
   if 'trimBitmap' in surf:
-    ok &= _bitmapOkNp(surf['trimBitmap'], u, v)
+    ok = ok & _bitmapOkNp(surf['trimBitmap'], u, v, tolerancePx=0.5)
   if 'trimPrims' in surf:
     ok = _applyPrimsNp(surf['trimPrims']['holes'],
                        pts[..., 0], pts[..., 1], pts[..., 2], ok)
   return ok
+
+
+def _addPrimBounds(surf):
+  '''Local-(x, y) bbox of bounded boolean-ADD trim primitives (rects and
+  discs; brep._fitTrimPrims emits these for tabs protruding beyond the
+  fitted base window), or None. The tessellation grid must cover them or
+  the exported mesh silently misses face area the tracer can hit.'''
+  if 'trimPrims' not in surf:
+    return None
+  lo = np.array([np.inf, np.inf])
+  hi = -lo
+  found = False
+  for row in np.asarray(surf['trimPrims']['holes'], dtype=float):
+    flag = row[0]
+    if flag <= 0.5 or flag > 15.5:   # inactive, or inverted (complement =
+      continue                       # unbounded — cannot extend a mesh)
+    rem = flag - 10.
+    if rem <= 0.5:                   # not an ADD prim
+      continue
+    cx, cy = row[1], row[2]
+    if rem < 1.5:                    # rotated rect: half-extents p0, p1
+      ex = abs(row[5] * row[3]) + abs(row[6] * row[4])
+      ey = abs(row[6] * row[3]) + abs(row[5] * row[4])
+    elif rem < 2.5:                  # disc: radius^2 in p0
+      ex = ey = np.sqrt(max(row[3], 0.))
+    else:
+      continue                       # half-plane/poly2/conic: unbounded
+    lo = np.minimum(lo, (cx - ex, cy - ey))
+    hi = np.maximum(hi, (cx + ex, cy + ey))
+    found = True
+  return (lo, hi) if found else None
 
 
 # ------------------------------------------------------------- param grids
@@ -121,6 +162,7 @@ def tessellateSurface(surf, resolution=48, infiniteExtent=150.):
   trim = np.asarray(surf['trim'], dtype=float)
   res = int(resolution)
   phi = np.linspace(0., 2 * np.pi, res + 1)
+  baseOk = None        # plane grids extended over ADD tabs set a real one
 
   if kind == S.KIND_CODES['triangle']:
     verts = params[:9].reshape(3, 3)
@@ -134,17 +176,39 @@ def tessellateSurface(surf, resolution=48, infiniteExtent=150.):
       y = np.linspace(bm['v0'], bm['v0'] + R / bm['invDv'], res + 1)
       X, Y = np.meshgrid(x, y, indexing='ij')
     elif trim[0] in (1., 4.):                     # rect half-extents
-      x = np.linspace(-trim[1], trim[1], res + 1)
-      y = np.linspace(-trim[2], trim[2], res + 1)
+      xlo, xhi, ylo, yhi = -trim[1], trim[1], -trim[2], trim[2]
+      ext = _addPrimBounds(surf)
+      if ext is not None:           # cover protruding boolean-ADD tabs
+        xlo, ylo = np.minimum((xlo, ylo), ext[0])
+        xhi, yhi = np.maximum((xhi, yhi), ext[1])
+      x = np.linspace(xlo, xhi, res + 1)
+      y = np.linspace(ylo, yhi, res + 1)
       X, Y = np.meshgrid(x, y, indexing='ij')
     else:                                         # ring rMin..rMax
       rMin, rMax = trim[1], trim[2]
       rMax = infiniteExtent if not np.isfinite(rMax) else rMax
+      ext = _addPrimBounds(surf)
+      if ext is not None:           # cover protruding boolean-ADD tabs
+        corners = np.array([[ext[0][0], ext[0][1]], [ext[0][0], ext[1][1]],
+                            [ext[1][0], ext[0][1]], [ext[1][0], ext[1][1]]])
+        rMax = max(rMax, float(np.sqrt((corners ** 2).sum(axis=1)).max()))
       r = np.linspace(max(rMin, 0.), rMax, res + 1)
       X = np.cos(phi)[:, None] * r[None, :]
       Y = np.sin(phi)[:, None] * r[None, :]
     pts = np.stack([X, Y, np.zeros_like(X)], axis=-1)
     u, v = pts[..., 0], pts[..., 1]
+    # real base-window test (grids may extend past it over ADD tabs);
+    # mirrors surfaces._trimPlane: rect for modes 1/4, ring otherwise
+    # (a tiny tolerance keeps the grid's own boundary vertices occupied)
+    tol = 1e-9 * max(1., float(np.abs(trim[1:3]).max()))
+    if 'trimBitmap' in surf:
+      baseOk = None
+    elif trim[0] in (1., 4.):
+      baseOk = (np.abs(X) <= trim[1] + tol) & (np.abs(Y) <= trim[2] + tol)
+    else:
+      rr = np.sqrt(X * X + Y * Y)
+      rMaxB = trim[2] if np.isfinite(trim[2]) else np.inf
+      baseOk = (trim[1] - tol <= rr) & (rr <= rMaxB + tol)
 
   elif kind == S.KIND_CODES['sphere']:
     R = params[0]
@@ -205,7 +269,7 @@ def tessellateSurface(surf, resolution=48, infiniteExtent=150.):
     z1, z2 = _finite(trim[1], trim[2], infiniteExtent)
     z = np.linspace(z1, z2, res + 1)
     val = -(q0 + qz * z + qc * z * z)
-    good = val > 0
+    good = val >= 0     # the == 0 rim is the real pole of a closed quadric
     rx = np.sqrt(np.maximum(val, 0.) / qa)
     ry = np.sqrt(np.maximum(val, 0.) / qb)
     pts = np.stack([np.cos(phi)[:, None] * rx[None, :],
@@ -219,7 +283,7 @@ def tessellateSurface(surf, resolution=48, infiniteExtent=150.):
     io.warn(f'tessellate: unknown surface kind {kind}; skipped')
     return np.zeros((0, 3)), np.zeros((0, 3), dtype=int)
 
-  occ = _vertexOk(surf, pts, u, v)
+  occ = _vertexOk(surf, pts, u, v, baseOk=baseOk)
   return _assemble(surf, pts, occ, res, res)
 
 
@@ -320,6 +384,7 @@ def writeScenePLY(scene, path, resolution=48, infiniteExtent=150.,
   V = np.concatenate(verts) if verts else np.zeros((0, 3))
   C = np.concatenate(colors) if colors else np.zeros((0, 3))
   F = np.concatenate(faces) if faces else np.zeros((0, 3), dtype=int)
+  from ..simulation.draw import plyVertexBlock, plyEdgeBlock
   with open(path, 'w') as f:
     f.write('ply\nformat ascii 1.0\n'
             'comment optics_design_workbench_tpu scene\n'
@@ -332,19 +397,16 @@ def writeScenePLY(scene, path, resolution=48, infiniteExtent=150.,
             f'element edge {nEdges}\n'
             'property int vertex1\nproperty int vertex2\n'
             'end_header\n')
-    for block, cols in ((V, C),) + (((rayV, rayC),) if nRayVerts else ()):
-      rgb = np.clip(cols * 255. + .5, 0, 255).astype(np.uint8)
-      for p, c in zip(block, rgb):
-        f.write(f'{p[0]:.6g} {p[1]:.6g} {p[2]:.6g} '
-                f'{c[0]} {c[1]} {c[2]}\n')
-    for t in F:
-      f.write(f'3 {t[0]} {t[1]} {t[2]}\n')
+    f.write(plyVertexBlock(V, C))
+    if nRayVerts:
+      f.write(plyVertexBlock(rayV, rayC))
+    if len(F):
+      import io as _io
+      buf = _io.StringIO()
+      np.savetxt(buf, F, fmt='3 %d %d %d')
+      f.write(buf.getvalue())
     if nEdges:
-      for i in range(drawnRays.rayCount):
-        a = int(drawnRays.offsets[i]) + len(V)
-        b = int(drawnRays.offsets[i + 1]) + len(V)
-        for v in range(a, b - 1):
-          f.write(f'{v} {v + 1}\n')
+      f.write(plyEdgeBlock(drawnRays.offsets, indexOffset=len(V)))
   io.verb(f'wrote scene mesh ({len(V)} verts, {len(F)} faces'
           + (f', {nEdges} ray edges' if nEdges else '') + f') to {path}')
   return path

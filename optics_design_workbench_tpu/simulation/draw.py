@@ -50,6 +50,33 @@ def _rgb(c):
   return c
 
 
+def plyVertexBlock(points, colors01):
+  '''ASCII PLY vertex lines (x y z r g b) as one string — shared by
+  DrawnRays.writePLY and geometry.tessellate.writeScenePLY so the two
+  stay byte-format compatible; np.savetxt with a fixed format beats a
+  per-row python f-string loop on large batches.'''
+  import io as _io
+  rgb = np.clip(np.asarray(colors01) * 255. + .5, 0, 255).astype(np.uint8)
+  buf = _io.StringIO()
+  np.savetxt(buf, np.column_stack([points, rgb]),
+             fmt='%.6g %.6g %.6g %d %d %d')
+  return buf.getvalue()
+
+
+def plyEdgeBlock(offsets, indexOffset=0):
+  '''ASCII PLY edge lines for ragged polylines delimited by `offsets`
+  (consecutive-point pairs within each polyline), 'v1 v2' per line.'''
+  import io as _io
+  offsets = np.asarray(offsets, dtype=np.int64)
+  V = int(offsets[-1]) if len(offsets) else 0
+  keep = np.ones(max(V - 1, 0), dtype=bool)
+  keep[offsets[1:-1] - 1] = False      # no edge across polylines
+  v1 = np.nonzero(keep)[0] + int(indexOffset)
+  buf = _io.StringIO()
+  np.savetxt(buf, np.column_stack([v1, v1 + 1]), fmt='%d %d')
+  return buf.getvalue()
+
+
 class DrawnRays:
   '''Accumulates traced ray polylines across sources/iterations.
 
@@ -179,7 +206,6 @@ class DrawnRays:
     '''ASCII PLY: colored vertices + edge list (MeshLab/Blender-ready).
     Per-vertex color is the color of the incoming segment (the last
     segment's color for a polyline's final vertex).'''
-    rgb = np.clip(self.vertexColors() * 255. + .5, 0, 255).astype(np.uint8)
     with open(path, 'w') as f:
       f.write('ply\nformat ascii 1.0\n'
               f'comment optics_design_workbench_tpu drawn rays\n'
@@ -190,21 +216,15 @@ class DrawnRays:
               f'element edge {self.segmentCount}\n'
               'property int vertex1\nproperty int vertex2\n'
               'end_header\n')
-      for p, c in zip(self.points, rgb):
-        f.write(f'{p[0]:.6g} {p[1]:.6g} {p[2]:.6g} '
-                f'{c[0]} {c[1]} {c[2]}\n')
-      for i in range(self.rayCount):
-        a, b = int(self.offsets[i]), int(self.offsets[i + 1])
-        for v in range(a, b - 1):
-          f.write(f'{v} {v + 1}\n')
+      f.write(plyVertexBlock(self.points, self.vertexColors()))
+      f.write(plyEdgeBlock(self.offsets))
     return path
 
   def writeOBJ(self, path):
     '''Wavefront OBJ polylines (no color; for viewers without edge-PLY).'''
     with open(path, 'w') as f:
       f.write('# optics_design_workbench_tpu drawn rays\n')
-      for p in self.points:
-        f.write(f'v {p[0]:.6g} {p[1]:.6g} {p[2]:.6g}\n')
+      np.savetxt(f, self.points, fmt='v %.6g %.6g %.6g')
       for i in range(self.rayCount):
         a, b = int(self.offsets[i]), int(self.offsets[i + 1])
         idx = ' '.join(str(v + 1) for v in range(a, b))   # OBJ is 1-based
@@ -277,7 +297,7 @@ class DrawnRays:
       # keep whole polylines, not a random segment subset
       keepSegs = np.zeros(self.segmentCount, bool)
       s = 0
-      stride = max(1, self.rayCount // maxRays)
+      stride = -(-self.rayCount // maxRays)     # ceil: keep <= maxRays rays
       for i in range(self.rayCount):
         k = int(self.offsets[i + 1] - self.offsets[i]) - 1
         keepSegs[s:s + k] = (i % stride == 0)

@@ -362,6 +362,20 @@ def runSimulation(scene, action, endIf=None, seed=None, store=None,
   # per-worker dumps instead of aggregating, never touches lifecycle
   # flags, and exits when the master sets done/canceled or its parent dies
   isWorker = slaveInfo is not None
+  if isWorker:
+    # graceful shutdown on SIGTERM (the master's scheduled end-of-life and
+    # drain escalation send it): raise SimulationEnded so the finally block
+    # flushes buffered results, drains the native spool and dumps the final
+    # cumulative progress — otherwise up to flushEverySeconds of traced
+    # hits silently vanish while the master's summed counters keep them
+    import signal as _signal
+
+    def _onSigterm(*_args):
+      raise SimulationEnded()
+    try:
+      _signal.signal(_signal.SIGTERM, _onSigterm)
+    except ValueError:
+      pass          # not the main thread (in-process worker); skip
   workerId = (slaveInfo or {}).get('workerId')
   parentPid = (slaveInfo or {}).get('parentPid')
   workerIndex = int((slaveInfo or {}).get('workerIndex', 0))

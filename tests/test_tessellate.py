@@ -163,3 +163,33 @@ class TestSceneExport:
     v0 = body[0].split()
     assert v0[3:] == ['0', '255', '0']
     assert body[nV - 1].split()[3:] == ['255', '0', '0']
+
+
+class TestAddPrimTabs:
+
+  def test_add_tab_outside_base_is_meshed(self):
+    '''Boolean-ADD prims protruding past the base window (the tabs
+    brep._fitTrimPrims emits for boolean unions) must be covered by the
+    grid: rays hit them, so the mesh must show them.'''
+    surf = S.plane(np.eye(4), 0, halfExtents=(10., 10.))
+    surf['trim'] = np.array([4., 10., 10., 0., 0., 0.])
+    # ADD disc of radius 5 centered at x=14 (sticks out to x=19)
+    surf['trimPrims'] = dict(holes=[(12., 14., 0., 25., 0., 1., 0.)])
+    verts, tris = tessellateSurface(surf, resolution=64)
+    cent = verts[tris].mean(axis=1)
+    assert cent[:, 0].max() > 15.          # tab area present
+    # but nothing occupied between base edge and tab except the disc
+    outside = cent[(cent[:, 0] > 10.5)]
+    assert ((outside[:, 0] - 14.) ** 2 + outside[:, 1] ** 2 < 26.).all()
+
+  def test_bitmap_boundary_ring_kept(self):
+    '''Fencepost regression: a fully-occupied bitmap window tessellates to
+    the FULL window extent (the far-edge vertex row used to be dropped).'''
+    surf = S.plane(np.eye(4), 0, halfExtents=(10., 10.))
+    surf['trimBitmap'] = dict(mask=np.ones((16, 16), np.uint8),
+                              u0=-10., v0=-10.,
+                              invDu=16 / 20., invDv=16 / 20.)
+    verts, tris = tessellateSurface(surf, resolution=16)
+    used = verts[np.unique(tris)]
+    np.testing.assert_allclose(used[:, 0].max(), 10., atol=1e-9)
+    np.testing.assert_allclose(used[:, 1].max(), 10., atol=1e-9)
