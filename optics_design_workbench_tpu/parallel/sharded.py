@@ -65,14 +65,14 @@ def makeShardedFusedStep(mesh, scene, generator, histSpec, raysPerStep,
 def makeShardedPallasStep(mesh, scene, histSpec, columnsGenerator,
                           raysPerStep, maxIntersections, maxRayLength,
                           distTol, sampler=None, stratified=False,
-                          axisName='rays'):
+                          axisName='rays', interpret=False):
   '''Multi-chip variant of the fused PALLAS step: every chip runs the
   Mosaic kernel on its shard (with its own in-kernel PRNG stream via the
   shard-folded seed) and the histograms/counters ride one psum over ICI —
   per-chip throughput matches the single-chip kernel instead of the XLA
-  fallback. TPU backend only (Mosaic kernels cannot run on the CPU test
-  mesh; tests exercise this composition on a 1-device TPU mesh and the
-  multi-device semantics through makeShardedFusedStep).'''
+  fallback. TPU backend only in production; interpret=True runs the kernel
+  through the Mosaic interpreter so the CPU test mesh can execute the full
+  composition (tests/test_parallel.py exercises it bit-exactly).'''
   from ..ops import pallas_trace
   nShards = mesh.shape[axisName]
   if raysPerStep % nShards:
@@ -83,7 +83,7 @@ def makeShardedPallasStep(mesh, scene, histSpec, columnsGenerator,
       scene, histSpec, columnsGenerator, raysPerStep=perShard,
       maxIntersections=maxIntersections, maxRayLength=maxRayLength,
       distTol=distTol, sampler=sampler, stratified=stratified,
-      jitWrap=False)
+      jitWrap=False, interpret=interpret)
 
   def shardStep(key, histograms):
     shardIdx = jax.lax.axis_index(axisName)

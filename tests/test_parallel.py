@@ -280,3 +280,46 @@ def test_sharded_raw_step_matches_per_shard_kernels():
                                           for p in parts)
   assert int(counters['hits']) == sum(int(p[1]['hits']) for p in parts)
   assert int(counters['hits']) > 0.9 * N
+
+
+def test_sharded_pallas_hist_step_interpret_matches_per_shard():
+  '''makeShardedPallasStep (interpret mode, CPU mesh): the sharded
+  histogram-kernel composition — per-shard folded keys, psum'd histogram
+  deltas — must equal running the per-shard kernel serially and summing
+  (previously this composition only ever executed on TPU hardware).'''
+  from optics_design_workbench_tpu.parallel import (makeShardedPallasStep,
+                                                    makeMesh)
+  from optics_design_workbench_tpu.ops import pallas_trace
+  from optics_design_workbench_tpu.tracing import fused as fusedMod
+
+  mesh = makeMesh(nDevices=8)
+  scene = benchmarks.buildLensMirrorScene(tmpdir=None)
+  device, info = scene.compile()
+  device['powerTol'] = 1e-6
+  src = scene.lightSources()[0]
+  histSpec = fusedMod.makeHistogramSpec(device, info,
+                                        bounds=(-60., 60., -60., 60.),
+                                        bins=(32, 128))
+  N = 8 * 2048
+  kw = dict(maxIntersections=4, maxRayLength=1e6, distTol=1e-4)
+  gen = src.deviceColumnsGenerator()
+  step = makeShardedPallasStep(mesh, device, histSpec, gen, raysPerStep=N,
+                               interpret=True, **kw)
+  hist0 = fusedMod.initHistograms(histSpec)
+  key = jax.random.PRNGKey(17)
+  hist, counters = step(key, hist0)
+
+  single = pallas_trace.makePallasTraceStep(device, histSpec, gen,
+                                            raysPerStep=N // 8,
+                                            interpret=True, **kw)
+  keys = jax.random.split(key, 8)
+  expCounts = np.zeros_like(np.asarray(hist['counts']))
+  expHits = 0
+  h = fusedMod.initHistograms(histSpec)
+  for i in range(8):
+    hi, ci = single(jax.random.fold_in(keys[i], i),
+                    fusedMod.initHistograms(histSpec))
+    expCounts = expCounts + np.asarray(hi['counts'])
+    expHits += int(ci['hits'])
+  np.testing.assert_array_equal(np.asarray(hist['counts']), expCounts)
+  assert int(counters['hits']) == expHits > 0.9 * N
