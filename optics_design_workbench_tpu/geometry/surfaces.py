@@ -402,7 +402,10 @@ def _quadraticRoots(a, b, c):
   (invalid -> +inf).'''
   disc = b * b - 4 * a * c
   ok = disc >= 0
-  sq = jnp.sqrt(jnp.maximum(disc, 0.))
+  # double-where: sqrt'(0) is inf, so a plain sqrt(maximum(disc, 0)) turns
+  # every MISSING ray's zero-clamped discriminant into 0*inf = NaN under
+  # reverse-mode AD (tracing/diff.py differentiates through this sweep)
+  sq = jnp.where(ok, jnp.sqrt(jnp.where(ok, disc, 1.)), 0.)
   q = -0.5 * (b + jnp.sign(b + 1e-30) * sq)
   aSafe = jnp.where(jnp.abs(a) < 1e-20, 1e-20, a)
   t1 = q / aSafe

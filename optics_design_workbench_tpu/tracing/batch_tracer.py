@@ -462,7 +462,8 @@ def bounceBatch(scene, distTol, maxRayLength, o, d, power, wl, medium, seq,
   tir = root < 0
   # tangential = n x (-n x d) = d - n (d.n)
   tx_, ty_, tz_ = dx - nx * dDotN, dy - ny * dDotN, dz - nz * dDotN
-  sq = jnp.sqrt(jnp.maximum(root, 0.))
+  # double-where (not maximum): sqrt'(0)=inf would NaN TIR rays' grads
+  sq = jnp.where(tir, 0., jnp.sqrt(jnp.where(tir, 1., root)))
   sxx, syy, szz = mu * tx_ + nx * sq, mu * ty_ + ny * sq, mu * tz_ + nz * sq
   snx = jnp.where(tir, mx, sxx)
   sny = jnp.where(tir, my, syy)
@@ -485,7 +486,8 @@ def bounceBatch(scene, distTol, maxRayLength, o, d, power, wl, medium, seq,
          - 2 * gmu * Tt * _dot3(dx, dy, dz, dgx, dgy, dgz))
     disc = V * V - W
     evanescent = disc < 0
-    gsq = jnp.sqrt(jnp.maximum(disc, 0.))
+    gsq = jnp.where(evanescent, 0.,
+                    jnp.sqrt(jnp.where(evanescent, 1., disc)))
     qg = jnp.where(isReflG, -V + gsq, -V - gsq)
     ggx, ggy, ggz = _norm3(gmu * dx - Tt * dgx + qg * nix,
                            gmu * dy - Tt * dgy + qg * niy,

@@ -71,7 +71,9 @@ def snell(d, n, n1, n2):
   root = 1 - mu * mu * jnp.dot(cross, cross)
   tir = root < 0
   tangential = jnp.cross(n, jnp.cross(-n, d))
-  refracted = mu * tangential + n * jnp.sqrt(jnp.maximum(root, 0.))
+  # double-where keeps sqrt'(0)=inf out of TIR rays' reverse-mode grads
+  root = jnp.where(tir, 1., root)
+  refracted = mu * tangential + n * jnp.where(tir, 0., jnp.sqrt(root))
   return jnp.where(tir, mirrorDirection(d, n), refracted), tir
 
 
@@ -100,7 +102,7 @@ def gratingDirection(d, n, n1, n2, wavelengthNm, order, linesPerMm,
   W = mu * mu - 1 + Tt * Tt - 2 * mu * Tt * jnp.dot(d, D)
   disc = V * V - W
   evanescent = disc < 0
-  sq = jnp.sqrt(jnp.maximum(disc, 0.))
+  sq = jnp.where(evanescent, 0., jnp.sqrt(jnp.where(evanescent, 1., disc)))
   q = jnp.where(isReflection, -V + sq, -V - sq)
   out = mu * d - Tt * D + q * nInc
   return T.normalize(out), evanescent
