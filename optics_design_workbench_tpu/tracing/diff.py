@@ -25,6 +25,9 @@ Parameter specs (each consumes one entry of the parameter vector p):
                                         conic, quadric coeff, ...)
   ('refrIndex',    elemIdx)             additive offset on an element's
                                         refractive index
+  ('translateGroup', elemIdx, axis)     rigid-body translation of EVERY
+                                        surface of an element by one p
+  ('rotateGroup', elemIdx, axis, pivot) rigid-body rotation of an element
 
 Limitations (asserted where cheap): transforms must be rigid (they are —
 placements and OCC locations are rotation+translation); constant-n
@@ -96,23 +99,33 @@ def applyParams(scene, specs, p):
     byKind[name]['w2lOff'] = byKind[name]['w2lOff'] \
         .at[local].set(w2lOff.astype(dt))
 
+  elemArr = np.asarray(scene['surfaces']['elem'])
+
+  def translateOne(i, axis, t):
+    a = np.asarray(axis, dtype=float)
+    a = jnp.asarray(a / np.linalg.norm(a))
+    setSurfTransform(i, surf['l2wRot'][i], surf['l2wOff'][i] + t * a)
+
+  def rotateOne(i, axis, pivot, angle):
+    a = np.asarray(axis, dtype=float)
+    a = a / np.linalg.norm(a)
+    q = jnp.asarray(pivot)
+    R = _rotationMatrix(tuple(a), angle)
+    setSurfTransform(i, R @ surf['l2wRot'][i],
+                     q + R @ (surf['l2wOff'][i] - q))
+
   for k, spec in enumerate(specs):
     kind = spec[0]
     if kind == 'translate':
-      _, i, axis = spec
-      a = jnp.asarray(axis, dtype=jnp.float64
-                      if jax.config.jax_enable_x64 else jnp.float32)
-      a = a / jnp.linalg.norm(a)
-      setSurfTransform(i, surf['l2wRot'][i], surf['l2wOff'][i] + p[k] * a)
+      translateOne(spec[1], spec[2], p[k])
     elif kind == 'rotate':
-      _, i, axis, pivot = spec
-      a = np.asarray(axis, dtype=float)
-      a = a / np.linalg.norm(a)
-      q = jnp.asarray(pivot)
-      R = _rotationMatrix(tuple(a), p[k])
-      newRot = R @ surf['l2wRot'][i]
-      newOff = q + R @ (surf['l2wOff'][i] - q)
-      setSurfTransform(i, newRot, newOff)
+      rotateOne(spec[1], spec[2], spec[3], p[k])
+    elif kind == 'translateGroup':
+      for i in np.nonzero(elemArr == spec[1])[0]:
+        translateOne(int(i), spec[2], p[k])
+    elif kind == 'rotateGroup':
+      for i in np.nonzero(elemArr == spec[1])[0]:
+        rotateOne(int(i), spec[2], spec[3], p[k])
     elif kind == 'surfaceParam':
       _, i, j = spec
       newVal = surf['params'][i, j] + p[k]

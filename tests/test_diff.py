@@ -137,3 +137,36 @@ class TestOptimize:
     vBest = min(v for _s, v in history)
     assert vBest < 0.25 * v0, (v0, vBest)
     assert np.isfinite(float(bestP[0]))
+
+
+class TestGroupSpecs:
+
+  def test_translate_group_matches_per_surface(self, benchSetup):
+    '''One ('translateGroup', elem, axis) entry equals per-surface
+    translate specs sharing the same value — the rigid-body design unit
+    ("move the lens").'''
+    device, _info, batch = benchSetup
+    lg1 = D.makeSpotLoss(device, [('translateGroup', 0, (0., 0., 1.))],
+                         batch, detectorElem=2, maxIntersections=6)
+    perSurf = lensSpecs(device)
+    lgN = D.makeSpotLoss(device, perSurf, batch, detectorElem=2,
+                         maxIntersections=6)
+    dz = 1.7
+    v1, g1 = lg1(jnp.array([dz]))
+    vN, gN = lgN(jnp.full(len(perSurf), dz))
+    np.testing.assert_allclose(float(v1), float(vN), rtol=1e-6)
+    np.testing.assert_allclose(float(g1[0]), float(np.asarray(gN).sum()),
+                               rtol=1e-4)
+
+  def test_rotate_group_identity_at_zero(self, benchSetup):
+    device, _info, batch = benchSetup
+    lg = D.makeSpotLoss(device, [('rotateGroup', 1, (1., 0., 0.),
+                                  (0., 0., 60.))],
+                        batch, detectorElem=2, maxIntersections=6)
+    v, g = lg(jnp.zeros(1))
+    assert np.isfinite(float(v)) and np.isfinite(float(g[0]))
+    eps = 1e-4
+    fd = (float(lg(jnp.array([eps]))[0])
+          - float(lg(jnp.array([-eps]))[0])) / (2 * eps)
+    assert abs(fd - float(g[0])) / max(abs(fd), 1e-9) < 2e-2, (fd,
+                                                               float(g[0]))
