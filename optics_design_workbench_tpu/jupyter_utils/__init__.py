@@ -15,6 +15,7 @@ from .retries import retryOnError
 from .transforms import applyTransformation
 from ..simulation.draw import DrawnRays
 from ..geometry.tessellate import plotScene, writeScenePLY
+from ..tracing.diff import applyParams, makeSpotLoss, optimizeGradient
 
 
 def openFreecadGui(*args, **kwargs):
