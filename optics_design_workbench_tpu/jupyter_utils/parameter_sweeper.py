@@ -202,7 +202,12 @@ class ParameterSweeper:
     (reference: parameter_sweeper.py:757-918). Bounded parameters are
     normalized to [0, 1] for the optimizer; failures score PENALTY so the
     minimizer routes around crashes; the best parameters are restored (and
-    optionally autosaved) at exit.'''
+    optionally autosaved) at exit.
+
+    For geometric/refractive parameters consider tracing/diff.py
+    (makeSpotLoss + optimizeGradient): it differentiates the merit THROUGH
+    the tracer and converges in tens of adam steps instead of hundreds of
+    derivative-free probes — no reference analog.'''
     import scipy.optimize
     params = self.parameters()
     names = list(parameters)
