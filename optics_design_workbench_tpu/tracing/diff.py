@@ -29,11 +29,11 @@ Parameter specs (each consumes one entry of the parameter vector p):
                                         surface of an element by one p
   ('rotateGroup', elemIdx, axis, pivot) rigid-body rotation of an element
 
-Limitations (asserted where cheap): transforms must be rigid (they are —
-placements and OCC locations are rotation+translation); constant-n
-elements only for 'refrIndex' (dispersion nTable untouched); trims are
-not trainable. Surfaces moved as a GROUP need one spec per table row
-(scene.compile flattens group placements to per-surface transforms).
+Limitations (raised where detectable): transforms must be rigid (they
+are — placements and OCC locations are rotation+translation); 'refrIndex'
+rejects elements with a dispersion table (it would mask the constant
+index); trims are not trainable. rotateGroup co-rotates a grating's
+ruling direction; a bare 'rotate' of one grating surface does not.
 '''
 
 import numpy as np
@@ -41,19 +41,37 @@ import jax
 import jax.numpy as jnp
 
 from ..geometry import surfaces as GS
-from .element_table import EP_REFRINDEX
+from .element_table import EP_REFRINDEX, EP_GRATDIRX
+from .tracer import GRATING
+
+
+_LAYOUT_CACHE = {}
 
 
 def _kindLayout(scene):
   '''Host-side static layout: per table row its kind name and local index
   inside the kind-sorted byKind slice (surfaces.buildSurfaceTable sorts by
-  kind; slices are contiguous).'''
+  kind; slices are contiguous). Cached per table identity — on the axon
+  relay the FIRST device->host fetch of a process costs minutes, so the
+  'kind' array must be fetched at most once per scene.'''
+  key = id(scene['surfaces']['packed'])
+  cached = _LAYOUT_CACHE.get(key)
+  if cached is not None:
+    return cached
   kinds = np.asarray(scene['surfaces']['kind'])
   layout = []
   for i, k in enumerate(kinds.tolist()):
     name = GS._KIND_NAMES[int(k)]
     layout.append((name, int((kinds[:i] == k).sum())))
+  _LAYOUT_CACHE[key] = layout
   return layout
+
+
+def _hostElems(scene):
+  '''(S,) element ids as numpy, preferring the host copy buildSurfaceTable
+  keeps exactly so callers never pay a device fetch.'''
+  he = scene['surfaces'].get('_hostElem')
+  return np.asarray(he if he is not None else scene['surfaces']['elem'])
 
 
 def _rotationMatrix(axis, angle):
@@ -99,7 +117,18 @@ def applyParams(scene, specs, p):
     byKind[name]['w2lOff'] = byKind[name]['w2lOff'] \
         .at[local].set(w2lOff.astype(dt))
 
-  elemArr = np.asarray(scene['surfaces']['elem'])
+  elemArr = _hostElems(scene)
+
+  def rotateGratingDir(e, axis, angle):
+    # a rotated grating must carry its ruling direction along or the
+    # Ludwig diffraction runs against a stale world-space vector
+    a = np.asarray(axis, dtype=float)
+    R = _rotationMatrix(tuple(a / np.linalg.norm(a)), angle)
+    newDir = R @ elements['gratingDir'][e]
+    elements['gratingDir'] = elements['gratingDir'].at[e].set(newDir)
+    elements['packed'] = elements['packed'] \
+        .at[e, EP_GRATDIRX:EP_GRATDIRX + 3].set(
+            newDir.astype(elements['packed'].dtype))
 
   def translateOne(i, axis, t):
     a = np.asarray(axis, dtype=float)
@@ -120,12 +149,22 @@ def applyParams(scene, specs, p):
       translateOne(spec[1], spec[2], p[k])
     elif kind == 'rotate':
       rotateOne(spec[1], spec[2], spec[3], p[k])
-    elif kind == 'translateGroup':
-      for i in np.nonzero(elemArr == spec[1])[0]:
-        translateOne(int(i), spec[2], p[k])
-    elif kind == 'rotateGroup':
-      for i in np.nonzero(elemArr == spec[1])[0]:
-        rotateOne(int(i), spec[2], spec[3], p[k])
+    elif kind in ('translateGroup', 'rotateGroup'):
+      rows = np.nonzero(elemArr == spec[1])[0]
+      if not len(rows):
+        raise ValueError(f'{kind} spec: no surfaces belong to element '
+                         f'{spec[1]} (labels are kind-sorted table rows; '
+                         f'check info["elementLabels"])')
+      for i in rows:
+        if kind == 'translateGroup':
+          translateOne(int(i), spec[2], p[k])
+        else:
+          rotateOne(int(i), spec[2], spec[3], p[k])
+      if kind == 'rotateGroup' and int(np.asarray(
+          scene['elements'].get('_hostOptType',
+                                scene['elements']['optType']))[spec[1]]) \
+          == GRATING:
+        rotateGratingDir(spec[1], spec[2], p[k])
     elif kind == 'surfaceParam':
       _, i, j = spec
       newVal = surf['params'][i, j] + p[k]
@@ -137,6 +176,12 @@ def applyParams(scene, specs, p):
           .at[local, j].set(newVal)
     elif kind == 'refrIndex':
       _, e = spec
+      if 'nTable' in elements and bool(np.asarray(
+          elements.get('hasDispersion'))[e]):
+        raise ValueError(f'refrIndex spec on element {e}: it has a '
+                         f'dispersion table, which masks the constant '
+                         f'index (batch_tracer nElem) — the parameter '
+                         f'would silently have zero gradient')
       newN = elements['refrIndex'][e] + p[k]
       elements['refrIndex'] = elements['refrIndex'].at[e].set(newN)
       elements['packed'] = elements['packed'] \

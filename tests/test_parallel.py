@@ -315,7 +315,6 @@ def test_sharded_pallas_hist_step_interpret_matches_per_shard():
   keys = jax.random.split(key, 8)
   expCounts = np.zeros_like(np.asarray(hist['counts']))
   expHits = 0
-  h = fusedMod.initHistograms(histSpec)
   for i in range(8):
     hi, ci = single(jax.random.fold_in(keys[i], i),
                     fusedMod.initHistograms(histSpec))
