@@ -27,13 +27,18 @@ Parameter specs (each consumes one entry of the parameter vector p):
                                         refractive index
   ('translateGroup', elemIdx, axis)     rigid-body translation of EVERY
                                         surface of an element by one p
-  ('rotateGroup', elemIdx, axis, pivot) rigid-body rotation of an element
+  ('rotateGroup', elemIdx, axis, pivot[, 'coRotateRuling'])
+                                        rigid-body rotation of an element;
+                                        the optional 5th entry also
+                                        rotates a grating's ruling vector
+                                        (the reference keeps
+                                        GratingLinesOrientation
+                                        world-fixed, ray.py:449)
 
 Limitations (raised where detectable): transforms must be rigid (they
 are — placements and OCC locations are rotation+translation); 'refrIndex'
 rejects elements with a dispersion table (it would mask the constant
-index); trims are not trainable. rotateGroup co-rotates a grating's
-ruling direction; a bare 'rotate' of one grating surface does not.
+index); trims are not trainable.
 '''
 
 import numpy as np
@@ -160,10 +165,18 @@ def applyParams(scene, specs, p):
           translateOne(int(i), spec[2], p[k])
         else:
           rotateOne(int(i), spec[2], spec[3], p[k])
-      if kind == 'rotateGroup' and int(np.asarray(
-          scene['elements'].get('_hostOptType',
-                                scene['elements']['optType']))[spec[1]]) \
-          == GRATING:
+      if kind == 'rotateGroup' and len(spec) > 4 and spec[4]:
+        # opt-in ruling co-rotation: the reference treats
+        # GratingLinesOrientation as a WORLD-FIXED property (ray.py:449
+        # reads it raw, never placement-transformed), so the default here
+        # matches recompiling with a rotated placement; pass
+        # ('rotateGroup', e, axis, pivot, 'coRotateRuling') when the
+        # physical intent is rulings etched on the rotating element
+        if int(np.asarray(scene['elements'].get(
+            '_hostOptType', scene['elements']['optType']))[spec[1]]) \
+            != GRATING:
+          raise ValueError(f'coRotateRuling on non-grating element '
+                           f'{spec[1]}')
         rotateGratingDir(spec[1], spec[2], p[k])
     elif kind == 'surfaceParam':
       _, i, j = spec

@@ -106,4 +106,8 @@ def buildElementTable(elems, dtype=jnp.float32):
     table['hasDispersion'] = np.asarray(hasDisp, dtype=bool)
   # ONE batched host->device transfer (per-array jnp.asarray costs ~0.35 s
   # each over the axon relay)
-  return jax.device_put(table)
+  out = jax.device_put(table)
+  # host copy so consumers (tracing/diff.py grating co-rotation) never pay
+  # a device->host fetch to inspect optical types
+  out['_hostOptType'] = host['optType']
+  return out

@@ -170,3 +170,97 @@ class TestGroupSpecs:
           - float(lg(jnp.array([-eps]))[0])) / (2 * eps)
     assert abs(fd - float(g[0])) / max(abs(fd), 1e-9) < 2e-2, (fd,
                                                                float(g[0]))
+
+
+class TestGratingRotation:
+
+  def makeScene(self, extraRotDeg=0., ruling=(0.6, 0.8, 0.)):
+    scene = Scene(label='gratrot')
+    scene.addOpticalGroup(OpticalGroup(
+        OpticalType='Grating', Label='G', GratingType='Reflection',
+        GratingLinesPerMillimeter=600., GratingDiffractionOrder=1,
+        GratingLinesOrientation=ruling,
+        surfaces=[S.plane(np.eye(4), elem=0, halfExtents=(40., 40.),
+                          orient=-1)],
+        placements=[T.compose(T.translation(0, 0, 100),
+                              T.rotation((1, 0, 0), 15. + extraRotDeg))]))
+    scene.addOpticalGroup(OpticalGroup(
+        OpticalType='Absorber', Label='Det',
+        surfaces=[S.sphere(T.translation(0, 0, 100), elem=0, radius=300.,
+                           orient=-1)],
+        placements=[np.eye(4)]))
+    scene.addSource(PointSource(Label='Src', PowerDensity='1',
+                                ThetaDomain='0, 0.1', Wavelength=532.))
+    scene.addSimulationSettings(RaysPerIteration=64, MaxIntersections=3,
+                                MaxRayLength=2000)
+    return scene
+
+  def test_rotate_group_matches_recompile(self):
+    '''Default rotateGroup on a grating must equal recompiling the scene
+    with a rotated placement: GratingLinesOrientation is a WORLD-FIXED
+    property in the reference (ray.py:449 reads it untransformed), so the
+    ruling must NOT co-rotate by default — even when the rotation axis is
+    not parallel to it.'''
+    angleDeg = 7.
+    base = self.makeScene()
+    device0, _ = base.compile()
+    src = base.lightSources()[0]
+    batch = src.deviceGenerator()(jax.random.PRNGKey(4), 512)
+
+    # grating surface row: planes sort first; the grating plane is row 0
+    pivot = (0., 0., 100.)
+    sc = D.applyParams(device0,
+                       [('rotateGroup', 0, (1., 0., 0.), pivot)],
+                       jnp.array([np.deg2rad(angleDeg)]))
+
+    ref = self.makeScene(extraRotDeg=angleDeg)
+    deviceR, _ = ref.compile()
+
+    kw = dict(maxIntersections=3, maxRayLength=2000., distTol=1e-4,
+              recordSegments=False)
+    _s1, recA = trace(sc, batch['origins'], batch['directions'],
+                      batch['powers'], batch['wavelengths'], **kw)
+    _s2, recB = trace(deviceR, batch['origins'], batch['directions'],
+                      batch['powers'], batch['wavelengths'], **kw)
+    np.testing.assert_array_equal(np.asarray(recA['hitElem']),
+                                  np.asarray(recB['hitElem']))
+    np.testing.assert_allclose(np.asarray(recA['point']),
+                               np.asarray(recB['point']), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(recA['direction']),
+                               np.asarray(recB['direction']), atol=1e-5)
+
+  def test_co_rotate_ruling_equals_rotated_property(self):
+    '''('rotateGroup', ..., 'coRotateRuling') must equal recompiling with
+    BOTH the placement and the GratingLinesOrientation property rotated —
+    the rulings-etched-on-the-element physical semantics.'''
+    angleDeg = 9.
+    base = self.makeScene()
+    device0, _ = base.compile()
+    src = base.lightSources()[0]
+    batch = src.deviceGenerator()(jax.random.PRNGKey(6), 512)
+    pivot = (0., 0., 100.)
+    sc = D.applyParams(
+        device0,
+        [('rotateGroup', 0, (1., 0., 0.), pivot, 'coRotateRuling')],
+        jnp.array([np.deg2rad(angleDeg)]))
+
+    rot = T.rotation((1., 0., 0.), angleDeg)[:3, :3]
+    ref = self.makeScene(extraRotDeg=angleDeg,
+                         ruling=tuple(rot @ np.array([0.6, 0.8, 0.])))
+    deviceR, _ = ref.compile()
+    kw = dict(maxIntersections=3, maxRayLength=2000., distTol=1e-4,
+              recordSegments=False)
+    _s1, recA = trace(sc, batch['origins'], batch['directions'],
+                      batch['powers'], batch['wavelengths'], **kw)
+    _s2, recB = trace(deviceR, batch['origins'], batch['directions'],
+                      batch['powers'], batch['wavelengths'], **kw)
+    np.testing.assert_allclose(np.asarray(recA['direction']),
+                               np.asarray(recB['direction']), atol=1e-5)
+    # and it genuinely differs from the world-fixed default
+    scDefault = D.applyParams(device0,
+                              [('rotateGroup', 0, (1., 0., 0.), pivot)],
+                              jnp.array([np.deg2rad(angleDeg)]))
+    _s3, recC = trace(scDefault, batch['origins'], batch['directions'],
+                      batch['powers'], batch['wavelengths'], **kw)
+    assert np.abs(np.asarray(recA['direction'])
+                  - np.asarray(recC['direction'])).max() > 1e-3
