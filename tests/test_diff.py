@@ -264,3 +264,22 @@ class TestGratingRotation:
                       batch['powers'], batch['wavelengths'], **kw)
     assert np.abs(np.asarray(recA['direction'])
                   - np.asarray(recC['direction'])).max() > 1e-3
+
+  def test_grating_angle_gradient_matches_fd(self):
+    '''d(spot)/d(grating angle) through the Ludwig diffraction formula —
+    the AD path the evanescent-guard double-where keeps NaN-free.'''
+    base = self.makeScene()
+    device0, _ = base.compile()
+    src = base.lightSources()[0]
+    batch = src.deviceGenerator()(jax.random.PRNGKey(8), 512)
+    lg = D.makeSpotLoss(device0,
+                        [('rotateGroup', 0, (1., 0., 0.), (0., 0., 100.))],
+                        batch, detectorElem=1, maxIntersections=3,
+                        maxRayLength=2000.)
+    p0 = jnp.zeros(1)
+    _v, g = lg(p0)
+    assert np.isfinite(float(g[0])) and abs(float(g[0])) > 1e-3
+    eps = 1e-4
+    fd = (float(lg(p0 + eps)[0]) - float(lg(p0 - eps)[0])) / (2 * eps)
+    assert abs(fd - float(g[0])) / max(abs(fd), 1e-9) < 2e-2, (fd,
+                                                               float(g[0]))
