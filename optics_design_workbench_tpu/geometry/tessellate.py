@@ -152,6 +152,18 @@ def _finite(lo, hi, cap):
   return float(lo), float(hi)
 
 
+def _bandRange(surf, trim, cap):
+  '''The v-band (z, or r for aspheres) to grid over. Bitmap-trimmed faces
+  carry the real window ONLY in trimBitmap (brep zeroes trim[1..2] and
+  reuses the row for the UV->pixel map) — reading trim there collapses
+  the whole grid to a zero-extent sliver at v=0.'''
+  if 'trimBitmap' in surf:
+    bm = surf['trimBitmap']
+    R = np.asarray(bm['mask']).shape[0]
+    return float(bm['v0']), float(bm['v0'] + R / bm['invDv'])
+  return _finite(trim[1], trim[2], cap)
+
+
 def tessellateSurface(surf, resolution=48, infiniteExtent=150.):
   '''Mesh one analytic surface record into (verts (V, 3), tris (T, 3)) in
   WORLD coordinates. Unbounded trims (infinite plane radius / z band) are
@@ -212,7 +224,8 @@ def tessellateSurface(surf, resolution=48, infiniteExtent=150.):
 
   elif kind == S.KIND_CODES['sphere']:
     R = params[0]
-    z1, z2 = np.clip(trim[1], -R, R), np.clip(trim[2], -R, R)
+    b1, b2 = _bandRange(surf, trim, R)
+    z1, z2 = np.clip(b1, -R, R), np.clip(b2, -R, R)
     th = np.linspace(np.arccos(np.clip(z2 / R, -1, 1)),
                      np.arccos(np.clip(z1 / R, -1, 1)), res + 1)
     sth = np.sin(th)
@@ -225,7 +238,7 @@ def tessellateSurface(surf, resolution=48, infiniteExtent=150.):
 
   elif kind == S.KIND_CODES['cylinder']:
     R = params[0]
-    z1, z2 = _finite(trim[1], trim[2], infiniteExtent)
+    z1, z2 = _bandRange(surf, trim, infiniteExtent)
     z = np.linspace(z1, z2, res + 1)
     pts = np.stack([R * np.cos(phi)[:, None] * np.ones_like(z)[None, :],
                     R * np.sin(phi)[:, None] * np.ones_like(z)[None, :],
@@ -234,7 +247,7 @@ def tessellateSurface(surf, resolution=48, infiniteExtent=150.):
 
   elif kind == S.KIND_CODES['cone']:
     r0, tanA = params[0], params[1]
-    z1, z2 = _finite(trim[1], trim[2], infiniteExtent)
+    z1, z2 = _bandRange(surf, trim, infiniteExtent)
     z = np.linspace(z1, z2, res + 1)
     r = np.maximum(r0 + z * tanA, 0.)
     pts = np.stack([np.cos(phi)[:, None] * r[None, :],
@@ -243,7 +256,8 @@ def tessellateSurface(surf, resolution=48, infiniteExtent=150.):
     u, v = _chartU(pts), pts[..., 2]
 
   elif kind == S.KIND_CODES['asphere']:
-    rMin, rMax = trim[1], trim[2]
+    rMin, rMax = _bandRange(surf, trim, infiniteExtent) \
+        if 'trimBitmap' in surf else (trim[1], trim[2])
     if not np.isfinite(rMax):
       c = abs(params[0])
       rMax = (0.999 / (c * max(1. + params[1], 1e-9) ** .5)
@@ -266,7 +280,7 @@ def tessellateSurface(surf, resolution=48, infiniteExtent=150.):
       io.warn(f'tessellate: quadric with non-positive x/y coefficients '
               f'({qa:g}, {qb:g}) has no revolution chart; skipped')
       return np.zeros((0, 3)), np.zeros((0, 3), dtype=int)
-    z1, z2 = _finite(trim[1], trim[2], infiniteExtent)
+    z1, z2 = _bandRange(surf, trim, infiniteExtent)
     z = np.linspace(z1, z2, res + 1)
     val = -(q0 + qz * z + qc * z * z)
     good = val >= 0     # the == 0 rim is the real pole of a closed quadric

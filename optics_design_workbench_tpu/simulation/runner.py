@@ -362,20 +362,27 @@ def runSimulation(scene, action, endIf=None, seed=None, store=None,
   # per-worker dumps instead of aggregating, never touches lifecycle
   # flags, and exits when the master sets done/canceled or its parent dies
   isWorker = slaveInfo is not None
+  _inCleanup = [False]
+  _prevSigterm = None
   if isWorker:
     # graceful shutdown on SIGTERM (the master's scheduled end-of-life and
     # drain escalation send it): raise SimulationEnded so the finally block
     # flushes buffered results, drains the native spool and dumps the final
     # cumulative progress — otherwise up to flushEverySeconds of traced
-    # hits silently vanish while the master's summed counters keep them
+    # hits silently vanish while the master's summed counters keep them.
+    # Once cleanup starts the handler goes quiet (a second SIGTERM must
+    # not abort the flush it exists to guarantee); the previous handler is
+    # restored on exit so embedding processes keep their own semantics
     import signal as _signal
 
     def _onSigterm(*_args):
-      raise SimulationEnded()
+      if not _inCleanup[0]:
+        raise SimulationEnded()
     try:
+      _prevSigterm = _signal.getsignal(_signal.SIGTERM)
       _signal.signal(_signal.SIGTERM, _onSigterm)
     except ValueError:
-      pass          # not the main thread (in-process worker); skip
+      _prevSigterm = None   # not the main thread (in-process worker); skip
   workerId = (slaveInfo or {}).get('workerId')
   parentPid = (slaveInfo or {}).get('parentPid')
   workerIndex = int((slaveInfo or {}).get('workerIndex', 0))
@@ -481,6 +488,24 @@ def runSimulation(scene, action, endIf=None, seed=None, store=None,
             label, dict(power=np.asarray(hist['power']),
                         counts=np.asarray(hist['counts'])), histMeta)
 
+    def storeHits(srcLabel, hits):
+      '''One stored-hit schema for every path (raw/sampled/slow).'''
+      for label, cols in hits.items():
+        meta = {k: v for k, v in cols.items()
+                if k not in ('points', 'directions', 'powers',
+                             'isEntering')}
+        results.addHitBatch(srcLabel, label, cols['points'],
+                            cols['directions'], cols['powers'],
+                            cols['isEntering'], meta)
+
+    # sources that trace un-windowed (host fans/meshes): windowed kernel
+    # dispatch must then stay at 1 step/pass or the per-iteration sampling
+    # balance across sources skews vs the reference's loop semantics
+    anyHostSource = any(
+        not src.supportsDeviceSampling() for src in scene.lightSources()
+        if isinstance(src, PointSource) or hasattr(src, 'generateRays'))
+    rawEligible = {}
+
     for src in scene.lightSources():
       src.onInitializeSimulation(state='pre-worker-launch', ident=action)
 
@@ -511,11 +536,13 @@ def runSimulation(scene, action, endIf=None, seed=None, store=None,
           # device->host scalar fetch over the results relay costs ~75 ms,
           # the 1M-ray step ~4 ms — per-step fetching caps the stored run
           # at ~14 M rays/s while windowed dispatch sustains >200 M
-          if not continuous:
-            inner = 1
+          if not continuous or anyHostSource:
+            inner = 1     # keep per-pass sampling balanced across sources
           elif np.isfinite(results.endAfterRays):
             remaining = results.endAfterRays - results.totalTracedRays
-            inner = int(np.clip(np.ceil(remaining / max(n, 1)), 1, 16))
+            # divide by the PADDED per-step count (what incrementRayCount
+            # advances by) or the window overshoots endAfterRays
+            inner = int(np.clip(np.ceil(remaining / max(nStep, 1)), 1, 16))
           else:
             inner = 16
           if np.isfinite(results.endAfterIterations):
@@ -560,22 +587,13 @@ def runSimulation(scene, action, endIf=None, seed=None, store=None,
             sampleHits = compactRecordsToHits(
                 records, metadata, run.info['elementLabels'],
                 enabledKeys=enabledKeys or None)
-            for label, cols in sampleHits.items():
-              meta = {k: v for k, v in cols.items()
-                      if k not in ('points', 'directions', 'powers',
-                                   'isEntering')}
-              results.addHitBatch(src.Label, label, cols['points'],
-                                  cols['directions'], cols['powers'],
-                                  cols['isEntering'], meta)
+            storeHits(src.Label, sampleHits)
           if store and histFlushTimer.check():
             flushHistograms()
           continue
 
         # ---- generate rays ----
         if mode in ('true', 'pseudo') and src.supportsDeviceSampling():
-          gen = deviceGens.get(src.Label)
-          if gen is None:
-            gen = deviceGens[src.Label] = src.deviceGenerator()
           n = max(1, int(round(settings.raysPerIteration()
                                * float(src.RaysPerIterationScale))))
           if run.mesh is not None:
@@ -584,23 +602,34 @@ def runSimulation(scene, action, endIf=None, seed=None, store=None,
           # ---- raw-hit fast path: the kernel's hit-slot ring produces
           # batch_tracer-shaped records directly (slot-major), skipping
           # the per-bounce (B, N) records trace entirely; ray polylines
-          # (RecordRays) still need the XLA records path ----
-          sc = run.sceneFor(src)
-          from ..ops import pallas_trace
-          if (store and mode == 'true' and not bool(src.RecordRays)
-              and drawn is None and histSpec is not None
-              and pallas_trace.pallasEligible(sc)
-              and jax.default_backend() == 'tpu'
-              and hasattr(src, 'deviceColumnsGenerator')):
+          # (RecordRays) and enabled metadata columns still need the XLA
+          # records path. Eligibility is decided ONCE per source: the
+          # pallasEligible probe does device->host fetches (~75 ms each
+          # over the relay), far too slow for the per-iteration hot loop
+          if src.Label not in rawEligible:
+            from ..ops import pallas_trace
+            rawEligible[src.Label] = (
+                store and mode == 'true' and not bool(src.RecordRays)
+                and drawn is None and histSpec is not None
+                and not enabledKeys
+                and jax.default_backend() == 'tpu'
+                and hasattr(src, 'deviceColumnsGenerator')
+                and pallas_trace.pallasEligible(run.sceneFor(src)))
+          if rawEligible[src.Label]:
             entry = rawSteps.get(src.Label)
             if entry is None:
+              from ..ops import pallas_trace
+              sc = run.sceneFor(src)
               meshN = run.mesh.size if run.mesh is not None else 1
               nPad = -(-n // (2048 * meshN)) * (2048 * meshN)
               samplerSpec = (src.pallasSamplerSpec()
                              if hasattr(src, 'pallasSamplerSpec') else None)
+              maxI = max(1, int(round(settings.maxIntersections()
+                                      * float(src.MaxIntersectionsScale))))
               kw = dict(raysPerStep=nPad, sampler=samplerSpec,
-                        maxIntersections=settings.maxIntersections(),
-                        maxRayLength=settings.maxRayLength(),
+                        maxIntersections=maxI,
+                        maxRayLength=settings.maxRayLength()
+                        * float(src.MaxRayLengthScale),
                         distTol=max(settings.distanceTolerance(), 1e-4))
               if run.mesh is not None:
                 from ..parallel import makeShardedPallasRawStep
@@ -613,20 +642,23 @@ def runSimulation(scene, action, endIf=None, seed=None, store=None,
               entry = rawSteps[src.Label] = (stepR, nPad)
             stepR, nPad = entry
             key, sub = jax.random.split(key)
-            records, _rawCounters = stepR(sub)
+            records, rawCounters = stepR(sub)
             results.incrementRayCount(nPad)
+            ovf = int(rawCounters.get('hitOverflow', 0))
+            if ovf and src.Label not in overflowWarned:
+              overflowWarned.add(src.Label)
+              io.warn(f'{ovf} detector passes overflowed the per-ray '
+                      f'hit-slot ring; stored hits under-record (raise '
+                      f'hitSlots)')
             hits = compactRecordsToHits(records, {},
                                         run.info['elementLabels'],
                                         enabledKeys=enabledKeys or None)
-            for label, cols in hits.items():
-              meta = {k: v for k, v in cols.items()
-                      if k not in ('points', 'directions', 'powers',
-                                   'isEntering')}
-              results.addHitBatch(src.Label, label, cols['points'],
-                                  cols['directions'], cols['powers'],
-                                  cols['isEntering'], meta)
+            storeHits(src.Label, hits)
             continue
 
+          gen = deviceGens.get(src.Label)
+          if gen is None:
+            gen = deviceGens[src.Label] = src.deviceGenerator()
           key, sub = jax.random.split(key)
           batch = gen(sub, n, stratified=(mode == 'pseudo'))
         else:
@@ -665,13 +697,7 @@ def runSimulation(scene, action, endIf=None, seed=None, store=None,
               enabledKeys=None if not enabledKeys
               else enabledKeys + ['fanindex', 'rayindex',
                                   'totalfancount', 'totalraysinfan'])
-          for label, cols in hits.items():
-            meta = {k: v for k, v in cols.items()
-                    if k not in ('points', 'directions', 'powers',
-                                 'isEntering')}
-            results.addHitBatch(src.Label, label, cols['points'],
-                                cols['directions'], cols['powers'],
-                                cols['isEntering'], meta)
+          storeHits(src.Label, hits)
           if recordSegs:
             rays = recordsToRays(records, run.info['elementLabels'])
             if rays is not None:
@@ -721,6 +747,7 @@ def runSimulation(scene, action, endIf=None, seed=None, store=None,
   except SimulationEnded:
     pass
   finally:
+    _inCleanup[0] = True
     if results is not None:
       try:
         if store and hists:
@@ -746,6 +773,12 @@ def runSimulation(scene, action, endIf=None, seed=None, store=None,
       lifecycle.setIsRunning(False)
       lifecycle.setIsCanceled(False)
       io.gatherWorkerLogs()
+    if _prevSigterm is not None:
+      import signal as _signal
+      try:
+        _signal.signal(_signal.SIGTERM, _prevSigterm)
+      except ValueError:
+        pass
   return results.runPath()
 
 

@@ -62,7 +62,13 @@ class TracemallocReporter:
   def __init__(self, intervalSeconds=None, top=20):
     import os
     if intervalSeconds is None:
-      intervalSeconds = float(os.environ.get('ODW_TPU_TRACEMALLOC', 'inf'))
+      raw = os.environ.get('ODW_TPU_TRACEMALLOC', 'inf')
+      try:
+        intervalSeconds = float(raw)
+      except ValueError:
+        io.warn(f'ODW_TPU_TRACEMALLOC={raw!r} is not a number; '
+                f'tracemalloc reporting disabled')
+        intervalSeconds = float('inf')
     self.interval = float(intervalSeconds)
     self.top = int(top)
     self._next = None

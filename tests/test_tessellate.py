@@ -193,3 +193,18 @@ class TestAddPrimTabs:
     used = verts[np.unique(tris)]
     np.testing.assert_allclose(used[:, 0].max(), 10., atol=1e-9)
     np.testing.assert_allclose(used[:, 1].max(), 10., atol=1e-9)
+
+  def test_bitmap_band_kind_uses_window(self):
+    '''Bitmap-trimmed CURVED faces grid over the trimBitmap window, not
+    the zeroed trim row (regression: a bitmap cylinder collapsed to a
+    zero-extent sliver at z=0).'''
+    surf = S.cylinder(np.eye(4), 0, 10., (0., 0.))   # trim row zeroed-ish
+    surf['trim'] = np.array([2., 0., 0., 0., 0., 0.])
+    mask = np.ones((16, 16), dtype=np.uint8)
+    surf['trimBitmap'] = dict(mask=mask, u0=-np.pi, v0=-5.,
+                              invDu=16 / (2 * np.pi), invDv=16 / 10.)
+    verts, tris = tessellateSurface(surf, resolution=16)
+    assert len(tris) > 100
+    assert verts[:, 2].min() < -4.9 and verts[:, 2].max() > 4.9
+    r = np.sqrt(verts[:, 0] ** 2 + verts[:, 1] ** 2)
+    np.testing.assert_allclose(r, 10., atol=1e-9)
