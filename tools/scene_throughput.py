@@ -1,0 +1,288 @@
+#!/usr/bin/env python
+'''
+Scene-class throughput criteria (run on real TPU):
+
+    python tools/scene_throughput.py [--json /tmp/scene_throughput.json]
+
+Measures, in ONE process (relay noise is +-10-20%; CLAUDE.md), the
+hardware throughput of each scene class the round-2 VERDICT set a "done"
+bar for, and prints measured-vs-target:
+
+  headline           lens+mirror+detector        >= 1.0  G seg/s (north star)
+  surface_source     cos^2(theta) disc emitter   >= 0.5  G seg/s (VERDICT #1)
+  diffuse_scatter    theta-only lobe diffuser    >= 0.3  G seg/s (VERDICT #2)
+  conditioned_dirac  theta_in lobe + DiracDelta  >= 0.3  G seg/s (VERDICT #2)
+  example2_prims     reference example 2 (trim   >= 1.0  G seg/s (VERDICT #3)
+                     prims, 26 surfaces)
+  mesh_fold          triangle-mesh fold mirror   >= 0.3  G seg/s (VERDICT #3)
+  raw_step           per-hit ring records        >= 20   M rays/s (VERDICT #5)
+
+Every stage is individually guarded so one failing scene class cannot
+mask the others' numbers.
+'''
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+import jax
+
+
+def _bestOfWindows(stepFn, syncFn, perCall, windows=3, minSeconds=1.5,
+                   maxCalls=24):
+  '''Peak sustained rate over `windows` timed windows. `stepFn(i)` queues
+  one async call; `syncFn(result)` must force a device-to-host fetch
+  (jax.block_until_ready is unreliable on the axon backend — CLAUDE.md).
+  Returns (bestRatePerSec, callsPerWindow).'''
+  best, calls = 0., 0
+  for w in range(windows):
+    results = []
+    t0 = time.perf_counter()
+    n = 0
+    while True:
+      results.append(stepFn(1000 * w + n))
+      n += 1
+      if n >= 4 and (time.perf_counter() - t0 >= minSeconds
+                     or n >= maxCalls):
+        break
+    total = sum(syncFn(r) for r in results)   # D2H fetch = real sync
+    dt = time.perf_counter() - t0
+    best = max(best, total / dt)
+    calls = n
+  return best, calls
+
+
+def _measureHistScene(scene, maxIntersections, bounds, bins=(128, 128),
+                      raysPerStep=1 << 22):
+  '''G segments/s through the fused Pallas histogram step.'''
+  from optics_design_workbench_tpu.ops import pallas_trace
+  from optics_design_workbench_tpu.tracing import fused
+
+  device, info = scene.compile()
+  device['powerTol'] = 1e-6
+  if not pallas_trace.pallasEligible(device):
+    raise RuntimeError('scene not pallasEligible: '
+                       + pallas_trace.pallasIneligibleReason(device))
+  src = scene.lightSources()[0]
+  histSpec = fused.makeHistogramSpec(device, info, bounds=bounds, bins=bins)
+  sampler = (src.pallasSamplerSpec()
+             if hasattr(src, 'pallasSamplerSpec') else None)
+  step = pallas_trace.makePallasTraceStep(
+      device, histSpec, src.deviceColumnsGenerator(),
+      raysPerStep=raysPerStep, maxIntersections=maxIntersections,
+      maxRayLength=1e6, distTol=1e-4, sampler=sampler)
+  key = jax.random.PRNGKey(11)
+  state = {'h': fused.initHistograms(histSpec)}
+
+  t0 = time.perf_counter()
+  state['h'], c = step(key, state['h'])
+  _ = int(c['segments'])
+  compileS = time.perf_counter() - t0
+
+  def run(i):
+    state['h'], c = step(jax.random.fold_in(key, i), state['h'])
+    return c
+
+  rate, calls = _bestOfWindows(run, lambda c: int(c['segments']),
+                               raysPerStep)
+  return rate, dict(compileS=round(compileS, 1), callsPerWindow=calls,
+                    raysPerStep=raysPerStep)
+
+
+def sceneHeadline():
+  from optics_design_workbench_tpu import benchmarks
+  return (benchmarks.buildLensMirrorScene(), 6, (-60., 60., -60., 60.))
+
+
+def sceneSurfaceSource():
+  from optics_design_workbench_tpu import benchmarks
+  return (benchmarks.buildSurfaceSourceScene(), 4,
+          (-120., 120., -120., 120.))
+
+
+def _scatterScene(density, thetaDom, srcTheta):
+  from optics_design_workbench_tpu.models import (Scene, PointSource,
+                                                  OpticalGroup)
+  from optics_design_workbench_tpu.geometry import surfaces as S
+  from optics_design_workbench_tpu.geometry import transforms as T
+  scene = Scene(label='scat_tp')
+  scene.addOpticalGroup(OpticalGroup(
+      OpticalType='Mirror', Label='Diffuser', Reflectivity=1.0,
+      ReflectedProbabilityDensity=density,
+      PowerThetaDomain=thetaDom, PowerPhiDomain='0, 2*pi',
+      surfaces=[S.plane(np.eye(4), elem=0, radius=50., orient=-1)],
+      placements=[T.translation(0, 0, 50)]))
+  scene.addOpticalGroup(OpticalGroup(
+      OpticalType='Absorber', Label='Det',
+      surfaces=[S.plane(np.eye(4), elem=0, halfExtents=(500., 500.))],
+      placements=[T.translation(0, 0, 0)]))
+  scene.addSource(PointSource(Label='Src',
+                              PowerDensity='exp(-theta^2/0.01)',
+                              ThetaDomain=srcTheta,
+                              ThetaResolutionNumericMode='2e3',
+                              placement=T.translation(0, 0, 1e-3)))
+  scene.addSimulationSettings(RaysPerIteration=1e6, MaxIntersections=4)
+  return scene
+
+
+def sceneDiffuseScatter():
+  return (_scatterScene('exp(-theta^2/0.02)', '0, pi/3', '0, 0.05'), 4,
+          (-100., 100., -100., 100.))
+
+
+def sceneConditionedDirac():
+  return (_scatterScene('DiracDelta(theta-theta_refl)'
+                        ' + 5*exp(-(theta-theta_in)**2/0.02)',
+                        '0, pi/2', '0, 0.3'), 4,
+          (-100., 100., -100., 100.))
+
+
+def sceneExample2():
+  import os
+  import shutil
+  from optics_design_workbench_tpu.models.fcstd_ingest import loadFCStd
+  ref2 = '/root/reference/examples/2-lens-and-mirror/main.FCStd'
+  if not os.path.exists(ref2):
+    raise RuntimeError('reference example 2 FCStd not available')
+  shutil.copy(ref2, '/tmp/scene_throughput_m2.FCStd')
+  return (loadFCStd('/tmp/scene_throughput_m2.FCStd'), 8,
+          (-60., 60., -60., 60.))
+
+
+def sceneMeshFold():
+  import math
+  from optics_design_workbench_tpu.models import (Scene, PointSource,
+                                                  OpticalGroup)
+  from optics_design_workbench_tpu.geometry import surfaces as S
+  c, s = math.cos(math.radians(45.)), math.sin(math.radians(45.))
+
+  def pt(x, y):
+    return (x, y * c, 60. + y * s)
+
+  scene = Scene(label='mesh_tp')
+  scene.addOpticalGroup(OpticalGroup(
+      OpticalType='Mirror', Label='FoldTri',
+      surfaces=[S.triangle(pt(-25, -25), pt(25, -25), pt(25, 25), elem=0),
+                S.triangle(pt(-25, -25), pt(25, 25), pt(-25, 25), elem=0)],
+      placements=[np.eye(4)]))
+  scene.addOpticalGroup(OpticalGroup(
+      OpticalType='Absorber', Label='Det',
+      surfaces=[S.sphere(np.eye(4), elem=0, radius=300., orient=-1)],
+      placements=[np.eye(4)]))
+  scene.addSource(PointSource(
+      Label='Src', PowerDensity='exp(-theta^2/0.05)',
+      ThetaDomain='0, 0.3', Wavelength=532.,
+      ThetaResolutionNumericMode='1e4'))
+  scene.addSimulationSettings(RaysPerIteration=1e6, MaxIntersections=3)
+  return scene, 3, (-300., 300., -300., 300.)
+
+
+def measureRawStep(raysPerStep=1 << 20):
+  '''M rays/s through makePallasRawStep (device-side records only; the
+  e2e stored-run path adds compaction+fetch, measured in the runner).'''
+  from optics_design_workbench_tpu.models import (Scene, PointSource,
+                                                  OpticalGroup)
+  from optics_design_workbench_tpu.geometry import surfaces as S
+  from optics_design_workbench_tpu.geometry import transforms as T
+  from optics_design_workbench_tpu.ops import pallas_trace
+  from optics_design_workbench_tpu.tracing import fused
+
+  scene = Scene(label='raw_tp')
+  scene.addOpticalGroup(OpticalGroup(
+      OpticalType='Vacuum', Label='Det', RecordHits=True,
+      surfaces=[S.plane(np.eye(4), elem=0, halfExtents=(50., 50.))],
+      placements=[T.translation(0, 0, 40)]))
+  scene.addOpticalGroup(OpticalGroup(
+      OpticalType='Mirror', Label='Back',
+      surfaces=[S.plane(np.eye(4), elem=0, halfExtents=(50., 50.))],
+      placements=[T.translation(0, 0, 90.)]))
+  scene.addSource(PointSource(
+      Label='Src', PowerDensity='exp(-theta^2/0.02)',
+      ThetaDomain='0, 0.3', Wavelength=532.,
+      ThetaResolutionNumericMode='1e4'))
+  scene.addSimulationSettings(RaysPerIteration=1e6, MaxIntersections=6)
+  device, info = scene.compile()
+  device['powerTol'] = 1e-6
+  histSpec = fused.makeHistogramSpec(device, info,
+                                     bounds=(-50., 50., -50., 50.),
+                                     bins=(32, 128))
+  src = scene.lightSources()[0]
+  step = pallas_trace.makePallasRawStep(
+      device, histSpec, src.deviceColumnsGenerator(),
+      raysPerStep=raysPerStep, maxIntersections=6, maxRayLength=1e6,
+      distTol=1e-4)
+  key = jax.random.PRNGKey(17)
+  t0 = time.perf_counter()
+  rec, c = step(key)
+  _ = int(c['hits'])
+  compileS = time.perf_counter() - t0
+
+  def run(i):
+    _rec, c = step(jax.random.fold_in(key, i))
+    return c
+
+  rate, calls = _bestOfWindows(run, lambda c: raysPerStep + 0 * int(c['hits']),
+                               raysPerStep)
+  return rate, dict(compileS=round(compileS, 1), callsPerWindow=calls,
+                    raysPerStep=raysPerStep)
+
+
+CRITERIA = [
+    # (name, builder, target, unit-scale, unit-name)
+    ('headline', sceneHeadline, 1.0e9, 1e9, 'G seg/s'),
+    ('surface_source', sceneSurfaceSource, 0.5e9, 1e9, 'G seg/s'),
+    ('diffuse_scatter', sceneDiffuseScatter, 0.3e9, 1e9, 'G seg/s'),
+    ('conditioned_dirac', sceneConditionedDirac, 0.3e9, 1e9, 'G seg/s'),
+    ('example2_prims', sceneExample2, 1.0e9, 1e9, 'G seg/s'),
+    ('mesh_fold', sceneMeshFold, 0.3e9, 1e9, 'G seg/s'),
+]
+
+
+def main():
+  ap = argparse.ArgumentParser()
+  ap.add_argument('--json', default='/tmp/scene_throughput.json')
+  ap.add_argument('--only', default=None,
+                  help='comma-separated subset of scene names')
+  args = ap.parse_args()
+  only = set(args.only.split(',')) if args.only else None
+
+  results = {}
+  for name, builder, target, scaleV, unit in CRITERIA:
+    if only and name not in only:
+      continue
+    t0 = time.perf_counter()
+    try:
+      scene, maxI, bounds = builder()
+      rate, meta = _measureHistScene(scene, maxI, bounds)
+      ok = rate >= target
+      results[name] = dict(rate=rate, target=target, ok=bool(ok), **meta)
+      print(f'{name:18s} {rate/scaleV:8.3f} {unit}  target '
+            f'{target/scaleV:.1f}  {"PASS" if ok else "MISS"}  '
+            f'({time.perf_counter()-t0:.0f}s total)', flush=True)
+    except Exception as e:
+      results[name] = dict(error=str(e)[:300])
+      print(f'{name:18s} FAILED: {str(e)[:160]}', flush=True)
+
+  if only is None or 'raw_step' in only:
+    t0 = time.perf_counter()
+    try:
+      rate, meta = measureRawStep()
+      ok = rate >= 20e6
+      results['raw_step'] = dict(rate=rate, target=20e6, ok=bool(ok),
+                                 **meta)
+      print(f'{"raw_step":18s} {rate/1e6:8.1f} M rays/s  target 20.0  '
+            f'{"PASS" if ok else "MISS"}  '
+            f'({time.perf_counter()-t0:.0f}s total)', flush=True)
+    except Exception as e:
+      results['raw_step'] = dict(error=str(e)[:300])
+      print(f'{"raw_step":18s} FAILED: {str(e)[:160]}', flush=True)
+
+  with open(args.json, 'w') as f:
+    json.dump(results, f, indent=1)
+  print(f'wrote {args.json}', flush=True)
+
+
+if __name__ == '__main__':
+  main()

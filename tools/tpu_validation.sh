@@ -9,6 +9,10 @@
 set -u
 LOG=${1:-/tmp/tpu_validation.log}
 cd /root/repo
+# tools/*.py run with sys.path[0]=tools/ — put the repo (and the axon site,
+# which must stay importable whenever PYTHONPATH is overridden; CLAUDE.md)
+# on the path explicitly
+export PYTHONPATH="/root/repo:/root/.axon_site${PYTHONPATH:+:$PYTHONPATH}"
 echo "=== tpu_validation $(date -u +%FT%TZ) ===" | tee -a "$LOG"
 
 echo "--- probe ---" | tee -a "$LOG"
@@ -32,6 +36,10 @@ timeout 3000 python tools/profile_kernel.py 2>&1 | tail -30 | tee -a "$LOG"
 echo "--- profile_kernel --fused (XLA fallback phases) ---" | tee -a "$LOG"
 timeout 1800 python tools/profile_kernel.py --fused 2>&1 | tail -10 \
   | tee -a "$LOG"
+
+echo "--- scene_throughput (VERDICT done-criteria) ---" | tee -a "$LOG"
+timeout 3000 python tools/scene_throughput.py \
+  --json /tmp/scene_throughput.json 2>&1 | tail -12 | tee -a "$LOG"
 
 echo "--- hardware equivalence suite ---" | tee -a "$LOG"
 OPTICS_TPU_TESTS_ON_TPU=1 timeout 5400 python -m pytest \
