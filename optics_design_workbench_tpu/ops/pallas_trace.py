@@ -713,16 +713,32 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
     carry = (ox, oy, oz, dx, dy, dz, pw, medium, jnp.ones(shape),
              segCount, hitN, seqF0, tuple(hitBin), tuple(hitW),
              tuple(hitC), tuple(tuple(r) for r in hitRaw))
-    if nUniformInputs or unrollBounces:
-      # python unroll: required by the deterministic-uniform test seam
-      # (distinct input refs per draw) and chosen for small scenes where
-      # the unrolled Mosaic program still compiles in seconds and
-      # schedules slightly better than the rolled loop
+
+    # tile-level bounce early exit: every per-ray update in _bounceBody is
+    # masked by `alive`, so once the whole tile is dead the body is exactly
+    # the identity — skip it. Typical scenes absorb every ray well before
+    # the maxIntersections budget (the bench scene finishes in 4 of 6
+    # bounces; reference rays likewise stop at the absorber, ray.py:271-277)
+    # so the scalar-core branch saves the full VPU cost of the dead tail.
+    def _anyAlive(c):
+      return jnp.sum(c[8]) > 0.
+
+    if nUniformInputs:
+      # deterministic-uniform test seam: distinct input refs per draw —
+      # keep the plain python unroll (the seam's reference computation
+      # consumes the same refs unconditionally)
       for _b in range(maxIntersections):
         carry = _bounceBody(carry)
+    elif unrollBounces:
+      # python unroll for small scenes (schedules slightly better than the
+      # rolled loop), each bounce behind an all-dead guard
+      for _b in range(maxIntersections):
+        carry = lax.cond(_anyAlive(carry), _bounceBody, lambda c: c, carry)
     else:
-      carry = lax.fori_loop(0, maxIntersections,
-                            lambda _i, c: _bounceBody(c), carry)
+      carry = lax.while_loop(
+          lambda ic: (ic[0] < maxIntersections) & _anyAlive(ic[1]),
+          lambda ic: (ic[0] + 1, _bounceBody(ic[1])),
+          (jnp.int32(0), carry))[1]
     (_ox, _oy, _oz, _dx, _dy, _dz, pw, _medium, _aliveF, segCount,
      hitN, _seqF, hitBin, hitW, hitC, hitRaw) = carry
     hitBin, hitW, hitC = list(hitBin), list(hitW), list(hitC)
