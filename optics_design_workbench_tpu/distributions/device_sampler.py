@@ -25,12 +25,15 @@ _TENT_Q = 257
 def tentInterp(table, u):
   '''Linear interpolation of `table` ((Q,), tabulated on a uniform [0,1]
   grid) at quantiles u — evaluated as a matmul with a tent-weight matrix so
-  it runs on the MXU instead of per-lane gathers.'''
+  it runs on the MXU instead of per-lane gathers. precision=HIGHEST: the
+  TPU default computes f32 matmuls at bf16 input precision, which would
+  quantize the drawn coordinate (and the tent weights) to 8 mantissa bits
+  — a ~0.4% deterministic physics error, far above f32 sampling noise.'''
   Q = table.shape[0]
   pos = u * (Q - 1)
   cols = jnp.arange(Q, dtype=pos.dtype)
   W = jnp.maximum(0., 1. - jnp.abs(pos[:, None] - cols[None, :]))
-  return W @ table
+  return jnp.matmul(W, table, precision=jax.lax.Precision.HIGHEST)
 
 
 def nearestIndex(grid, x):

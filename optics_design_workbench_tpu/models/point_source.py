@@ -384,33 +384,44 @@ class PointSource(GenericSource):
     tables = self._deviceTables
     f = self.focalLength()
     finite = bool(np.isfinite(f))
-    R = jnp.asarray(self.placement[:3, :3], dtype=jnp.float32)
-    off = jnp.asarray(self.placement[:3, 3], dtype=jnp.float32)
+    # placement rotation applied as component FMAs with host-scalar R
+    # entries, NOT as `@ R.T`: TPU f32 matmuls run at bf16 input precision
+    # by default, which quantized every origin/direction to 8 mantissa
+    # bits and made the XLA path diverge ~1e-3 from the (FMA-exact)
+    # column generator and Pallas kernel (observed on v5e via the
+    # raw-records row comparison)
+    R = np.asarray(self.placement[:3, :3], dtype=float)
+    off = np.asarray(self.placement[:3, 3], dtype=float)
     wavelength = float(self.Wavelength)
 
     # f=inf: the beam direction is CONSTANT — rotate it host-side. Building
     # it as broadcast_to(const, (N,3)) @ R.T on device SIGILLs this TPU
     # toolchain's fusion pass whenever the result feeds the trace scan
     # (degenerate constant matmul; reproduced + isolated on v5e).
-    beamDir = jnp.asarray(
-        np.asarray(self.placement[:3, :3]) @ np.array([0., 0., 1.]),
-        jnp.float32)
+    beamDir = jnp.asarray(R @ np.array([0., 0., 1.]), jnp.float32)
 
     def generate(key, N, stratified=False):
       tp = deviceDraw(tables, key, N, stratified=stratified)
       t, p = tp[0], tp[1]
       if finite:
         st, ct = jnp.sin(t), jnp.cos(t)
-        d = jnp.stack([st * jnp.sin(p), -st * jnp.cos(p), ct], axis=-1)
-        o = (jnp.array([0., 0., 1.]) - d) * f
+        ldx, ldy, ldz = st * jnp.sin(p), -st * jnp.cos(p), ct
+        lox, loy, loz = -f * ldx, -f * ldy, f * (1. - ldz)
         theta, radius = t, jnp.tan(t) * f
-        directions = d @ R.T
+        directions = jnp.stack(
+            [R[0, 0] * ldx + R[0, 1] * ldy + R[0, 2] * ldz,
+             R[1, 0] * ldx + R[1, 1] * ldy + R[1, 2] * ldz,
+             R[2, 0] * ldx + R[2, 1] * ldy + R[2, 2] * ldz], axis=-1)
       else:
-        o = jnp.stack([t * jnp.cos(p), -t * jnp.sin(p),
-                       jnp.zeros_like(t)], axis=-1)
+        lox, loy = t * jnp.cos(p), -t * jnp.sin(p)
+        loz = jnp.zeros_like(t)
         theta, radius = jnp.full_like(t, jnp.nan), t
         directions = jnp.broadcast_to(beamDir, (N, 3))
-      origins = o @ R.T + off
+      origins = jnp.stack(
+          [R[0, 0] * lox + R[0, 1] * loy + R[0, 2] * loz + off[0],
+           R[1, 0] * lox + R[1, 1] * loy + R[1, 2] * loz + off[1],
+           R[2, 0] * lox + R[2, 1] * loy + R[2, 2] * loz + off[2]],
+          axis=-1)
       return dict(origins=origins.astype(jnp.float32),
                   directions=directions.astype(jnp.float32),
                   powers=jnp.ones((N,), jnp.float32),

@@ -23,6 +23,7 @@ as compile-time constants over the (static, small) surface count.
 '''
 
 from functools import partial
+import os
 
 import numpy as np
 import jax
@@ -37,6 +38,18 @@ from . import histogram
 
 TILE = 8192
 _BIG = 3.0e38
+
+# bounce-loop early-exit mechanism: 'while' (default) | 'cond' | 'none'.
+# 'while' rolls deep bounce budgets into a lax.while_loop that stops once
+# every ray in the tile is dead — measured free when the tile tail is
+# non-empty and a large win for budget >> real bounce depth (the
+# reference's default MaxIntersections is 100); small python-unrolled
+# scenes keep the plain unroll. 'cond' additionally guards each unrolled
+# bounce with lax.cond — measured a ~30% LOSS on v5e (Mosaic keeps both
+# branch results live: the carry copies cost more than the skipped
+# bounces save, and the doubled VMEM stack halves the tile) — kept for
+# experiments only. Overridable via ODW_TPU_EARLY_EXIT.
+EARLY_EXIT = os.environ.get('ODW_TPU_EARLY_EXIT', 'while')
 
 
 def pallasEligible(scene):
@@ -79,6 +92,20 @@ def pallasIneligibleReason(scene):
 
 def numSurfacesStatic(scene):
   return int(scene['surfaces']['kind'].shape[0])
+
+
+def _shouldUnroll(scene, maxIntersections):
+  '''Bounce-loop build policy. In the default 'while' early-exit mode the
+  loop is ALWAYS rolled: the while_loop stops at the tile's real bounce
+  depth, which measured >= the python unroll even for small scenes (bench
+  scene, 4 live of 6 budgeted bounces: rolled-while 2.71 G seg/s vs
+  unrolled 2.57) and is ~N/depth faster for deep budgets (the reference
+  default MaxIntersections=100 with ~4 real bounces: 3.6x at budget 24).
+  In 'none'/'cond' modes small scenes keep the round-2 python unroll
+  (slightly better static scheduling when every bounce must run anyway).'''
+  if EARLY_EXIT == 'while':
+    return False
+  return numSurfacesStatic(scene) * maxIntersections <= 80
 
 
 def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
@@ -272,21 +299,29 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
       pw = pw_ref[:]
       wl = wl_ref[:]
     shape = ox.shape
-    medium = jnp.full(shape, -1.0)   # element id as float, -1 = vacuum
+    # Constant-valued loop carries must NOT enter lax.fori_loop/while_loop
+    # as broadcasted constants: Mosaic gives those a replicated vector
+    # layout ("{*,*}") while the loop body produces the natural (8,128)
+    # layout, and the carry relayout fails with "Invalid relayout:
+    # Non-singleton logical dimension is replicated in destination but not
+    # in source" (observed on v5e with the 26-surface rolled loop). Tying
+    # each constant to an input vector (ox * 0) pins the concrete layout.
+    zeroV = ox * 0.0
+    medium = zeroV - 1.0   # element id as float, -1 = vacuum
     # NOTE: never materialize bool arrays directly (Mosaic lowers that as
     # an unsupported i8->i1 truncation); derive masks from comparisons.
     # The fori_loop carry keeps aliveness as float 0/1 for the same reason.
-    segCount = jnp.zeros(shape, dtype=jnp.float32)
-    hitBin = [jnp.full(shape, -1.0) for _ in range(hitSlots)]
-    hitW = [jnp.zeros(shape) for _ in range(hitSlots)]
-    hitC = [jnp.zeros(shape) for _ in range(hitSlots)]
+    segCount = zeroV
+    hitBin = [zeroV - 1.0 for _ in range(hitSlots)]
+    hitW = [zeroV for _ in range(hitSlots)]
+    hitC = [zeroV for _ in range(hitSlots)]
     nRaw = 6 if rawRecords else 0   # px py pz dx dy dz (+ent rides hitC)
-    hitRaw = [[jnp.zeros(shape) for _ in range(hitSlots)]
+    hitRaw = [[zeroV for _ in range(hitSlots)]
               for _ in range(nRaw)]
-    hitN = jnp.zeros(shape)
+    hitN = zeroV
     if seqSpec is not None:
       nStages, stageSets = seqSpec
-    seqF = jnp.zeros(shape)     # per-ray sequence index as float
+    seqF = zeroV     # per-ray sequence index as float
 
     # dispersion: n(wavelength) per dispersive element, evaluated ONCE
     # (wavelength is constant along a ray) as a Horner polynomial in the
@@ -709,9 +744,8 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
               hitN, seqF, tuple(hitBin), tuple(hitW), tuple(hitC),
               tuple(tuple(r) for r in hitRaw))
 
-    seqF0 = seqF if seqSpec is not None else jnp.zeros(shape)
-    carry = (ox, oy, oz, dx, dy, dz, pw, medium, jnp.ones(shape),
-             segCount, hitN, seqF0, tuple(hitBin), tuple(hitW),
+    carry = (ox, oy, oz, dx, dy, dz, pw, medium, zeroV + 1.0,
+             segCount, hitN, seqF, tuple(hitBin), tuple(hitW),
              tuple(hitC), tuple(tuple(r) for r in hitRaw))
 
     # tile-level bounce early exit: every per-ray update in _bounceBody is
@@ -720,6 +754,10 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
     # the maxIntersections budget (the bench scene finishes in 4 of 6
     # bounces; reference rays likewise stop at the absorber, ray.py:271-277)
     # so the scalar-core branch saves the full VPU cost of the dead tail.
+    # EARLY_EXIT selects the mechanism (hardware Mosaic support for scalar
+    # branching over large carries varies): 'cond' guards each unrolled
+    # bounce with lax.cond, 'while' rolls into a lax.while_loop with an
+    # any-alive condition, 'none' keeps the unconditional round-2 loops.
     def _anyAlive(c):
       return jnp.sum(c[8]) > 0.
 
@@ -730,15 +768,27 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
       for _b in range(maxIntersections):
         carry = _bounceBody(carry)
     elif unrollBounces:
-      # python unroll for small scenes (schedules slightly better than the
-      # rolled loop), each bounce behind an all-dead guard
+      # small scenes: plain unroll — per-bounce lax.cond guards measured a
+      # net LOSS here ('cond' mode, see EARLY_EXIT above)
       for _b in range(maxIntersections):
-        carry = lax.cond(_anyAlive(carry), _bounceBody, lambda c: c, carry)
-    else:
+        if EARLY_EXIT == 'cond':
+          carry = lax.cond(_anyAlive(carry), _bounceBody, lambda c: c,
+                           carry)
+        else:
+          carry = _bounceBody(carry)
+    elif EARLY_EXIT == 'while':
       carry = lax.while_loop(
           lambda ic: (ic[0] < maxIntersections) & _anyAlive(ic[1]),
           lambda ic: (ic[0] + 1, _bounceBody(ic[1])),
           (jnp.int32(0), carry))[1]
+    elif EARLY_EXIT == 'cond':
+      carry = lax.fori_loop(
+          0, maxIntersections,
+          lambda _i, c: lax.cond(_anyAlive(c), _bounceBody, lambda x: x, c),
+          carry)
+    else:
+      carry = lax.fori_loop(0, maxIntersections,
+                            lambda _i, c: _bounceBody(c), carry)
     (_ox, _oy, _oz, _dx, _dy, _dz, pw, _medium, _aliveF, segCount,
      hitN, _seqF, hitBin, hitW, hitC, hitRaw) = carry
     hitBin, hitW, hitC = list(hitBin), list(hitW), list(hitC)
@@ -1376,6 +1426,12 @@ def makePallasTraceStep(scene, histSpec, generator, raysPerStep,
     nSurf = numSurfacesStatic(scene)
     live = 22 + nSurf + 3 * hitSlots + (0 if inKernelHist else 4) \
         + (14 if scatterConsts else 0)
+    if EARLY_EXIT in ('cond', 'while'):
+      # the early-exit loops double-buffer the carry on the VMEM stack
+      # (lax.while_loop keeps current+next carries live; lax.cond both
+      # branch results; observed: 17.3M/20.2M scoped allocations vs the
+      # 16M limit at the unguarded tile)
+      live *= 2
     maxRows = max(64, (16 << 20) // (live * 128 * 4) // 64 * 64)
     tile = TILE
     trims0 = np.asarray(scene['surfaces']['trim'])[:, 0]
@@ -1392,6 +1448,12 @@ def makePallasTraceStep(scene, histSpec, generator, raysPerStep,
     # larger scenes cap the tile at rows=128 and roll the bounce loop.
     smallScene = nSurf * maxIntersections <= 80 and not (trims0 == 2.).any()
     tileCap = maxRows * 128 if smallScene else 16384
+    if EARLY_EXIT == 'while':
+      # rolled while-loop tiles: 16384 measured fastest (2.44 G seg/s on
+      # the bench scene vs 2.29 at 32768 and 1.99 at 65536 — the
+      # double-buffered carry near the VMEM stack limit degrades big
+      # tiles long before it OOMs)
+      tileCap = min(tileCap, 16384)
     while tile * 2 <= min(raysPerStep, tileCap) \
         and raysPerStep % (tile * 2) == 0 and not (trims0 == 2.).any():
       tile *= 2
@@ -1436,8 +1498,7 @@ def makePallasTraceStep(scene, histSpec, generator, raysPerStep,
                        surfAllowed=surfAllowed, seqSpec=seqSpec,
                        sampler=sampler, scatterConsts=scatterConsts,
                        nUniformInputs=nUniform, nMasks=len(maskConsts),
-                       unrollBounces=(numSurfacesStatic(scene)
-                                      * maxIntersections <= 80))
+                       unrollBounces=_shouldUnroll(scene, maxIntersections))
   spec = pl.BlockSpec((rows, 128), lambda i: (i, 0),
                       memory_space=pltpu.VMEM)
   seedSpec = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -1644,8 +1705,7 @@ def makePallasRawStep(scene, histSpec, generator, raysPerStep,
                        sampler=sampler, scatterConsts=scatterConsts,
                        nUniformInputs=nUniform, nMasks=len(maskConsts),
                        rawRecords=True,
-                       unrollBounces=(numSurfacesStatic(scene)
-                                      * maxIntersections <= 80))
+                       unrollBounces=_shouldUnroll(scene, maxIntersections))
   spec = pl.BlockSpec((rows, 128), lambda i: (i, 0),
                       memory_space=pltpu.VMEM)
   seedSpec = pl.BlockSpec(memory_space=pltpu.SMEM)

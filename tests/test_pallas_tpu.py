@@ -585,12 +585,25 @@ def test_raw_records_step_matches_xla(tmp_path):
   assert rP.shape == rX.shape
   assert np.allclose(rP, rX, atol=1e-4)
   # throughput: device-side step only (compaction+fetch measured e2e in
-  # the runner); warm step should clear 20 M rays/s worth of budget
+  # the runner); queue the steps asynchronously and sync ONCE at the end —
+  # the runner's windowed-dispatch pattern — because a per-step counter
+  # fetch costs ~50-75 ms over the relay and would measure latency, not
+  # the kernel (a sync-every-step loop reads ~1 M rays/s for a step that
+  # sustains >30 M)
+  NR = 1 << 20                          # the runner's real batch size —
+  stepRate = pallas_trace.makePallasRawStep(   # per-call overhead (~30-60
+      device, histSpec, src.deviceColumnsGenerator(),  # ms) dominates at
+      raysPerStep=NR, maxIntersections=6,              # small batches
+      maxRayLength=1e6, distTol=1e-4)
+  _rec, c0 = stepRate(key)
+  _ = int(c0['hits'])                   # warm + compile outside the timing
   t0 = time.perf_counter()
-  for i in range(4):
-    rec, counters = stepR(jax.random.fold_in(key, i))
-    _ = int(counters['hits'])
-  rate = 4 * N / (time.perf_counter() - t0)
+  out = []
+  for i in range(8):
+    rec, counters = stepRate(jax.random.fold_in(key, i))
+    out.append(counters['hits'])
+  _ = int(out[-1])
+  rate = 8 * NR / (time.perf_counter() - t0)
   print(f'raw step rate: {rate/1e6:.1f} M rays/s')
   assert rate > 5e6
 

@@ -47,8 +47,12 @@ def _bestOfWindows(stepFn, syncFn, perCall, windows=3, minSeconds=1.5,
       if n >= 4 and (time.perf_counter() - t0 >= minSeconds
                      or n >= maxCalls):
         break
-    total = sum(syncFn(r) for r in results)   # D2H fetch = real sync
+    _ = syncFn(results[-1])                   # ONE D2H fetch = real sync
     dt = time.perf_counter() - t0
+    # remaining fetches land OUTSIDE the timed window (each counter fetch
+    # costs ~35-75 ms over the relay — summing inside the window once made
+    # every scene look ~5x slower than it is)
+    total = sum(syncFn(r) for r in results)
     best = max(best, total / dt)
     calls = n
   return best, calls
