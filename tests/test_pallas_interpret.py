@@ -616,3 +616,56 @@ def test_triangle_mesh_matches_xla_interpret():
   assert int(cX['hits']) > 0.9 * N
   assert abs(int(cP['hits']) - int(cX['hits'])) <= 2
   assert _nearlyEqualCounts(hP, hX)
+
+
+def test_early_exit_modes_identical_interpret():
+  '''EARLY_EXIT in {'none', 'while', 'cond'} selects the bounce-loop
+  build (plain unroll / fori, lax.while_loop early exit, per-bounce
+  lax.cond guards) — all three are semantically the identity on dead
+  tiles, so the histograms and counters must be bit-identical.'''
+  scene = Scene(label='eexitinterp')
+  scene.addOpticalGroup(OpticalGroup(
+      OpticalType='Mirror', Label='Fold', Reflectivity=0.9,
+      surfaces=[S.plane(np.eye(4), elem=0, radius=40.)],
+      placements=[T.compose(T.translation(0, 0, 60),
+                            T.rotation((0, 1, 0), 45))]))
+  scene.addOpticalGroup(OpticalGroup(
+      OpticalType='Absorber', Label='Det',
+      surfaces=[S.plane(np.eye(4), elem=0, halfExtents=(80., 80.))],
+      placements=[T.compose(T.translation(-60, 0, 60),
+                            T.rotation((0, 1, 0), 90))]))
+  scene.addSource(PointSource(
+      Label='Src', PowerDensity='exp(-theta^2/0.05)',
+      ThetaDomain='0, 0.3', Wavelength=532.,
+      ThetaResolutionNumericMode='1e3'))
+  # budget 7 >> the scene's 2 real bounces: the while mode must stop early
+  # yet produce identical results
+  scene.addSimulationSettings(RaysPerIteration=1e4, MaxIntersections=7)
+  device, info = scene.compile()
+  device['powerTol'] = 1e-6
+  src = scene.lightSources()[0]
+  histSpec = fused.makeHistogramSpec(device, info,
+                                     bounds=(-80., 80., -80., 80.),
+                                     bins=(32, 128))
+  key = jax.random.PRNGKey(7)
+  results = {}
+  saved = pallas_trace.EARLY_EXIT
+  try:
+    for mode in ('none', 'while', 'cond'):
+      pallas_trace.EARLY_EXIT = mode
+      step = pallas_trace.makePallasTraceStep(
+          device, histSpec, src.deviceColumnsGenerator(), interpret=True,
+          tile=TILE, raysPerStep=N, maxIntersections=7, maxRayLength=1e6,
+          distTol=1e-4)
+      h, c = step(key, fused.initHistograms(histSpec))
+      results[mode] = (np.asarray(h['counts']), np.asarray(h['power']),
+                       int(c['segments']), int(c['hits']))
+  finally:
+    pallas_trace.EARLY_EXIT = saved
+  cN, pN, sN, hN = results['none']
+  assert hN > 0 and sN > 0
+  for mode in ('while', 'cond'):
+    cM, pM, sM, hM = results[mode]
+    assert np.array_equal(cM, cN), mode
+    assert np.array_equal(pM, pN), mode
+    assert (sM, hM) == (sN, hN), mode
