@@ -84,9 +84,10 @@ def pallasIneligibleReason(scene):
     return (f'{nTri} mesh triangles > the 128 the kernel holds as '
             f'immediates (big tessellations stay on the XLA path)')
   nOther = numSurfacesStatic(scene) - nTri
-  if nOther > 64:
-    return (f'{nOther} analytic surfaces > the 64-surface kernel sweep '
-            f'budget')
+  if nOther > 256:
+    return (f'{nOther} analytic surfaces > the 256-surface kernel sweep '
+            f'budget (VMEM live-state bound; the auto tile shrinks to '
+            f'4096 rays past 128 surfaces)')
   return None
 
 
@@ -1454,6 +1455,19 @@ def makePallasTraceStep(scene, histSpec, generator, raysPerStep,
       # double-buffered carry near the VMEM stack limit degrades big
       # tiles long before it OOMs)
       tileCap = min(tileCap, 16384)
+    # many-surface scenes: the per-surface distance state exceeds the live
+    # estimate above (measured VMEM-stack OOM at 128 surfaces x 16384 and
+    # 192 x 8192 tiles); 65-128 surfaces fit 8192, up to 256 fit 4096
+    if nSurf > 128:
+      surfTileCap = 4096
+    elif nSurf > 100:
+      surfTileCap = 8192     # 100 x 16384 confirmed on hardware; 128 OOMs
+    else:
+      surfTileCap = tileCap
+    tileCap = min(tileCap, surfTileCap)
+    while tile > surfTileCap and tile > 128 \
+        and raysPerStep % (tile // 2) == 0:
+      tile //= 2
     while tile * 2 <= min(raysPerStep, tileCap) \
         and raysPerStep % (tile * 2) == 0 and not (trims0 == 2.).any():
       tile *= 2
@@ -1668,12 +1682,17 @@ def makePallasRawStep(scene, histSpec, generator, raysPerStep,
   if tile == 'auto':
     nSurf = numSurfacesStatic(scene)
     live = 22 + nSurf + 9 * hitSlots + (14 if scatterConsts else 0)
+    if EARLY_EXIT in ('cond', 'while'):
+      live *= 2              # double-buffered loop carry (see trace step)
     maxRows = max(64, (16 << 20) // (live * 128 * 4) // 64 * 64)
+    # many-surface VMEM caps, as measured for the trace step
+    surfTileCap = 4096 if nSurf > 128 else (8192 if nSurf > 100 else 16384)
     tile = TILE
     while tile > 2048 and (raysPerStep % (tile // 2) == 0) \
-        and ((trims0 == 2.).any() or tile * 128 > maxRows * 128):
+        and ((trims0 == 2.).any() or tile > surfTileCap
+             or tile * 128 > maxRows * 128):
       tile //= 2
-    while tile * 2 <= min(raysPerStep, maxRows * 128, 16384) \
+    while tile * 2 <= min(raysPerStep, maxRows * 128, 16384, surfTileCap) \
         and raysPerStep % (tile * 2) == 0 and not (trims0 == 2.).any():
       tile *= 2
     while tile > 128 and raysPerStep % tile:

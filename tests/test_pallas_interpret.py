@@ -669,3 +669,39 @@ def test_early_exit_modes_identical_interpret():
     assert np.array_equal(cM, cN), mode
     assert np.array_equal(pM, pN), mode
     assert (sM, hM) == (sN, hN), mode
+
+
+def test_many_surface_scene_matches_xla_interpret():
+  '''Scenes past the old 64-analytic-surface cap now take the kernel
+  (rolled bounce loop; the VMEM-aware auto tile shrinks with the surface
+  count — hardware-validated to 256 surfaces). An 80-mirror grid must
+  bin identically to the XLA fused step.'''
+  import math
+  scene = Scene(label='manysurf')
+  side, k = 9, 0
+  for i in range(side):
+    for j in range(side):
+      if k >= 80:
+        break
+      x = (i - side / 2 + .5) * 12.
+      y = (j - side / 2 + .5) * 12.
+      scene.addOpticalGroup(OpticalGroup(
+          OpticalType='Mirror', Label=f'M{k}', Reflectivity=0.95,
+          surfaces=[S.plane(np.eye(4), elem=0, radius=6.)],
+          placements=[T.compose(T.translation(x, y, 50.),
+                                T.rotation((0, 1, 0), 45.))]))
+      k += 1
+  scene.addOpticalGroup(OpticalGroup(
+      OpticalType='Absorber', Label='Det',
+      surfaces=[S.plane(np.eye(4), elem=0, halfExtents=(500., 500.))],
+      placements=[T.compose(T.translation(-200., 0., 50.),
+                            T.rotation((0, 1, 0), 90.))]))
+  scene.addSource(PointSource(
+      Label='Src', PowerDensity='exp(-theta^2/0.5)', ThetaDomain='0, 0.9',
+      Wavelength=532., ThetaResolutionNumericMode='1e3'))
+  scene.addSimulationSettings(RaysPerIteration=1e4, MaxIntersections=3)
+  hP, hX, cP, cX = _runPair(scene, bounds=(-300., 300., -300., 300.),
+                            bins=(32, 128), maxIntersections=3, n=N)
+  assert int(cX['hits']) > 0
+  assert int(cP['hits']) == int(cX['hits'])
+  assert _nearlyEqualCounts(hP, hX)
