@@ -1455,13 +1455,14 @@ def makePallasTraceStep(scene, histSpec, generator, raysPerStep,
       # double-buffered carry near the VMEM stack limit degrades big
       # tiles long before it OOMs)
       tileCap = min(tileCap, 16384)
-    # many-surface scenes: the per-surface distance state exceeds the live
-    # estimate above (measured VMEM-stack OOM at 128 surfaces x 16384 and
-    # 192 x 8192 tiles); 65-128 surfaces fit 8192, up to 256 fit 4096
-    if nSurf > 128:
+    # many-surface scenes prefer SMALL tiles twice over: (a) VMEM — the
+    # per-surface distance state blows the stack past ~100 surfaces at
+    # 16384-ray tiles (measured OOM at 128 x 16384 and 192 x 8192); (b)
+    # early exit — smaller tiles go all-dead sooner, and the per-bounce
+    # sweep they skip costs ~nSurf (example 2, 26 surfaces: 0.45 G seg/s
+    # at 4096 vs 0.39 at 16384; the 5-surface bench scene prefers 16384)
+    if nSurf > 16:
       surfTileCap = 4096
-    elif nSurf > 100:
-      surfTileCap = 8192     # 100 x 16384 confirmed on hardware; 128 OOMs
     else:
       surfTileCap = tileCap
     tileCap = min(tileCap, surfTileCap)
@@ -1686,7 +1687,7 @@ def makePallasRawStep(scene, histSpec, generator, raysPerStep,
       live *= 2              # double-buffered loop carry (see trace step)
     maxRows = max(64, (16 << 20) // (live * 128 * 4) // 64 * 64)
     # many-surface VMEM caps, as measured for the trace step
-    surfTileCap = 4096 if nSurf > 128 else (8192 if nSurf > 100 else 16384)
+    surfTileCap = 4096 if nSurf > 16 else 16384
     tile = TILE
     while tile > 2048 and (raysPerStep % (tile // 2) == 0) \
         and ((trims0 == 2.).any() or tile > surfTileCap
