@@ -183,6 +183,30 @@ def sceneMeshFold():
   return scene, 3, (-300., 300., -300., 300.)
 
 
+def sceneSpectrometer():
+  '''examples/4: reflection-grating spectrometer (4th BASELINE config).'''
+  from optics_design_workbench_tpu.models import (Scene, PointSource,
+                                                  OpticalGroup)
+  from optics_design_workbench_tpu.geometry import surfaces as S
+  from optics_design_workbench_tpu.geometry import transforms as T
+  scene = Scene(label='spectro_tp')
+  scene.addOpticalGroup(OpticalGroup(
+      OpticalType='Grating', Label='Grating', GratingType='Reflection',
+      GratingLinesPerMillimeter=500., GratingDiffractionOrder=1,
+      GratingLinesOrientation=(1., 0., 0.),
+      surfaces=[S.plane(np.eye(4), elem=0, radius=40., orient=-1)],
+      placements=[T.translation(0, 0, 100.)]))
+  scene.addOpticalGroup(OpticalGroup(
+      OpticalType='Absorber', Label='Detector',
+      surfaces=[S.plane(np.eye(4), elem=0, halfExtents=(80., 80.))],
+      placements=[T.translation(0, 0, 0)]))
+  scene.addSource(PointSource(
+      Label='Src', PowerDensity='exp(-theta^2/1e-4)', Wavelength=532.,
+      ThetaDomain='0, 0.05', ThetaResolutionNumericMode='2e3'))
+  scene.addSimulationSettings(RaysPerIteration=1e6, MaxIntersections=3)
+  return scene, 3, (-80., 80., -80., 80.)
+
+
 def measureRawStep(raysPerStep=1 << 20):
   '''M rays/s through makePallasRawStep (device-side records only; the
   e2e stored-run path adds compaction+fetch, measured in the runner).'''
@@ -241,6 +265,7 @@ CRITERIA = [
     ('conditioned_dirac', sceneConditionedDirac, 0.3e9, 1e9, 'G seg/s'),
     ('example2_prims', sceneExample2, 1.0e9, 1e9, 'G seg/s'),
     ('mesh_fold', sceneMeshFold, 0.3e9, 1e9, 'G seg/s'),
+    ('spectrometer', sceneSpectrometer, 0.3e9, 1e9, 'G seg/s'),
 ]
 
 
