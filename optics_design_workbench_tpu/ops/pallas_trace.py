@@ -95,25 +95,37 @@ def numSurfacesStatic(scene):
   return int(scene['surfaces']['kind'].shape[0])
 
 
-def _shouldUnroll(scene, maxIntersections):
-  '''Bounce-loop build policy. In the default 'while' early-exit mode the
-  loop is ALWAYS rolled: the while_loop stops at the tile's real bounce
-  depth, which measured >= the python unroll even for small scenes (bench
-  scene, 4 live of 6 budgeted bounces: rolled-while 2.71 G seg/s vs
-  unrolled 2.57) and is ~N/depth faster for deep budgets (the reference
-  default MaxIntersections=100 with ~4 real bounces: 3.6x at budget 24).
-  In 'none'/'cond' modes small scenes keep the round-2 python unroll
-  (slightly better static scheduling when every bounce must run anyway).'''
+def _shouldUnroll(scene, maxIntersections, nElements=None):
+  '''Bounce-loop build policy: how many leading bounces to PYTHON-UNROLL.
+  Returns an int K: bounces [0, K) are unrolled (best static scheduling —
+  the rolled loop costs ~1.5x per bounce on v5e), bounces [K, maxI) run in
+  the early-exit tail loop (lax.while_loop in 'while' mode), which costs
+  nothing once every ray in the tile is dead.
+
+  K targets the scene's REAL interaction depth: a ray interacts with each
+  element at most ~once on the productive path (lens entry+exit counts 2
+  via its multiple surfaces but a single extra bounce covers it), so
+  K = nElements + 1 unrolls the whole typical trace and leaves only the
+  stragglers (TIR loops, multi-pass cavities, over-budget) to the rolled
+  tail. Capped by the Mosaic op-count budget (rows x surfaces x unrolled
+  bounces — a 26-surface 8-bounce unroll took >15 min to compile).
+
+  'none'/'cond' modes keep the round-2 semantics: full unroll for small
+  scenes, fully rolled otherwise.'''
+  nSurf = numSurfacesStatic(scene)
   if EARLY_EXIT == 'while':
-    return False
-  return numSurfacesStatic(scene) * maxIntersections <= 80
+    if nElements is None:
+      nElements = int(scene['elements']['optType'].shape[0])
+    K = min(maxIntersections, nElements + 1)
+    return K if nSurf * K <= 80 else 0
+  return maxIntersections if nSurf * maxIntersections <= 80 else 0
 
 
 def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
                 maxIntersections, maxRayLength, distTol, powerTol,
                 histRows=None, hitSlots=1, surfAllowed=None, seqSpec=None,
                 sampler=None, scatterConsts=None, nUniformInputs=0,
-                nMasks=0, rawRecords=False, unrollBounces=False):
+                nMasks=0, rawRecords=False, unrollBounces=0):
   '''Build the kernel body with the scene baked in as python constants.
   surfRows: list of per-surface dicts of floats; elemRows likewise.
   histRows: if set (= D*H), the kernel accumulates the (histRows, 2*W)
@@ -768,28 +780,34 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
       # consumes the same refs unconditionally)
       for _b in range(maxIntersections):
         carry = _bounceBody(carry)
-    elif unrollBounces:
-      # small scenes: plain unroll — per-bounce lax.cond guards measured a
-      # net LOSS here ('cond' mode, see EARLY_EXIT above)
-      for _b in range(maxIntersections):
+    else:
+      # hybrid loop: unroll the first K = unrollBounces bounces plainly
+      # (best static scheduling; the rolled loop costs ~1.5x per bounce),
+      # then run the [K, maxIntersections) tail in the early-exit rolled
+      # loop — on typical scenes every ray is dead by bounce K, so the
+      # tail's while_loop exits immediately and deep budgets are free.
+      K = min(int(unrollBounces), maxIntersections)
+      for _b in range(K):
         if EARLY_EXIT == 'cond':
           carry = lax.cond(_anyAlive(carry), _bounceBody, lambda c: c,
                            carry)
         else:
           carry = _bounceBody(carry)
-    elif EARLY_EXIT == 'while':
-      carry = lax.while_loop(
-          lambda ic: (ic[0] < maxIntersections) & _anyAlive(ic[1]),
-          lambda ic: (ic[0] + 1, _bounceBody(ic[1])),
-          (jnp.int32(0), carry))[1]
-    elif EARLY_EXIT == 'cond':
-      carry = lax.fori_loop(
-          0, maxIntersections,
-          lambda _i, c: lax.cond(_anyAlive(c), _bounceBody, lambda x: x, c),
-          carry)
-    else:
-      carry = lax.fori_loop(0, maxIntersections,
-                            lambda _i, c: _bounceBody(c), carry)
+      if maxIntersections > K:
+        if EARLY_EXIT == 'while':
+          carry = lax.while_loop(
+              lambda ic: (ic[0] < maxIntersections) & _anyAlive(ic[1]),
+              lambda ic: (ic[0] + 1, _bounceBody(ic[1])),
+              (jnp.int32(K), carry))[1]
+        elif EARLY_EXIT == 'cond':
+          carry = lax.fori_loop(
+              K, maxIntersections,
+              lambda _i, c: lax.cond(_anyAlive(c), _bounceBody,
+                                     lambda x: x, c),
+              carry)
+        else:
+          carry = lax.fori_loop(K, maxIntersections,
+                                lambda _i, c: _bounceBody(c), carry)
     (_ox, _oy, _oz, _dx, _dy, _dz, pw, _medium, _aliveF, segCount,
      hitN, _seqF, hitBin, hitW, hitC, hitRaw) = carry
     hitBin, hitW, hitC = list(hitBin), list(hitW), list(hitC)
@@ -1427,7 +1445,9 @@ def makePallasTraceStep(scene, histSpec, generator, raysPerStep,
     nSurf = numSurfacesStatic(scene)
     live = 22 + nSurf + 3 * hitSlots + (0 if inKernelHist else 4) \
         + (14 if scatterConsts else 0)
-    if EARLY_EXIT in ('cond', 'while'):
+    tailK = _shouldUnroll(scene, maxIntersections)
+    hasLoopTail = tailK < maxIntersections
+    if EARLY_EXIT == 'cond' or (EARLY_EXIT == 'while' and hasLoopTail):
       # the early-exit loops double-buffer the carry on the VMEM stack
       # (lax.while_loop keeps current+next carries live; lax.cond both
       # branch results; observed: 17.3M/20.2M scoped allocations vs the
