@@ -80,9 +80,22 @@ def pallasIneligibleReason(scene):
             'polynomial model')
   kindArr = np.asarray(scene['surfaces']['kind'])
   nTri = int((kindArr == GS.TRIANGLE).sum())
+  if nTri > 1024:
+    return (f'{nTri} mesh triangles > the 1024 the kernel holds in SMEM '
+            f'(big tessellations stay on the XLA path)')
   if nTri > 128:
-    return (f'{nTri} mesh triangles > the 128 the kernel holds as '
-            f'immediates (big tessellations stay on the XLA path)')
+    # the SMEM mesh sweep has no per-surface compile-time gates, so
+    # sequential-mode stages and per-source surface masks keep such
+    # scenes on the immediates (<=128 tris) or XLA paths
+    if 'seqMask' in scene:
+      return (f'{nTri} mesh triangles with sequential mode: stage gates '
+              f'are per-surface immediates (<=128 tris)')
+    if 'surfMask' in scene:
+      triMask = np.asarray(scene['surfMask']).astype(bool)[
+          kindArr == GS.TRIANGLE]
+      if not triMask.all():
+        return (f'{nTri} mesh triangles with a per-source ignore mask on '
+                f'mesh surfaces (<=128 tris for masked meshes)')
   nOther = numSurfacesStatic(scene) - nTri
   if nOther > 256:
     return (f'{nOther} analytic surfaces > the 256-surface kernel sweep '
@@ -125,7 +138,7 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
                 maxIntersections, maxRayLength, distTol, powerTol,
                 histRows=None, hitSlots=1, surfAllowed=None, seqSpec=None,
                 sampler=None, scatterConsts=None, nUniformInputs=0,
-                nMasks=0, rawRecords=False, unrollBounces=0):
+                nMasks=0, rawRecords=False, unrollBounces=0, nTriSMEM=0):
   '''Build the kernel body with the scene baked in as python constants.
   surfRows: list of per-surface dicts of floats; elemRows likewise.
   histRows: if set (= D*H), the kernel accumulates the (histRows, 2*W)
@@ -286,7 +299,8 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
     else:
       rest = refs[i0:]
     maskVals = tuple(rest[k][:] for k in range(nMasks))
-    out_refs = rest[nMasks:]
+    triRef = rest[nMasks] if nTriSMEM else None   # (nTri, 11) SMEM scalars
+    out_refs = rest[nMasks + (1 if nTriSMEM else 0):]
     if rawRecords:
       # 9 ring outputs per slot: elem, power, world point, incoming
       # direction, isEntering (the kernel twin of batch_tracer's records)
@@ -392,6 +406,56 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
         t = _seqGate(s, t)
         ts[s] = t
         tBest = jnp.minimum(tBest, t)
+
+      # ---- SMEM-resident triangle sweep: meshes past the immediates
+      # budget ride as a (nTri, 11) scalar-memory table [p0, e1, e2,
+      # elemF, orient] looped per bounce — the scalar core feeds each
+      # triangle's constants to the same vectorized Moeller-Trumbore as
+      # the immediates path; the running argmin tracks the winner's
+      # (pre-oriented) normal and element so no per-ray gather is needed.
+      # Sequential-mode stage gates and per-source surface masks are
+      # compile-time per-SURFACE constants and cannot apply per SMEM row,
+      # so eligibility keeps such scenes on the immediates/XLA paths.
+      if nTriSMEM:
+        def _triBody(i, c):
+          tT, nxT, nyT, nzT, elT = c
+          p0x, p0y, p0z = triRef[i, 0], triRef[i, 1], triRef[i, 2]
+          e1x, e1y, e1z = triRef[i, 3], triRef[i, 4], triRef[i, 5]
+          e2x, e2y, e2z = triRef[i, 6], triRef[i, 7], triRef[i, 8]
+          el, orn = triRef[i, 9], triRef[i, 10]
+          pvx = dy * e2z - dz * e2y
+          pvy = dz * e2x - dx * e2z
+          pvz = dx * e2y - dy * e2x
+          det = e1x * pvx + e1y * pvy + e1z * pvz
+          detS = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+          tvx, tvy, tvz = ox - p0x, oy - p0y, oz - p0z
+          u = (tvx * pvx + tvy * pvy + tvz * pvz) / detS
+          qvx = tvy * e1z - tvz * e1y
+          qvy = tvz * e1x - tvx * e1z
+          qvz = tvx * e1y - tvy * e1x
+          v = (dx * qvx + dy * qvy + dz * qvz) / detS
+          t = (e2x * qvx + e2y * qvy + e2z * qvz) / detS
+          ok = ((jnp.abs(det) > 1e-12) & (u >= 0) & (v >= 0)
+                & (u + v <= 1) & (t > distTol) & (t <= maxRayLength))
+          t = jnp.where(ok, t, _BIG)
+          better = t < tT
+          # unnormalized cross suffices up to scale; normalize scalar-side
+          cnx = e1y * e2z - e1z * e2y
+          cny = e1z * e2x - e1x * e2z
+          cnz = e1x * e2y - e1y * e2x
+          inv = orn * jax.lax.rsqrt(cnx * cnx + cny * cny + cnz * cnz
+                                    + 1e-30)
+          tT = jnp.where(better, t, tT)
+          nxT = jnp.where(better, cnx * inv, nxT)
+          nyT = jnp.where(better, cny * inv, nyT)
+          nzT = jnp.where(better, cnz * inv, nzT)
+          elT = jnp.where(better, el, elT)
+          return tT, nxT, nyT, nzT, elT
+        tT, nxT, nyT, nzT, elT = lax.fori_loop(
+            0, nTriSMEM, _triBody,
+            (zeroV + _BIG, zeroV, zeroV, zeroV, zeroV - 1.0))
+        tBest = jnp.minimum(tBest, tT)
+
       # same-medium preference: nearest hit with elem != medium within
       # the 2*distTol window
       tPref = jnp.full(shape, _BIG)
@@ -399,11 +463,14 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
         ok = ((ts[s] <= tBest + 2 * distTol)
               & (medium != surfRows[s]['elemF']))
         tPref = jnp.minimum(tPref, jnp.where(ok, ts[s], _BIG))
+      if nTriSMEM:
+        okT = (tT <= tBest + 2 * distTol) & (medium != elT)
+        tPref = jnp.minimum(tPref, jnp.where(okT, tT, _BIG))
       hasPref = tPref < _BIG
       tSel = jnp.where(hasPref, tPref, tBest)
       hasHit = tBest < _BIG
 
-      # winning surface index (first match on tSel)
+      # winning surface index (first match on tSel; -2 = SMEM triangle)
       sIdx = jnp.full(shape, -1.0)
       for s in bounceSurfs:
         t = ts[s]
@@ -414,6 +481,11 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
         isSel = ((hasPref & prefOk & (t <= tPref))
                  | (~hasPref & (t <= tBest)))
         sIdx = jnp.where((sIdx < 0) & isSel & hasHit, float(s), sIdx)
+      if nTriSMEM:
+        prefOkT = (tT <= tBest + 2 * distTol) & (medium != elT)
+        isSelT = ((hasPref & prefOkT & (tT <= tPref))
+                  | (~hasPref & (tT <= tBest)))
+        sIdx = jnp.where((sIdx < 0) & isSelT & hasHit, -2.0, sIdx)
 
       tSeg = jnp.where(hasHit, tSel, maxRayLength)
       px, py, pz = ox + tSeg * dx, oy + tSeg * dy, oz + tSeg * dz
@@ -451,6 +523,17 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
         plxA = jnp.where(m, lx, plxA)
         plyA = jnp.where(m, ly, plyA)
         elemF = jnp.where(m, r['elemF'], elemF)
+      if nTriSMEM:
+        # SMEM-triangle winner: argmin-tracked oriented normal; triangles
+        # are stored world-frame (identity transform), so the recording
+        # chart is world (x, y) like the immediates TRIANGLE path
+        mT = sIdx == -2.0
+        nxA = jnp.where(mT, nxT, nxA)
+        nyA = jnp.where(mT, nyT, nyA)
+        nzA = jnp.where(mT, nzT, nzA)
+        plxA = jnp.where(mT, px, plxA)
+        plyA = jnp.where(mT, py, plyA)
+        elemF = jnp.where(mT, elT, elemF)
 
       cosA = dx * nxA + dy * nyA + dz * nzA
       isEntering = cosA < 0
@@ -1212,13 +1295,17 @@ def _normalConst(r, lx, ly, lz):
   raise ValueError(f'unsupported kind {kind}')
 
 
-def _sceneRows(scene, histSpec):
+def _sceneRows(scene, histSpec, smemTris=False):
   '''Extract python-float scene constants (host side; scene arrays must be
   concrete). Returns (surfRows, elemRows, maskConsts): bitmap-trimmed
   surfaces (trim0 == 2, geometry/brep.py UV occupancy bitmaps) carry their
   chart map in trim1..trim4 plus a `maskSlot` index into maskConsts — a
   list of bit-packed (R, ceil(R/8)) float32 byte matrices fed to the
-  kernel as VMEM inputs and sampled by _bitmapOkConst.'''
+  kernel as VMEM inputs and sampled by _bitmapOkConst.
+  smemTris=True splits every TRIANGLE surface out of surfRows into a
+  (nTri, 11) float32 table [v0(3), e1(3), e2(3), elemF, orient] in WORLD
+  coordinates, for the kernel's SMEM-looped mesh sweep (meshes past the
+  ~128-triangle immediates budget).'''
   surf = scene['surfaces']
   S = numSurfacesStatic(scene)
   packed = np.asarray(surf['packed'], dtype=float)
@@ -1231,6 +1318,7 @@ def _sceneRows(scene, histSpec):
   maskConsts = []
   maskSlotOf = {}
   surfRows = []
+  smemTriRows = []
   for s in range(S):
     p = packed[s]
     row = dict(
@@ -1251,8 +1339,24 @@ def _sceneRows(scene, histSpec):
         and np.allclose(p[9:12], 0., atol=1e-12))
     if row['kind'] == GS.TRIANGLE:
       v0 = np.array([row['p0'], row['p1'], row['p2']])
-      e1 = np.array([row['p3'], row['p4'], row['p5']]) - v0
-      e2 = np.array([row['p6'], row['p7'], row['p8']]) - v0
+      v1 = np.array([row['p3'], row['p4'], row['p5']])
+      v2 = np.array([row['p6'], row['p7'], row['p8']])
+      if smemTris:
+        if not row['ident']:
+          # vertices live in the row's LOCAL frame; the SMEM sweep works
+          # world-frame, so map them out through the inverse transform
+          Rm = np.array([[row['r00'], row['r01'], row['r02']],
+                         [row['r10'], row['r11'], row['r12']],
+                         [row['r20'], row['r21'], row['r22']]])
+          tv = np.array([row['t0'], row['t1'], row['t2']])
+          v0 = Rm.T @ (v0 - tv)
+          v1 = Rm.T @ (v1 - tv)
+          v2 = Rm.T @ (v2 - tv)
+        smemTriRows.append(np.concatenate([
+            v0, v1 - v0, v2 - v0, [row['elemF'], row['orient']]]))
+        continue
+      e1 = v1 - v0
+      e2 = v2 - v0
       nT = np.cross(e1, e2)
       nT = nT / max(np.linalg.norm(nT), 1e-30)
       row['triE1'] = tuple(float(x) for x in e1)
@@ -1298,6 +1402,10 @@ def _sceneRows(scene, histSpec):
         gratType=float(ep[e, 4]), gratLpm=float(max(ep[e, 5], 1e-9)),
         gratDirX=float(ep[e, 6]), gratDirY=float(ep[e, 7]),
         gratDirZ=float(ep[e, 8]), gratOrder=float(ep[e, 9])))
+  if smemTris:
+    triTable = (np.asarray(smemTriRows, dtype=np.float32)
+                if smemTriRows else np.zeros((0, 11), np.float32))
+    return surfRows, elemRows, maskConsts, triTable
   return surfRows, elemRows, maskConsts
 
 
@@ -1523,7 +1631,15 @@ def makePallasTraceStep(scene, histSpec, generator, raysPerStep,
                 * maxIntersections)
   else:
     nUniform = 0
-  surfRows, elemRows, maskConsts = _sceneRows(scene, histSpec)
+  nTriScene = int((np.asarray(scene['surfaces']['kind'])
+                   == GS.TRIANGLE).sum())
+  useSmemTris = nTriScene > 128
+  if useSmemTris:
+    surfRows, elemRows, maskConsts, triTable = _sceneRows(
+        scene, histSpec, smemTris=True)
+  else:
+    surfRows, elemRows, maskConsts = _sceneRows(scene, histSpec)
+    triTable = None
   surfAllowed, seqSpec = _staticMasks(scene)
   kernel = _makeKernel(surfRows, elemRows, histSpec['elemToDet'],
                        histSpec['bounds'], (H, W), maxIntersections,
@@ -1533,6 +1649,7 @@ def makePallasTraceStep(scene, histSpec, generator, raysPerStep,
                        surfAllowed=surfAllowed, seqSpec=seqSpec,
                        sampler=sampler, scatterConsts=scatterConsts,
                        nUniformInputs=nUniform, nMasks=len(maskConsts),
+                       nTriSMEM=0 if triTable is None else len(triTable),
                        unrollBounces=_shouldUnroll(scene, maxIntersections))
   spec = pl.BlockSpec((rows, 128), lambda i: (i, 0),
                       memory_space=pltpu.VMEM)
@@ -1547,6 +1664,9 @@ def makePallasTraceStep(scene, histSpec, generator, raysPerStep,
   maskInputs = tuple(jnp.asarray(m) for m in maskConsts)
   inSpecs += [pl.BlockSpec(m.shape, lambda i: (0, 0),
                            memory_space=pltpu.VMEM) for m in maskConsts]
+  if triTable is not None:
+    maskInputs = maskInputs + (jnp.asarray(triTable),)
+    inSpecs += [pl.BlockSpec(memory_space=pltpu.SMEM)]
   if inKernelHist:
     histSpecBlock = pl.BlockSpec((D * H, 2 * W), lambda i: (0, 0),
                                  memory_space=pltpu.VMEM)
@@ -1734,7 +1854,14 @@ def makePallasRawStep(scene, histSpec, generator, raysPerStep,
                 + (perBounce(lobeC) + perBounce(modsC)) * maxIntersections)
   else:
     nUniform = 0
-  surfRows, elemRows, maskConsts = _sceneRows(scene, histSpec)
+  nTriScene = int((np.asarray(scene['surfaces']['kind'])
+                   == GS.TRIANGLE).sum())
+  if nTriScene > 128:
+    surfRows, elemRows, maskConsts, triTable = _sceneRows(
+        scene, histSpec, smemTris=True)
+  else:
+    surfRows, elemRows, maskConsts = _sceneRows(scene, histSpec)
+    triTable = None
   surfAllowed, seqSpec = _staticMasks(scene)
   powerTol = float(scene.get('powerTol', 1e-6))
   kernel = _makeKernel(surfRows, elemRows, histSpec['elemToDet'],
@@ -1745,6 +1872,7 @@ def makePallasRawStep(scene, histSpec, generator, raysPerStep,
                        sampler=sampler, scatterConsts=scatterConsts,
                        nUniformInputs=nUniform, nMasks=len(maskConsts),
                        rawRecords=True,
+                       nTriSMEM=0 if triTable is None else len(triTable),
                        unrollBounces=_shouldUnroll(scene, maxIntersections))
   spec = pl.BlockSpec((rows, 128), lambda i: (i, 0),
                       memory_space=pltpu.VMEM)
@@ -1757,6 +1885,9 @@ def makePallasRawStep(scene, histSpec, generator, raysPerStep,
   maskInputs = tuple(jnp.asarray(m) for m in maskConsts)
   inSpecs += [pl.BlockSpec(m.shape, lambda i: (0, 0),
                            memory_space=pltpu.VMEM) for m in maskConsts]
+  if triTable is not None:
+    maskInputs = maskInputs + (jnp.asarray(triTable),)
+    inSpecs += [pl.BlockSpec(memory_space=pltpu.SMEM)]
   nOut = 9 * hitSlots + 2
   traceCall = pl.pallas_call(
       kernel, grid=grid, in_specs=inSpecs, out_specs=[spec] * nOut,

@@ -705,3 +705,48 @@ def test_many_surface_scene_matches_xla_interpret():
   assert int(cX['hits']) > 0
   assert int(cP['hits']) == int(cX['hits'])
   assert _nearlyEqualCounts(hP, hX)
+
+
+def test_smem_triangle_mesh_matches_xla_interpret():
+  '''Meshes past the 128-triangle immediates budget ride as a (nTri, 11)
+  SMEM table looped in-kernel (scalar-fed Moeller-Trumbore with argmin
+  normal/element tracking). A 200-triangle paraboloid-ish dish mirror
+  must reproduce the XLA fused step bin-for-bin.'''
+  import math
+  scene = Scene(label='smemtri')
+  tris = []
+  nR, nP = 10, 10                       # 10 x 10 quads x 2 = 200 triangles
+  R0, z0 = 40., 60.
+
+  def pt(ir, ip):
+    r = R0 * ir / nR
+    ph = 2 * math.pi * ip / nP
+    return (r * math.cos(ph), r * math.sin(ph),
+            z0 + 0.004 * r * r)         # shallow dish, focusing down
+
+  for ir in range(nR):
+    for ip in range(nP):
+      a, b = pt(ir, ip), pt(ir + 1, ip)
+      c, d = pt(ir + 1, ip + 1), pt(ir, ip + 1)
+      tris.append(S.triangle(a, b, c, elem=0))
+      tris.append(S.triangle(a, c, d, elem=0))
+  scene.addOpticalGroup(OpticalGroup(
+      OpticalType='Mirror', Label='Dish', surfaces=tris,
+      placements=[np.eye(4)]))
+  scene.addOpticalGroup(OpticalGroup(
+      OpticalType='Absorber', Label='Det',
+      surfaces=[S.plane(np.eye(4), elem=0, halfExtents=(200., 200.))],
+      placements=[T.translation(0, 0, 0)]))
+  scene.addSource(PointSource(
+      Label='Src', PowerDensity='exp(-theta^2/0.1)', ThetaDomain='0, 0.5',
+      Wavelength=532., ThetaResolutionNumericMode='1e3',
+      placement=T.translation(0, 0, 1e-3)))
+  scene.addSimulationSettings(RaysPerIteration=1e4, MaxIntersections=3)
+  device, info = scene.compile()
+  device['powerTol'] = 1e-6
+  assert pallas_trace.pallasEligible(device)
+  hP, hX, cP, cX = _runPair(scene, bounds=(-200., 200., -200., 200.),
+                            bins=(32, 128), maxIntersections=3, n=N)
+  assert int(cX['hits']) > 0.2 * N      # the dish reflects back to z=0
+  assert int(cP['hits']) == int(cX['hits'])
+  assert _nearlyEqualCounts(hP, hX)
