@@ -162,17 +162,60 @@ def traceHistogram(scene, histSpec, histograms, origins, directions, powers,
 
 
 def makeFusedStep(scene, generator, histSpec, raysPerStep, maxIntersections,
-                  maxRayLength, distTol, stratified=False):
+                  maxRayLength, distTol, stratified=False,
+                  chunkLimit=1 << 26):
   '''Compose sampling + trace + histogram into one jitted step function
-  `(key, histograms) -> (histograms, counters)`.'''
+  `(key, histograms) -> (histograms, counters)`.
+
+  Memory guard: the batch tracer materializes (S, N) distance matrices
+  (batch_tracer.allDistancesBatch), so a many-surface scene at a large
+  batch OOMs HBM (observed: 800 triangles x 1M rays wants ~28 GB on a
+  16 GB v5e). When S * raysPerStep exceeds `chunkLimit` the step folds the
+  batch through a lax.scan over ray chunks instead — same results, bounded
+  memory (chunking the RAY axis keeps every per-kind sweep and the
+  tie-breaking semantics untouched).'''
+  import numpy as np
+
+  chunks = 1
+  try:
+    nSurf = int(np.asarray(scene['surfaces']['kind']).shape[0])
+  except Exception:
+    nSurf = 0                      # traced/abstract scene: no chunking
+  while nSurf * (raysPerStep // chunks) > chunkLimit \
+      and raysPerStep % (chunks * 2) == 0:
+    chunks *= 2
 
   @jax.jit
   def fusedStep(key, histograms):
     batch = generator(key, raysPerStep, stratified=stratified)
-    return traceHistogram(scene, histSpec, histograms,
-                          batch['origins'], batch['directions'],
-                          batch['powers'], batch['wavelengths'],
-                          maxIntersections=maxIntersections,
-                          maxRayLength=maxRayLength, distTol=distTol)
+    if chunks == 1:
+      return traceHistogram(scene, histSpec, histograms,
+                            batch['origins'], batch['directions'],
+                            batch['powers'], batch['wavelengths'],
+                            maxIntersections=maxIntersections,
+                            maxRayLength=maxRayLength, distTol=distTol)
+    Nc = raysPerStep // chunks
+    xs = (batch['origins'].reshape(chunks, Nc, 3),
+          batch['directions'].reshape(chunks, Nc, 3),
+          batch['powers'].reshape(chunks, Nc),
+          batch['wavelengths'].reshape(chunks, Nc),
+          jnp.arange(chunks))
+
+    def body(carry, x):
+      hist, segs, hits, esc = carry
+      o, d, p, w, i = x
+      hist, c = traceHistogram(
+          scene, histSpec, hist, o, d, p, w,
+          maxIntersections=maxIntersections, maxRayLength=maxRayLength,
+          distTol=distTol,
+          scatterKey=jax.random.fold_in(key, 7700 + i))
+      return (hist, segs + jnp.asarray(c['segments'], jnp.int32),
+              hits + jnp.asarray(c['hits'], jnp.int32),
+              esc + jnp.asarray(c['escaped'], jnp.int32)), None
+
+    zero = jnp.int32(0)
+    (hist, segs, hits, esc), _ = jax.lax.scan(
+        body, (histograms, zero, zero, zero), xs)
+    return hist, dict(segments=segs, hits=hits, escaped=esc)
 
   return fusedStep

@@ -164,3 +164,37 @@ def test_batch_matches_per_ray_on_quadric_prim_scene():
     np.testing.assert_allclose(np.asarray(stRef[2]), np.asarray(stB[2]),
                                atol=1e-5)
     state = stB
+
+
+def test_fused_step_ray_chunking_matches_unchunked():
+  '''makeFusedStep's memory guard (lax.scan over ray chunks when
+  S * raysPerStep exceeds chunkLimit — the (S, N) distance matrix OOMs
+  HBM for big meshes otherwise) must be bit-identical to the unchunked
+  step: same rays, same scatterless physics, chunking only reshapes the
+  batch axis.'''
+  import jax
+  from optics_design_workbench_tpu import benchmarks
+  from optics_design_workbench_tpu.tracing import fused
+
+  scene = benchmarks.buildLensMirrorScene()
+  device, info = scene.compile()
+  device['powerTol'] = 1e-6
+  src = scene.lightSources()[0]
+  hs = fused.makeHistogramSpec(device, info, bounds=(-60., 60., -60., 60.),
+                               bins=(32, 64))
+  N = 1 << 12
+  key = jax.random.PRNGKey(41)
+  kw = dict(raysPerStep=N, maxIntersections=6, maxRayLength=1e6,
+            distTol=1e-4)
+  stepA = fused.makeFusedStep(device, src.deviceGenerator(), hs, **kw)
+  hA, cA = stepA(key, fused.initHistograms(hs))
+  # tiny chunkLimit forces 8 chunks on this 6-surface scene
+  stepB = fused.makeFusedStep(device, src.deviceGenerator(), hs, **kw,
+                              chunkLimit=6 * (N // 8))
+  hB, cB = stepB(key, fused.initHistograms(hs))
+  assert int(cB['hits']) == int(cA['hits'])
+  assert int(cB['segments']) == int(cA['segments'])
+  np.testing.assert_array_equal(np.asarray(hB['counts']),
+                                np.asarray(hA['counts']))
+  np.testing.assert_allclose(np.asarray(hB['power']),
+                             np.asarray(hA['power']), rtol=1e-6, atol=1e-7)
