@@ -716,3 +716,64 @@ def test_small_batch_raw_step_tile_shrink():
   rec, counters = step(jax.random.PRNGKey(2))
   assert rec['hitElem'].shape[1] == 2048
   assert int(counters['hits']) > 1800     # nearly every ray lands
+
+
+def test_smem_triangle_mesh_matches_xla_tpu():
+  '''Meshes past the 128-triangle immediates budget (SMEM-looped scalar
+  table) on hardware: a 200-triangle dish mirror must agree with the XLA
+  fused step (which ray-chunks its (S, N) sweep at this size) on hit
+  count and binning.'''
+  import math
+  from optics_design_workbench_tpu.models import (Scene, PointSource,
+                                                  OpticalGroup)
+  from optics_design_workbench_tpu.geometry import surfaces as S
+  from optics_design_workbench_tpu.geometry import transforms as T
+  from optics_design_workbench_tpu.ops import pallas_trace
+  from optics_design_workbench_tpu.tracing import fused
+
+  scene = Scene(label='smemtri_hw')
+  tris = []
+  nQ, R0, z0 = 10, 40., 60.
+
+  def pt(ir, ip):
+    r = R0 * ir / nQ
+    ph = 2 * math.pi * ip / nQ
+    return (r * math.cos(ph), r * math.sin(ph), z0 + 0.004 * r * r)
+
+  for ir in range(nQ):
+    for ip in range(nQ):
+      a, b = pt(ir, ip), pt(ir + 1, ip)
+      c, d = pt(ir + 1, ip + 1), pt(ir, ip + 1)
+      tris.append(S.triangle(a, b, c, elem=0))
+      tris.append(S.triangle(a, c, d, elem=0))
+  scene.addOpticalGroup(OpticalGroup(
+      OpticalType='Mirror', Label='Dish', surfaces=tris,
+      placements=[np.eye(4)]))
+  scene.addOpticalGroup(OpticalGroup(
+      OpticalType='Absorber', Label='Det',
+      surfaces=[S.plane(np.eye(4), elem=0, halfExtents=(200., 200.))],
+      placements=[T.translation(0, 0, 0)]))
+  scene.addSource(PointSource(
+      Label='Src', PowerDensity='exp(-theta^2/0.1)', ThetaDomain='0, 0.5',
+      Wavelength=532., ThetaResolutionNumericMode='1e3',
+      placement=T.translation(0, 0, 1e-3)))
+  scene.addSimulationSettings(RaysPerIteration=1e5, MaxIntersections=3)
+  device, info = scene.compile()
+  device['powerTol'] = 1e-6
+  assert pallas_trace.pallasEligible(device)
+  histSpec = fused.makeHistogramSpec(device, info,
+                                     bounds=(-200., 200., -200., 200.),
+                                     bins=(64, 128))
+  kw = dict(raysPerStep=1 << 17, maxIntersections=3, maxRayLength=1e6,
+            distTol=1e-4)
+  key = jax.random.PRNGKey(57)
+  src = scene.lightSources()[0]
+  stepP = pallas_trace.makePallasTraceStep(
+      device, histSpec, src.deviceColumnsGenerator(), **kw)
+  hP, cP = stepP(key, fused.initHistograms(histSpec))
+  stepX = fused.makeFusedStep(device, src.deviceGenerator(), histSpec,
+                              **kw)
+  hX, cX = stepX(key, fused.initHistograms(histSpec))
+  assert int(cP['hits']) == int(cX['hits'])
+  dP, dX = np.asarray(hP['counts']), np.asarray(hX['counts'])
+  assert np.abs(dP - dX).sum() <= 4   # bin-edge ulp wobble only
