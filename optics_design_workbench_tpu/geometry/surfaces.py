@@ -151,6 +151,51 @@ def quadric(transform, elem, coeffs, zRange, orient=+1):
                transform, elem, orient)
 
 
+def _conicAsQuadric(s):
+  '''Rewrite an exact-conic ASPHERE (a4 = a6 = a8 = 0) as a QUADRIC row.
+
+  The conic sag z = c r^2 / (1 + sqrt(1 - (1+k) c^2 r^2)) satisfies the
+  principal-axis quadric -c x^2 - c y^2 - c (1+k) z^2 + 2 z = 0 exactly,
+  so the 16-iteration Newton solve in _intersectAsphere (and its ~500-op
+  Pallas twin, ops/pallas_trace._intersectConst) collapses to one
+  closed-form quadratic — ~10x fewer VPU ops per bounce for paraboloid /
+  spherical-cap faces (reference example 2's dish mirror; the reference
+  delegates the same intersection to OCC's exact gp-quadric classes,
+  ray.py:357-383). The radial trim r in [trim1, trim2] maps to the z band
+  [sag(r1), sag(r2)] (the sag is monotone on its branch), clamped to the
+  branch apex z = 1/(c (1+k)) for k > -1 so the far sheet of the closed
+  ellipsoid stays excluded. The quadric canonical normal +grad f with this
+  sign choice equals grad(z - sag) at the vertex, so `orient` carries over
+  unchanged. Bitmap-trimmed faces keep the ASPHERE (azimuth, r) chart.'''
+  if s['kind'] != ASPHERE or 'trimBitmap' in s:
+    return s
+  p = np.asarray(s['params'], dtype=float)
+  c, k = float(p[0]), float(p[1])
+  if abs(c) < 1e-12 or np.any(p[2:5] != 0.):
+    return s
+  trim = np.array(s['trim'], dtype=float)
+  if trim[0] == 2.:
+    return s
+  r1, r2 = float(trim[1]), float(trim[2])
+  if k > -1.:
+    rNat = 1. / (abs(c) * np.sqrt(1. + k))
+    r1, r2 = min(r1, rNat), min(r2, rNat)
+  if not np.isfinite(r2):
+    return s
+
+  def sag(r):
+    q = max(1. - (1. + k) * c * c * r * r, 0.)
+    return c * r * r / (1. + np.sqrt(q))
+  out = dict(s)
+  out['kind'] = QUADRIC
+  q = np.zeros(N_PARAMS)
+  q[:5] = (-c, -c, -c * (1. + k), 2., 0.)
+  out['params'] = q
+  trim[1], trim[2] = sorted((sag(r1), sag(r2)))
+  out['trim'] = trim
+  return out
+
+
 def buildSurfaceTable(surfs, dtype=jnp.float32):
   '''Pack a list of surface dicts into a SoA device table (a pytree dict).
 
@@ -162,6 +207,7 @@ def buildSurfaceTable(surfs, dtype=jnp.float32):
   aspheres).'''
   if not surfs:
     raise ValueError('scene contains no surfaces')
+  surfs = [_conicAsQuadric(s) for s in surfs]
   surfs = sorted(surfs, key=lambda s: s['kind'])
   # bitmap trims (exact-BRep face boundaries, geometry/brep.py): pack every
   # face bitmap into one zero-padded (S, R, R) stack; surfaces without a

@@ -150,6 +150,44 @@ class TestAsphere:
         S.asphere(np.eye(4), elem=0, curvature=0.02, conic=-1., rMax=5.)])
     assert not hit_t(tab, *ray([10, 0, -10], [0, 0, 1]))[2]
 
+  @pytest.mark.parametrize('conic,curv', [(-1., 0.02), (0., 0.015),
+                                          (-0.6, 0.02), (-2.5, 0.01),
+                                          (-1., -0.02)])
+  def test_conic_quadric_refit_matches_newton(self, conic, curv):
+    '''A pure-conic asphere is refit to an exact QUADRIC at table build
+    (surfaces._conicAsQuadric); distances and normals must agree with the
+    Newton ASPHERE path everywhere on the face, including the radial trim
+    edge and the annular inner trim.'''
+    surf = S.asphere(np.eye(4), elem=0, curvature=curv, conic=conic,
+                     rMax=20., rMin=2.)
+    tab = S.buildSurfaceTable([dict(surf)])
+    assert int(tab['kind'][0]) == S.QUADRIC
+    zs = -30. if curv > 0 else 30.
+    rng = np.random.default_rng(7)
+    misses = hits = 0
+    for _ in range(60):
+      ox, oy = rng.uniform(-25, 25, 2)
+      tilt = rng.uniform(-0.1, 0.1, 2)
+      o, d = ray([ox, oy, zs], [tilt[0], tilt[1], -np.sign(zs)])
+      tQ = float(I.allDistances(tab, o, d, 1e-6)[0])
+      tA = float(S.intersectLocal(jnp.int32(S.ASPHERE),
+                                  jnp.asarray(surf['params']),
+                                  jnp.asarray(surf['trim']), o, d, 1e-6))
+      if np.isfinite(tA) or np.isfinite(tQ):
+        assert np.isfinite(tA) and np.isfinite(tQ), (tA, tQ, ox, oy)
+        assert abs(tA - tQ) < 1e-3, (tA, tQ, ox, oy)
+        pQ = np.asarray(o + tQ * d)
+        nQ = np.asarray(S.normalLocal(jnp.int32(S.QUADRIC),
+                                      tab['params'][0], jnp.asarray(pQ)))
+        nA = np.asarray(S.normalLocal(jnp.int32(S.ASPHERE),
+                                      jnp.asarray(surf['params']),
+                                      jnp.asarray(pQ)))
+        assert np.allclose(nQ, nA, atol=1e-4), (nQ, nA)
+        hits += 1
+      else:
+        misses += 1
+    assert hits > 5 and misses > 0  # both branches exercised
+
 
 class TestTriangle:
 
