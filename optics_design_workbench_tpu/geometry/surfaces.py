@@ -180,8 +180,6 @@ def _conicAsQuadric(s):
   if k > -1.:
     rNat = 1. / (abs(c) * np.sqrt(1. + k))
     r1, r2 = min(r1, rNat), min(r2, rNat)
-  if not np.isfinite(r2):
-    return s
 
   def sag(r):
     q = max(1. - (1. + k) * c * c * r * r, 0.)
@@ -191,7 +189,20 @@ def _conicAsQuadric(s):
   q = np.zeros(N_PARAMS)
   q[:5] = (-c, -c, -c * (1. + k), 2., 0.)
   out['params'] = q
-  trim[1], trim[2] = sorted((sag(r1), sag(r2)))
+  if np.isfinite(r2):
+    trim[1], trim[2] = sorted((sag(r1), sag(r2)))
+  else:
+    # k <= -1 with unbounded rMax (k > -1 is always clamped finite at
+    # rNat above): the sag branch is single-sheet and monotone unbounded
+    # on the sign(c) side of z = 0, while the conjugate sheet of a k < -1
+    # hyperboloid lies entirely beyond its apex z = -2/(c (1+k)) on the
+    # OPPOSITE z side — so a one-sided infinite z band is an exact trim
+    # and these faces keep the closed-form quadratic instead of falling
+    # back to the Newton ASPHERE path.
+    if not np.isfinite(r1):
+      return s
+    zNear = sag(r1)
+    trim[1], trim[2] = (zNear, np.inf) if c > 0 else (-np.inf, zNear)
   out['trim'] = trim
   return out
 

@@ -200,8 +200,13 @@ def test_slot_trim_device_intersections():
   tC = np.asarray(I.allDistances(table, o, dC, 1e-6))
   kinds = np.asarray(table['kind'])
   # the conic paraboloid is refit to an exact QUADRIC at table build
-  # (surfaces._conicAsQuadric)
-  dish = np.isin(kinds, (S.ASPHERE, S.QUADRIC))
+  # (surfaces._conicAsQuadric); select the DISH specifically — the
+  # quadric/asphere row carrying the boolean-cut trim prims — so a
+  # legitimate hit on any other quadric brep might fit in this scene
+  # can never fail the slot assertion spuriously
+  trimKind = np.asarray(table['trim'])[:, 0]
+  dish = np.isin(kinds, (S.ASPHERE, S.QUADRIC)) & (trimKind == 3.)
+  assert dish.any()
   assert not np.isfinite(tC[dish]).any()
   # off-axis ray hits the mirror zone
   dO = jnp.array([.15, 0., .99])

@@ -188,6 +188,39 @@ class TestAsphere:
         misses += 1
     assert hits > 5 and misses > 0  # both branches exercised
 
+  @pytest.mark.parametrize('conic,curv', [(-1., 0.02), (-1., -0.02),
+                                          (-2.5, 0.01)])
+  def test_conic_quadric_refit_infinite_rmax(self, conic, curv):
+    '''k <= -1 conics with UNBOUNDED rMax refit to a QUADRIC with a
+    one-sided infinite z band (the conjugate hyperboloid sheet lies on
+    the opposite z side), instead of staying on the Newton ASPHERE
+    path.'''
+    surf = S.asphere(np.eye(4), elem=0, curvature=curv, conic=conic,
+                     rMax=np.inf)
+    tab = S.buildSurfaceTable([dict(surf)])
+    assert int(tab['kind'][0]) == S.QUADRIC
+    zs = -30. if curv > 0 else 30.
+    # distances agree with the Newton path on a finite-aperture twin
+    finite = S.asphere(np.eye(4), elem=0, curvature=curv, conic=conic,
+                       rMax=50.)
+    for ox in (0., 3., 17., 33.):
+      o, d = ray([ox, 0, zs], [0, 0, -np.sign(zs)])
+      tQ = float(I.allDistances(tab, o, d, 1e-6)[0])
+      tA = float(S.intersectLocal(jnp.int32(S.ASPHERE),
+                                  jnp.asarray(finite['params']),
+                                  jnp.asarray(finite['trim']), o, d, 1e-6))
+      assert np.isfinite(tQ) and abs(tQ - tA) < 1e-3, (ox, tQ, tA)
+    # far beyond any plausible finite aperture the surface still exists
+    o, d = ray([300., 0, 0], [0, 0, np.sign(curv)])
+    assert np.isfinite(float(I.allDistances(tab, o, d, 1e-6)[0]))
+    # rays crossing only the conjugate sheet never hit (k < -1 two-sheet
+    # case): the sheet through z = apex = 2/(c(1+k)) extends AWAY from
+    # z = 0, outside the one-sided band
+    if conic < -1.:
+      apexZ = 2. / (curv * (1. + conic))
+      o, d = ray([0., 0., apexZ + (apexZ - 0.) * 0.1], [1., 0., 0.])
+      assert not np.isfinite(float(I.allDistances(tab, o, d, 1e-6)[0]))
+
 
 class TestTriangle:
 
