@@ -21,6 +21,7 @@ with `skipUnsupported=True`) with a pointer to the models/mesh APIs.
 '''
 
 import io as _io
+import os
 import xml.etree.ElementTree as ET
 import zipfile
 
@@ -88,8 +89,16 @@ def _parseProperty(prop):
   if ptype in ('App::PropertyLink',):
     return c.get('value') or None
   if ptype in ('App::PropertyXLink', 'App::PropertyXLinkSub'):
-    # <XLink file="" name="Obj"/> — in-document cross link
-    return c.get('name') or c.get('value') or None
+    # <XLink file="" name="Obj"/> — in-document cross link;
+    # <XLink file="other.FCStd" name="Obj"/> — cross-DOCUMENT link,
+    # namespaced as 'other.FCStd#Obj' and resolved by _mergeExternal
+    # (reference: find._allObjects walks linked external documents,
+    # find.py:24-56)
+    name = c.get('name') or c.get('value') or None
+    file = c.get('file')
+    if name and file:
+      return f'{file}#{name}'
+    return name
   if ptype == 'Part::PropertyPartShape':
     # the BRep blob lives in a sibling zip entry; keep its name so the
     # loader can extract a stored triangulation from it
@@ -137,6 +146,77 @@ def parseDocumentXml(xmlBytes):
   for o in objects.values():
     o.label = o.get('Label', o.name)
   return objects
+
+
+def _mergeExternal(objects, blobs, baseDir, _depth=0):
+  '''Load FCStd documents referenced by cross-document XLinks
+  ('file.FCStd#name' values, _parseProperty) and merge their objects and
+  shape blobs into the host dicts under 'file.FCStd#'-prefixed keys, so
+  container/link/geometry resolution works uniformly across document
+  boundaries. Mirrors the reference, whose find._allObjects walks the
+  host document PLUS every linked external document (find.py:24-56) —
+  which also means optical groups and sources living in an external
+  document are simulated (nested-structure.FCStd in the reference CI
+  keeps its lens boolean in external-file2.FCStd). Internal references
+  of an external document are prefixed too: object names are only unique
+  per document ("Part002" exists in both test/22 files).'''
+  if _depth > 8:
+    raise RuntimeError('external-document recursion depth exceeded')
+  refs = set()
+
+  def scan(v):
+    if isinstance(v, str) and '#' in v \
+        and v.split('#', 1)[0].lower().endswith('.fcstd'):
+      refs.add(v.split('#', 1)[0])
+    elif isinstance(v, (list, tuple)):
+      for x in v:
+        scan(x)
+
+  for o in objects.values():
+    for k, v in o.props.items():
+      if k != 'Label':
+        scan(v)
+  merged = False
+  for f in sorted(refs):
+    pre = f + '#'
+    if any(k.startswith(pre) for k in objects):
+      continue                                    # already merged
+    p = os.path.join(baseDir, f)
+    if not os.path.exists(p):
+      io.warn(f'external document {f!r} not found next to the host '
+              f'FCStd; its cross-document links stay unresolved')
+      continue
+    with zipfile.ZipFile(p) as z:
+      extXml = z.read('Document.xml')
+      extBlobs = {n: z.read(n) for n in z.namelist()
+                  if n.endswith('.brp') or 'Shape' in n}
+    ext = parseDocumentXml(extXml)
+    extNames = set(ext)
+    blobNames = set(extBlobs)
+
+    def rewrite(v):
+      if isinstance(v, str):
+        return pre + v if (v in extNames or v in blobNames) else v
+      if isinstance(v, list):
+        return [rewrite(x) for x in v]
+      if isinstance(v, tuple):
+        return tuple(rewrite(x) for x in v)
+      return v
+
+    for name, o in ext.items():
+      o.name = pre + name
+      o.props = {k: (v if k == 'Label' else rewrite(v))
+                 for k, v in o.props.items()}
+      objects[o.name] = o
+    for bn, data in extBlobs.items():
+      blobs[pre + bn] = data
+    merged = True
+    io.verb(f'merged external document {f!r}: {len(ext)} objects')
+  if merged:
+    # external documents may themselves link further documents
+    # (resolved relative to the SAME directory, like FreeCAD does for
+    # sibling project files)
+    _mergeExternal(objects, blobs, baseDir, _depth + 1)
 
 
 # ------------------------------------------------------- geometry conversion
@@ -409,7 +489,7 @@ def loadFCStd(path, skipUnsupported=False):
     return blobs[name]
 
   objects = parseDocumentXml(xmlBytes)
-  import os
+  _mergeExternal(objects, blobs, os.path.dirname(os.path.abspath(path)))
   scene = Scene(label=os.path.splitext(os.path.basename(path))[0],
                 path=os.path.splitext(path)[0])
 

@@ -154,3 +154,51 @@ def test_active_surfaces_subface_selection(tmp_path):
     </Property>''')
   val = _parseProperty(xml)
   assert val is not None
+
+
+def test_nested_structure_external_documents(tmp_path):
+  '''Port of the reference CI's z-nested.py: nested-structure.FCStd keeps
+  its mirror in external-file.FCStd (linked twice) and its lens boolean in
+  external-file2.FCStd via cross-document XLinks; the merged scene must
+  ingest the external groups and trace >90 hits (reference:
+  test/22-global-placement/z-nested.py:14-22; find.py:24-56 walks linked
+  external documents).'''
+  base = '/root/reference/test/22-global-placement'
+  if not os.path.exists(f'{base}/nested-structure.FCStd'):
+    pytest.skip('reference FCStd not available')
+  for f in ('nested-structure.FCStd', 'external-file.FCStd',
+            'external-file2.FCStd'):
+    shutil.copy(f'{base}/{f}', tmp_path / f)
+  scene = loadFCStd(str(tmp_path / 'nested-structure.FCStd'))
+  groups = scene.opticalObjects()
+  byLabel = {}
+  for g in groups:
+    byLabel.setdefault(g.Label, []).append(g)
+  # the externally-linked mirror (external-file.FCStd 'Part' and
+  # 'Part002' linked from the host doc) exists at TWO placements
+  assert 'linkedMirrorGroup' in byLabel
+  assert len(byLabel['linkedMirrorGroup'][0].placements) == 2
+  # external-file2's lens group carries the Part::MultiCommon boolean —
+  # ingested from the external blob, not silently dropped
+  lenses = [g for g in groups if g.OpticalType == 'Lens']
+  assert any(len(g.surfaces) >= 3 for g in lenses)
+  # cross-document names stay per-document: 'Part002' exists in BOTH the
+  # host and external-file.FCStd and must not collide
+  settings = scene.activeSimulationSettings()
+  settings.EnableStoreSingleShotData = True
+  settings.RaysPerIteration = 10000
+  runPath = simulation.runSimulation(scene, 'singletrue', seed=7)
+  from optics_design_workbench_tpu.jupyter_utils import RawFolder
+  hits = RawFolder(runPath).loadHits('*')
+  assert len(hits) > 90, 'nested external-document scene traced no hits'
+
+
+def test_external_document_missing_warns(tmp_path):
+  '''A host file whose external documents are absent loads what it can
+  and warns instead of crashing.'''
+  base = '/root/reference/test/22-global-placement'
+  if not os.path.exists(f'{base}/nested-structure.FCStd'):
+    pytest.skip('reference FCStd not available')
+  shutil.copy(f'{base}/nested-structure.FCStd', tmp_path / 'n.FCStd')
+  scene = loadFCStd(str(tmp_path / 'n.FCStd'), skipUnsupported=True)
+  assert scene.opticalObjects()
