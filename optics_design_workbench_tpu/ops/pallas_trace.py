@@ -395,17 +395,35 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
           ok = term if ok is None else (ok | term)
         return jnp.where(ok, t, _BIG)
 
-      # ---- nearest intersection over unrolled surfaces (distances kept
-      # live across the selection passes) ----
-      ts = {}
+      # ---- nearest intersection: ONE online-argmin pass tracking the
+      # global minimum AND the other-medium minimum simultaneously. The
+      # same-medium preference window (reference ray.py:388-401: prefer
+      # the nearest face NOT belonging to currentMedium within 2*distTol)
+      # is applied AFTER the sweep — equivalent to the three-pass form
+      # because the windowed minimum IS the other-medium minimum whenever
+      # that minimum lies inside the window. The old form kept all nSurf
+      # per-surface distances live across two more selection passes,
+      # which both cost ~2 extra vector ops per surface and counted nSurf
+      # (rows, 128) arrays against the VMEM stack (capping many-surface
+      # scenes at 4096-ray tiles). Argmin-with-strict-< keeps the FIRST
+      # surface achieving the minimum, matching the old first-match
+      # tie-break. ----
       tBest = jnp.full(shape, _BIG)
+      sBest = jnp.full(shape, -1.0)
+      tOth = jnp.full(shape, _BIG)
+      sOth = jnp.full(shape, -1.0)
       for s in bounceSurfs:
         r = surfRows[s]
         t = _intersectConst(r, ox, oy, oz, dx, dy, dz, distTol, maskVals)
         t = jnp.where(t <= maxRayLength, t, _BIG)
         t = _seqGate(s, t)
-        ts[s] = t
-        tBest = jnp.minimum(tBest, t)
+        b = t < tBest
+        sBest = jnp.where(b, float(s), sBest)
+        tBest = jnp.where(b, t, tBest)
+        tO = jnp.where(medium != r['elemF'], t, _BIG)
+        bO = tO < tOth
+        sOth = jnp.where(bO, float(s), sOth)
+        tOth = jnp.where(bO, tO, tOth)
 
       # ---- SMEM-resident triangle sweep: meshes past the immediates
       # budget ride as a (nTri, 11) scalar-memory table [p0, e1, e2,
@@ -454,38 +472,21 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
         tT, nxT, nyT, nzT, elT = lax.fori_loop(
             0, nTriSMEM, _triBody,
             (zeroV + _BIG, zeroV, zeroV, zeroV, zeroV - 1.0))
-        tBest = jnp.minimum(tBest, tT)
+        b = tT < tBest
+        sBest = jnp.where(b, -2.0, sBest)
+        tBest = jnp.where(b, tT, tBest)
+        tO = jnp.where(medium != elT, tT, _BIG)
+        bO = tO < tOth
+        sOth = jnp.where(bO, -2.0, sOth)
+        tOth = jnp.where(bO, tO, tOth)
 
-      # same-medium preference: nearest hit with elem != medium within
-      # the 2*distTol window
-      tPref = jnp.full(shape, _BIG)
-      for s in bounceSurfs:
-        ok = ((ts[s] <= tBest + 2 * distTol)
-              & (medium != surfRows[s]['elemF']))
-        tPref = jnp.minimum(tPref, jnp.where(ok, ts[s], _BIG))
-      if nTriSMEM:
-        okT = (tT <= tBest + 2 * distTol) & (medium != elT)
-        tPref = jnp.minimum(tPref, jnp.where(okT, tT, _BIG))
-      hasPref = tPref < _BIG
-      tSel = jnp.where(hasPref, tPref, tBest)
+      # same-medium preference + winner (-2 = SMEM triangle). NOTE plain
+      # boolean algebra — jnp.where on i1 operands crashes the Mosaic
+      # compiler.
       hasHit = tBest < _BIG
-
-      # winning surface index (first match on tSel; -2 = SMEM triangle)
-      sIdx = jnp.full(shape, -1.0)
-      for s in bounceSurfs:
-        t = ts[s]
-        prefOk = ((t <= tBest + 2 * distTol)
-                  & (medium != surfRows[s]['elemF']))
-        # NOTE plain boolean algebra — jnp.where on i1 operands crashes the
-        # Mosaic compiler
-        isSel = ((hasPref & prefOk & (t <= tPref))
-                 | (~hasPref & (t <= tBest)))
-        sIdx = jnp.where((sIdx < 0) & isSel & hasHit, float(s), sIdx)
-      if nTriSMEM:
-        prefOkT = (tT <= tBest + 2 * distTol) & (medium != elT)
-        isSelT = ((hasPref & prefOkT & (tT <= tPref))
-                  | (~hasPref & (tT <= tBest)))
-        sIdx = jnp.where((sIdx < 0) & isSelT & hasHit, -2.0, sIdx)
+      hasPref = (tOth < _BIG) & (tOth <= tBest + 2 * distTol)
+      tSel = jnp.where(hasPref, tOth, tBest)
+      sIdx = jnp.where(hasHit, jnp.where(hasPref, sOth, sBest), -1.0)
 
       tSeg = jnp.where(hasHit, tSel, maxRayLength)
       px, py, pz = ox + tSeg * dx, oy + tSeg * dy, oz + tSeg * dz
@@ -1551,7 +1552,9 @@ def makePallasTraceStep(scene, histSpec, generator, raysPerStep,
     # per-surface distances + hit-slot rings (+ per-ray outputs off the
     # in-kernel-histogram path).
     nSurf = numSurfacesStatic(scene)
-    live = 22 + nSurf + 3 * hitSlots + (0 if inKernelHist else 4) \
+    # the single-pass argmin sweep keeps 4 selection arrays live instead
+    # of one distance per surface (see _bounceBody)
+    live = 26 + 3 * hitSlots + (0 if inKernelHist else 4) \
         + (14 if scatterConsts else 0)
     tailK = _shouldUnroll(scene, maxIntersections)
     hasLoopTail = tailK < maxIntersections
