@@ -29,6 +29,30 @@ on-device scatter-adds, and shards the ray axis across chips with
 __version__ = '0.1.0'
 
 
+def kernelSourceDigest():
+  '''Short digest of the sources that shape compiled kernels. The
+  persistent compilation cache is keyed by (module hash, flags) on jax's
+  side, but edits to pallas/scan INTERNALS that keep shapes identical
+  can still collide with stale entries compiled from older sources (and
+  entries AOT-compiled on a different host machine trigger
+  cpu_aot_loader SIGILL warnings) — so the cache directory itself is
+  keyed by this digest and rolls over whenever kernel code changes.'''
+  import hashlib
+  import os
+  base = os.path.dirname(__file__)
+  h = hashlib.sha1()
+  for rel in ('ops/pallas_trace.py', 'ops/histogram.py',
+              'tracing/batch_tracer.py', 'tracing/fused.py',
+              'geometry/surfaces.py', 'geometry/intersect.py',
+              'distributions/device_sampler.py'):
+    try:
+      with open(os.path.join(base, rel), 'rb') as f:
+        h.update(f.read())
+    except OSError:
+      pass
+  return h.hexdigest()[:10]
+
+
 def _enableCompilationCache():
   '''Default jax's persistent compilation cache on (reference analog: the
   workbench reuses one long-lived FreeCAD process so OCC state persists;
@@ -46,9 +70,16 @@ def _enableCompilationCache():
     import jax
     if jax.config.jax_compilation_cache_dir:
       return
-    cacheDir = os.path.join(os.path.expanduser('~'), '.cache',
-                            'optics_design_workbench_tpu', 'jax_cache')
+    root = os.path.join(os.path.expanduser('~'), '.cache',
+                        'optics_design_workbench_tpu')
+    cacheDir = os.path.join(root, f'jax_cache-{kernelSourceDigest()}')
     os.makedirs(cacheDir, exist_ok=True)
+    # best-effort cleanup of caches from older kernel sources
+    import shutil
+    for d in os.listdir(root):
+      p = os.path.join(root, d)
+      if d.startswith('jax_cache') and p != cacheDir:
+        shutil.rmtree(p, ignore_errors=True)
     jax.config.update('jax_compilation_cache_dir', cacheDir)
     jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
   except Exception:    # cache is an optimization; never block import

@@ -22,8 +22,13 @@ if not os.environ.get('OPTICS_TPU_TESTS_ON_TPU'):
   jax.config.update('jax_platforms', 'cpu')
 
 # persistent compilation cache: the trace/scan kernels are expensive to
-# compile on the CPU test backend; cache them across test runs
-jax.config.update('jax_compilation_cache_dir', '/root/.cache/jax_test_cache')
+# compile on the CPU test backend; cache them across test runs. The dir is
+# keyed by a digest of the kernel-shaping sources so editing pallas/scan
+# internals can never serve stale binaries (and caches AOT-compiled on a
+# different host machine roll over instead of warning about SIGILL).
+from optics_design_workbench_tpu import kernelSourceDigest
+jax.config.update('jax_compilation_cache_dir',
+                  f'/root/.cache/jax_test_cache-{kernelSourceDigest()}')
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
 
 if not os.environ.get('OPTICS_TPU_TESTS_ON_TPU'):
