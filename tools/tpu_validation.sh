@@ -16,14 +16,25 @@ export PYTHONPATH="/root/repo:/root/.axon_site${PYTHONPATH:+:$PYTHONPATH}"
 echo "=== tpu_validation $(date -u +%FT%TZ) ===" | tee -a "$LOG"
 
 echo "--- probe ---" | tee -a "$LOG"
-timeout 240 python -c "
+# the relay degrades/hangs for stretches of minutes; retry the probe with
+# backoff before giving up so a transient outage doesn't abort the pass
+PROBE_OK=0
+for attempt in 1 2 3; do
+  timeout 240 python -c "
 import time, jax, jax.numpy as jnp
 t0 = time.time()
 x = jnp.ones((128, 128), jnp.bfloat16)
 print('probe ok:', float((x @ x)[0, 0]), f'{time.time()-t0:.1f}s',
       jax.devices())" 2>&1 | tail -2 | tee -a "$LOG"
-if [ ${PIPESTATUS[0]} -ne 0 ]; then
-  echo "RELAY STILL DOWN — aborting" | tee -a "$LOG"
+  if [ ${PIPESTATUS[0]} -eq 0 ]; then
+    PROBE_OK=1
+    break
+  fi
+  echo "probe attempt $attempt failed; retrying in 60s" | tee -a "$LOG"
+  sleep 60
+done
+if [ $PROBE_OK -ne 1 ]; then
+  echo "RELAY STILL DOWN after 3 probes — aborting" | tee -a "$LOG"
   exit 1
 fi
 
