@@ -51,6 +51,11 @@ _BIG = 3.0e38
 # experiments only. Overridable via ODW_TPU_EARLY_EXIT.
 EARLY_EXIT = os.environ.get('ODW_TPU_EARLY_EXIT', 'while')
 
+# SMEM mesh sweep: triangles per Morton-ordered chunk for the scalar-core
+# broad-phase cull (see _bounceBody). Chunks only engage past one chunk's
+# worth of triangles.
+_TRI_CHUNK = 64
+
 
 def pallasEligible(scene):
   '''Static host-side check whether the fast kernel supports this scene.'''
@@ -138,7 +143,8 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
                 maxIntersections, maxRayLength, distTol, powerTol,
                 histRows=None, hitSlots=1, surfAllowed=None, seqSpec=None,
                 sampler=None, scatterConsts=None, nUniformInputs=0,
-                nMasks=0, rawRecords=False, unrollBounces=0, nTriSMEM=0):
+                nMasks=0, rawRecords=False, unrollBounces=0, nTriSMEM=0,
+                nTriChunks=0):
   '''Build the kernel body with the scene baked in as python constants.
   surfRows: list of per-surface dicts of floats; elemRows likewise.
   histRows: if set (= D*H), the kernel accumulates the (histRows, 2*W)
@@ -300,7 +306,16 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
       rest = refs[i0:]
     maskVals = tuple(rest[k][:] for k in range(nMasks))
     triRef = rest[nMasks] if nTriSMEM else None   # (nTri, 11) SMEM scalars
-    out_refs = rest[nMasks + (1 if nTriSMEM else 0):]
+    chunkRef = rest[nMasks + 1] if nTriChunks > 1 else None
+    out_refs = rest[nMasks + (1 if nTriSMEM else 0)
+                    + (1 if nTriChunks > 1 else 0):]
+    survRef = None
+    if nTriChunks > 1:
+      # SMEM scratch written by the scalar broad-phase prepass (surviving
+      # chunk ids); LAST kernel argument (pallas passes scratch after
+      # outputs)
+      survRef = out_refs[-1]
+      out_refs = out_refs[:-1]
     if rawRecords:
       # 9 ring outputs per slot: elem, power, world point, incoming
       # direction, isEntering (the kernel twin of batch_tracer's records)
@@ -469,9 +484,69 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
           nzT = jnp.where(better, cnz * inv, nzT)
           elT = jnp.where(better, el, elT)
           return tT, nxT, nyT, nzT, elT
-        tT, nxT, nyT, nzT, elT = lax.fori_loop(
-            0, nTriSMEM, _triBody,
-            (zeroV + _BIG, zeroV, zeroV, zeroV, zeroV - 1.0))
+        triInit = (zeroV + _BIG, zeroV, zeroV, zeroV, zeroV - 1.0)
+        if nTriChunks > 1:
+          # ---- chunk-culled sweep: triangles are Morton-ordered into
+          # chunks of _TRI_CHUNK with per-chunk world AABBs (SMEM). The
+          # SCALAR core runs a broad-phase prepass — a conservative
+          # interval slab test of each chunk AABB against the tile's
+          # alive-ray reach — and appends surviving chunk ids to SMEM
+          # scratch; the VECTOR loop then sweeps only survivors. The
+          # reach bound uses the analytic sweep's tBest (plus the
+          # same-medium window), so closed scenes (housings, detectors)
+          # cull chunks behind the nearest analytic hit; open scenes
+          # degrade to the full sweep. ----
+          am = alive
+          big = jnp.zeros_like(ox) + _BIG
+
+          def rlo(v):
+            return jnp.min(jnp.where(am, v, big))
+
+          def rhi(v):
+            return jnp.max(jnp.where(am, v, -big))
+
+          oxL, oxH = rlo(ox), rhi(ox)
+          oyL, oyH = rlo(oy), rhi(oy)
+          ozL, ozH = rlo(oz), rhi(oz)
+          dxL, dxH = rlo(dx), rhi(dx)
+          dyL, dyH = rlo(dy), rhi(dy)
+          dzL, dzH = rlo(dz), rhi(dz)
+          tCap = jnp.max(jnp.where(
+              am, jnp.minimum(tBest, maxRayLength), jnp.zeros_like(ox))) \
+              + 2 * distTol
+          zero = jnp.float32(0.)
+          rxL = oxL + tCap * jnp.minimum(dxL, zero)
+          rxH = oxH + tCap * jnp.maximum(dxH, zero)
+          ryL = oyL + tCap * jnp.minimum(dyL, zero)
+          ryH = oyH + tCap * jnp.maximum(dyH, zero)
+          rzL = ozL + tCap * jnp.minimum(dzL, zero)
+          rzH = ozH + tCap * jnp.maximum(dzH, zero)
+
+          def _pre(c, count):
+            ok = ((rxL <= chunkRef[c, 3]) & (rxH >= chunkRef[c, 0])
+                  & (ryL <= chunkRef[c, 4]) & (ryH >= chunkRef[c, 1])
+                  & (rzL <= chunkRef[c, 5]) & (rzH >= chunkRef[c, 2]))
+
+            def _keep(k):
+              survRef[k] = c
+              return k + 1
+
+            return lax.cond(ok, _keep, lambda k: k, count)
+
+          nSurv = lax.fori_loop(0, nTriChunks, _pre, jnp.int32(0))
+
+          def _chunkBody(j, carry):
+            base = survRef[j] * _TRI_CHUNK
+            nIn = jnp.minimum(jnp.int32(_TRI_CHUNK),
+                              jnp.int32(nTriSMEM) - base)
+            return lax.fori_loop(
+                0, nIn, lambda i, cc: _triBody(base + i, cc), carry)
+
+          tT, nxT, nyT, nzT, elT = lax.fori_loop(
+              0, nSurv, _chunkBody, triInit)
+        else:
+          tT, nxT, nyT, nzT, elT = lax.fori_loop(
+              0, nTriSMEM, _triBody, triInit)
         b = tT < tBest
         sBest = jnp.where(b, -2.0, sBest)
         tBest = jnp.where(b, tT, tBest)
@@ -1406,8 +1481,48 @@ def _sceneRows(scene, histSpec, smemTris=False):
   if smemTris:
     triTable = (np.asarray(smemTriRows, dtype=np.float32)
                 if smemTriRows else np.zeros((0, 11), np.float32))
-    return surfRows, elemRows, maskConsts, triTable
+    triTable, chunkTable = _chunkTriangles(triTable)
+    return surfRows, elemRows, maskConsts, triTable, chunkTable
   return surfRows, elemRows, maskConsts
+
+
+def _chunkTriangles(triTable):
+  '''Morton-order the (nTri, 11) world-frame triangle table by centroid
+  and build per-chunk (_TRI_CHUNK rows) world AABBs for the kernel's
+  scalar broad-phase cull. Returns (reordered table, (nChunks, 6) f32
+  [lox loy loz hix hiy hiz]); a single-chunk mesh returns an empty chunk
+  table (the cull is pure overhead there).'''
+  n = len(triTable)
+  if n <= _TRI_CHUNK:
+    return triTable, np.zeros((0, 6), np.float32)
+  v0 = triTable[:, 0:3].astype(np.float64)
+  v1 = v0 + triTable[:, 3:6]
+  v2 = v0 + triTable[:, 6:9]
+  cen = (v0 + v1 + v2) / 3.
+  lo, hi = cen.min(0), cen.max(0)
+  span = np.maximum(hi - lo, 1e-12)
+  q = np.clip(((cen - lo) / span * 1023.).astype(np.int64), 0, 1023)
+
+  def spread(x):
+    x = (x | (x << 16)) & 0x030000FF
+    x = (x | (x << 8)) & 0x0300F00F
+    x = (x | (x << 4)) & 0x030C30C3
+    x = (x | (x << 2)) & 0x09249249
+    return x
+
+  code = (spread(q[:, 0]) << 2) | (spread(q[:, 1]) << 1) | spread(q[:, 2])
+  order = np.argsort(code, kind='stable')
+  triTable = triTable[order]
+  v0, v1, v2 = v0[order], v1[order], v2[order]
+  nChunks = -(-n // _TRI_CHUNK)
+  chunks = np.zeros((nChunks, 6), np.float64)
+  for c in range(nChunks):
+    s = slice(c * _TRI_CHUNK, min((c + 1) * _TRI_CHUNK, n))
+    pts = np.concatenate([v0[s], v1[s], v2[s]])
+    pad = 1e-5 * max(1., float(np.abs(pts).max()))
+    chunks[c, :3] = pts.min(0) - pad
+    chunks[c, 3:] = pts.max(0) + pad
+  return triTable, chunks.astype(np.float32)
 
 
 def _packMaskBits(mask):
@@ -1638,11 +1753,12 @@ def makePallasTraceStep(scene, histSpec, generator, raysPerStep,
                    == GS.TRIANGLE).sum())
   useSmemTris = nTriScene > 128
   if useSmemTris:
-    surfRows, elemRows, maskConsts, triTable = _sceneRows(
+    surfRows, elemRows, maskConsts, triTable, chunkTable = _sceneRows(
         scene, histSpec, smemTris=True)
   else:
     surfRows, elemRows, maskConsts = _sceneRows(scene, histSpec)
-    triTable = None
+    triTable = chunkTable = None
+  nTriChunks = 0 if chunkTable is None else len(chunkTable)
   surfAllowed, seqSpec = _staticMasks(scene)
   kernel = _makeKernel(surfRows, elemRows, histSpec['elemToDet'],
                        histSpec['bounds'], (H, W), maxIntersections,
@@ -1653,6 +1769,7 @@ def makePallasTraceStep(scene, histSpec, generator, raysPerStep,
                        sampler=sampler, scatterConsts=scatterConsts,
                        nUniformInputs=nUniform, nMasks=len(maskConsts),
                        nTriSMEM=0 if triTable is None else len(triTable),
+                       nTriChunks=nTriChunks,
                        unrollBounces=_shouldUnroll(scene, maxIntersections))
   spec = pl.BlockSpec((rows, 128), lambda i: (i, 0),
                       memory_space=pltpu.VMEM)
@@ -1670,6 +1787,11 @@ def makePallasTraceStep(scene, histSpec, generator, raysPerStep,
   if triTable is not None:
     maskInputs = maskInputs + (jnp.asarray(triTable),)
     inSpecs += [pl.BlockSpec(memory_space=pltpu.SMEM)]
+  if nTriChunks > 1:
+    maskInputs = maskInputs + (jnp.asarray(chunkTable),)
+    inSpecs += [pl.BlockSpec(memory_space=pltpu.SMEM)]
+  scratch = ([pltpu.SMEM((nTriChunks,), jnp.int32)]
+             if nTriChunks > 1 else [])
   if inKernelHist:
     histSpecBlock = pl.BlockSpec((D * H, 2 * W), lambda i: (0, 0),
                                  memory_space=pltpu.VMEM)
@@ -1681,6 +1803,7 @@ def makePallasTraceStep(scene, histSpec, generator, raysPerStep,
         out_shape=[jax.ShapeDtypeStruct((D * H, 2 * W), jnp.float32),
                    jax.ShapeDtypeStruct((totalRows, 128), jnp.float32),
                    jax.ShapeDtypeStruct((totalRows, 128), jnp.float32)],
+        scratch_shapes=scratch,
         interpret=(pltpu.InterpretParams() if interpret else False),
     )
   else:
@@ -1692,6 +1815,7 @@ def makePallasTraceStep(scene, histSpec, generator, raysPerStep,
         out_specs=[spec] * nOut,
         out_shape=[jax.ShapeDtypeStruct((totalRows, 128),
                                         jnp.float32)] * nOut,
+        scratch_shapes=scratch,
         interpret=(pltpu.InterpretParams() if interpret else False),
     )
 
@@ -1860,11 +1984,12 @@ def makePallasRawStep(scene, histSpec, generator, raysPerStep,
   nTriScene = int((np.asarray(scene['surfaces']['kind'])
                    == GS.TRIANGLE).sum())
   if nTriScene > 128:
-    surfRows, elemRows, maskConsts, triTable = _sceneRows(
+    surfRows, elemRows, maskConsts, triTable, chunkTable = _sceneRows(
         scene, histSpec, smemTris=True)
   else:
     surfRows, elemRows, maskConsts = _sceneRows(scene, histSpec)
-    triTable = None
+    triTable = chunkTable = None
+  nTriChunks = 0 if chunkTable is None else len(chunkTable)
   surfAllowed, seqSpec = _staticMasks(scene)
   powerTol = float(scene.get('powerTol', 1e-6))
   kernel = _makeKernel(surfRows, elemRows, histSpec['elemToDet'],
@@ -1876,6 +2001,7 @@ def makePallasRawStep(scene, histSpec, generator, raysPerStep,
                        nUniformInputs=nUniform, nMasks=len(maskConsts),
                        rawRecords=True,
                        nTriSMEM=0 if triTable is None else len(triTable),
+                       nTriChunks=nTriChunks,
                        unrollBounces=_shouldUnroll(scene, maxIntersections))
   spec = pl.BlockSpec((rows, 128), lambda i: (i, 0),
                       memory_space=pltpu.VMEM)
@@ -1891,11 +2017,16 @@ def makePallasRawStep(scene, histSpec, generator, raysPerStep,
   if triTable is not None:
     maskInputs = maskInputs + (jnp.asarray(triTable),)
     inSpecs += [pl.BlockSpec(memory_space=pltpu.SMEM)]
+  if nTriChunks > 1:
+    maskInputs = maskInputs + (jnp.asarray(chunkTable),)
+    inSpecs += [pl.BlockSpec(memory_space=pltpu.SMEM)]
   nOut = 9 * hitSlots + 2
   traceCall = pl.pallas_call(
       kernel, grid=grid, in_specs=inSpecs, out_specs=[spec] * nOut,
       out_shape=[jax.ShapeDtypeStruct((totalRows, 128),
                                       jnp.float32)] * nOut,
+      scratch_shapes=([pltpu.SMEM((nTriChunks,), jnp.int32)]
+                      if nTriChunks > 1 else []),
       interpret=(pltpu.InterpretParams() if interpret else False),
   )
   needSeed = (sampler is not None or scatterConsts) and not nUniform

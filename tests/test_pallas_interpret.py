@@ -750,3 +750,74 @@ def test_smem_triangle_mesh_matches_xla_interpret():
   assert int(cX['hits']) > 0.2 * N      # the dish reflects back to z=0
   assert int(cP['hits']) == int(cX['hits'])
   assert _nearlyEqualCounts(hP, hX)
+
+
+def test_chunk_triangles_host_invariants():
+  '''_chunkTriangles: Morton reorder is a permutation, chunk AABBs cover
+  their triangles (incl. the partial last chunk), single-chunk meshes
+  skip chunking.'''
+  rng = np.random.default_rng(3)
+  n = 330                               # 6 chunks, last one partial
+  v0 = rng.uniform(-50, 50, (n, 3))
+  tab = np.concatenate([v0, rng.uniform(-2, 2, (n, 6)),
+                        np.zeros((n, 1)), np.ones((n, 1))],
+                       axis=1).astype(np.float32)
+  out, chunks = pallas_trace._chunkTriangles(tab.copy())
+  C = pallas_trace._TRI_CHUNK
+  assert len(out) == n and len(chunks) == -(-n // C)
+  # permutation: same multiset of rows
+  assert np.allclose(np.sort(out, axis=0), np.sort(tab, axis=0))
+  for c in range(len(chunks)):
+    rowsC = out[c * C:(c + 1) * C]
+    pts = np.concatenate([rowsC[:, 0:3],
+                          rowsC[:, 0:3] + rowsC[:, 3:6],
+                          rowsC[:, 0:3] + rowsC[:, 6:9]])
+    assert (pts >= chunks[c, :3] - 1e-4).all()
+    assert (pts <= chunks[c, 3:] + 1e-4).all()
+  small, noChunks = pallas_trace._chunkTriangles(tab[:C].copy())
+  assert len(noChunks) == 0 and np.allclose(small, tab[:C])
+
+
+def test_smem_chunked_large_mesh_matches_xla_interpret():
+  '''A 648-triangle sphere-ish shell (11 Morton chunks incl. a partial
+  last chunk) through the chunk-culled SMEM sweep must reproduce the XLA
+  fused step bin-for-bin.'''
+  import math
+  scene = Scene(label='smemchunk')
+  tris = []
+  nT, nP, R0 = 18, 18, 50.
+
+  def pt(it, ip):
+    th = math.pi * 0.55 * it / nT
+    ph = 2 * math.pi * ip / nP
+    return (R0 * math.sin(th) * math.cos(ph),
+            R0 * math.sin(th) * math.sin(ph),
+            60. + R0 * (1. - math.cos(th)))
+
+  for it in range(nT):
+    for ip in range(nP):
+      a, b = pt(it, ip), pt(it + 1, ip)
+      c, d = pt(it + 1, ip + 1), pt(it, ip + 1)
+      if it:
+        tris.append(S.triangle(a, b, c, elem=0))
+      tris.append(S.triangle(a, c, d, elem=0))
+  scene.addOpticalGroup(OpticalGroup(
+      OpticalType='Mirror', Label='Shell', surfaces=tris,
+      placements=[np.eye(4)]))
+  scene.addOpticalGroup(OpticalGroup(
+      OpticalType='Absorber', Label='Det',
+      surfaces=[S.plane(np.eye(4), elem=0, halfExtents=(300., 300.))],
+      placements=[T.translation(0, 0, 0)]))
+  scene.addSource(PointSource(
+      Label='Src', PowerDensity='exp(-theta^2/0.2)', ThetaDomain='0, 0.6',
+      Wavelength=532., ThetaResolutionNumericMode='1e3',
+      placement=T.translation(0, 0, 1e-3)))
+  scene.addSimulationSettings(RaysPerIteration=1e4, MaxIntersections=3)
+  device, info = scene.compile()
+  device['powerTol'] = 1e-6
+  assert pallas_trace.pallasEligible(device)
+  hP, hX, cP, cX = _runPair(scene, bounds=(-300., 300., -300., 300.),
+                            bins=(32, 128), maxIntersections=3, n=N)
+  assert int(cX['hits']) > 0.2 * N
+  assert int(cP['hits']) == int(cX['hits'])
+  assert _nearlyEqualCounts(hP, hX)

@@ -23,8 +23,13 @@ mask the others' numbers.
 
 import argparse
 import json
+import os
 import sys
 import time
+
+# Self-sufficient import path: the scene builders import the package lazily,
+# so running `python tools/scene_throughput.py` from any cwd must work.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax
