@@ -848,6 +848,12 @@ def _resolveAnalytic(rec):
   if t == 'cone':
     return 'cone', rec['frame'], dict(radius=rec['r'],
                                       tanAngle=math.tan(rec['semiAngle']))
+  if t == 'torus':
+    # only the non-self-intersecting regime maps to the device TORUS kind
+    if rec['r1'] > rec['r2'] > 0:
+      return 'torus', rec['frame'], dict(majorRadius=rec['r1'],
+                                         minorRadius=rec['r2'])
+    return None
   if t == 'offsetsurf':
     base = _resolveAnalytic(rec['basis'])
     if base is None:
@@ -900,7 +906,22 @@ def _resolveAnalytic(rec):
           max(1., basis['r'])
       if onAxis:
         return 'sphere', _axisFrame(c, axisD), dict(radius=basis['r'])
-      return None               # torus -> tessellate
+      # off-axis circle whose plane contains the revolution axis -> torus
+      along = float(np.dot(c - axisP, axisD))
+      radial = c - axisP - along * axisD
+      R1 = float(np.linalg.norm(radial))
+      r2 = float(basis['r'])
+      circleN = basis.get('n')
+      if circleN is not None and R1 > r2 > 0:
+        circleN = np.asarray(circleN, dtype=float)
+        circleN = circleN / max(np.linalg.norm(circleN), 1e-300)
+        # the circle's plane contains the axis iff its normal is
+        # perpendicular to the axis direction
+        if abs(float(np.dot(circleN, axisD))) < 1e-7:
+          ringCenter = axisP + along * axisD
+          return 'torus', _axisFrame(ringCenter, axisD), \
+              dict(majorRadius=R1, minorRadius=r2)
+      return None               # self-intersecting / skew -> tessellate
     if basis['type'] == 'parabola':
       # paraboloid: vertex on axis, symmetry axis == revolution axis
       vertex = basis['p']
@@ -1105,7 +1126,7 @@ def _fitQuadricSurface(rec, nFit=20, nVerify=41, tol=1e-6):
   return 'quadric', frame, params
 
 
-_NAT_UREV = ('sphere', 'cylinder', 'cone', 'asphere', 'quadric')
+_NAT_UREV = ('sphere', 'cylinder', 'cone', 'asphere', 'quadric', 'torus')
 
 
 def _deviceUV(kind, params, pLocal):
@@ -1117,12 +1138,16 @@ def _deviceUV(kind, params, pLocal):
   u = np.arctan2(y, x)
   if kind == 'asphere':
     return u, np.hypot(x, y)
+  if kind == 'torus':
+    # v = tube angle, same chart the device trim band tests
+    return u, np.arctan2(z, np.hypot(x, y) - params['majorRadius'])
   return u, z          # sphere / cylinder / cone
 
 
-def _unwrapLoopUV(u, v):
-  '''Unwrap angular u along the loop for polygon continuity.'''
-  return np.unwrap(u), v
+def _unwrapLoopUV(u, v, vAngular=False):
+  '''Unwrap angular u (and angular v: torus tube angle) along the loop for
+  polygon continuity.'''
+  return np.unwrap(u), (np.unwrap(v) if vAngular else v)
 
 
 class FaceResult:
@@ -1169,10 +1194,12 @@ def _loopsToUV(kind, params, frame, loops, sphereR=None):
           v[~np.isnan(v)]), v)
       v = np.where(np.isnan(v), np.sign(nn) * sphereR, v)
     if kind != 'plane':
-      u, v = _unwrapLoopUV(u, v)
+      u, v = _unwrapLoopUV(u, v, vAngular=(kind == 'torus'))
       # keep the unwrapped loop near the principal branch so the
       # rasterizer's +-2-period replicas always cover it
       u = u - round(float(u.mean()) / (2 * math.pi)) * 2 * math.pi
+      if kind == 'torus':
+        v = v - round(float(v.mean()) / (2 * math.pi)) * 2 * math.pi
     uvLoops.append(np.stack([u, v], axis=1))
   return uvLoops
 
@@ -1281,13 +1308,18 @@ def _occNormalSign(rec, kind, params, frame, fullLoc, uvLoopsOcc=None,
     qa, qb, qc, qz, _q0 = params['coeffs']
     nLoc = np.array([2 * qa * x, 2 * qb * y, 2 * qc * z + qz])
     nLoc /= max(np.linalg.norm(nLoc), 1e-30)
+  elif kind == 'torus':
+    s = max(math.hypot(x, y), 1e-30)
+    scale = params['majorRadius'] / s
+    nLoc = np.array([x * (1. - scale), y * (1. - scale), z])
+    nLoc /= max(np.linalg.norm(nLoc), 1e-30)
   else:
     return +1
   nCanon = frame[:3, :3] @ nLoc
   return +1 if float(np.dot(nOcc, nCanon)) >= 0 else -1
 
 
-def _chartMirrored(rec, fullLoc, frameWorld, kind, probeUV):
+def _chartMirrored(rec, fullLoc, frameWorld, kind, probeUV, params=None):
   '''True when the map from the OCC UV chart onto the device trim chart
   (u = azimuth in frameWorld / plane-xy) flips orientation — stored wire
   directions then bound the complementary region. Evaluated numerically so
@@ -1300,7 +1332,7 @@ def _chartMirrored(rec, fullLoc, frameWorld, kind, probeUV):
   pts = pts @ fullLoc[:3, :3].T + fullLoc[:3, 3]
   inv = np.linalg.inv(frameWorld)
   pl = pts @ inv[:3, :3].T + inv[:3, 3]
-  um, vm = _deviceUV(kind, None, pl)
+  um, vm = _deviceUV(kind, params, pl)
   um = np.unwrap(um)
   J = (um[1] - um[0]) * (vm[2] - vm[0]) - (um[2] - um[0]) * (vm[1] - vm[0])
   return J < 0
@@ -1334,6 +1366,9 @@ def _buildAnalyticFace(brep, faceTs, rec, analytic, fullLoc, faceSign,
   if scale != 1.:
     if 'radius' in params:
       params['radius'] *= scale
+    if 'majorRadius' in params:
+      params['majorRadius'] *= scale
+      params['minorRadius'] *= scale
     if 'curvature' in params:
       params['curvature'] /= scale
     if 'coeffs' in params:
@@ -1356,7 +1391,8 @@ def _buildAnalyticFace(brep, faceTs, rec, analytic, fullLoc, faceSign,
   flip = faceSign < 0
   if probe is not None:
     try:
-      if _chartMirrored(rec, fullLoc, frameWorld, kind, probe):
+      if _chartMirrored(rec, fullLoc, frameWorld, kind, probe,
+                        params=params):
         flip = not flip
     except Exception:
       pass
@@ -1374,6 +1410,12 @@ def _buildAnalyticFace(brep, faceTs, rec, analytic, fullLoc, faceSign,
     uPeriod = None
   if kind == 'sphere':
     vWindow = (-params['radius'], params['radius'])
+  elif kind == 'torus':
+    # v is the tube ANGLE: natural domain one full turn. Loops are
+    # unwrapped like u; recenter so the face's own band stays inside one
+    # period (faces crossing the inner-equator seam get a shifted window
+    # only the mask sees — the closed-form band below snaps via allUV).
+    vWindow = (-math.pi, math.pi)
   elif kind == 'asphere':
     vWindow = (0., allUV[:, 1].max() * 1.0001 + 1e-9)
   elif kind == 'quadric' and (zNat := _quadricZDomain(params)) is not None:
@@ -1422,6 +1464,14 @@ def _buildAnalyticFace(brep, faceTs, rec, analytic, fullLoc, faceSign,
       uFull = (uRun[1] - uRun[0] + 1) >= len(uIn)
       if kind in ('sphere', 'cylinder', 'cone', 'quadric') and uFull:
         return FaceResult([makeSurf((0., vLo, vHi))], 'zRange')
+      if kind == 'torus' and uFull:
+        # v band must live inside ONE principal period for the closed-form
+        # atan2 band test; a seam-crossing partial band falls through to
+        # the bitmap (whose chart window may sit shifted)
+        if vHi - vLo > 2 * math.pi - 1e-3:
+          return FaceResult([makeSurf((0., -3.15, 3.15))], 'full tube')
+        if -math.pi <= vLo and vHi <= math.pi:
+          return FaceResult([makeSurf((0., vLo, vHi))], 'vRange')
       if kind == 'asphere' and uFull:
         return FaceResult([makeSurf((0., max(vLo, 0.), vHi))], 'rRange')
       if kind == 'plane':
@@ -1442,6 +1492,11 @@ def _buildAnalyticFace(brep, faceTs, rec, analytic, fullLoc, faceSign,
     return res
 
   # ---- bitmap trim
+  if kind == 'torus' and (allUV[:, 1].min() < -math.pi - 1e-6
+                          or allUV[:, 1].max() > math.pi + 1e-6):
+    # the kernel/tracer sample v on the principal branch only; a bitmap
+    # window shifted across the tube seam would mis-index -> tessellate
+    raise ValueError('torus face crosses the tube-angle seam')
   bitmap = dict(mask=mask.astype(np.uint8), u0=u0, v0=v0,
                 invDu=1. / du, invDv=1. / dv)
   surf = makeSurf((2., 0., 0., 0., 0., 0.))
@@ -1533,6 +1588,11 @@ def _chartToLocalXY(kind, params, u, v):
     den = qa * cu * cu + qb * su * su
     ok = (w >= 0) & (den > 0)
     r = np.sqrt(np.maximum(w, 0.) / np.maximum(den, 1e-300))
+  elif kind == 'torus':
+    # v is the tube angle; z = r2 sin v, radial = R + r2 cos v
+    r = params['majorRadius'] + params['minorRadius'] * np.cos(v)
+    z = params['minorRadius'] * np.sin(v)
+    ok = np.ones(len(u), dtype=bool)
   else:
     return None
   return r * cu, r * su, z, ok
@@ -2150,6 +2210,8 @@ def _kindParams(kind, params):
     return (params['curvature'], params.get('conic', 0.), 0., 0., 0.)
   if kind == 'quadric':
     return tuple(params['coeffs'])
+  if kind == 'torus':
+    return (params['majorRadius'], params['minorRadius'])
   raise ValueError(kind)
 
 

@@ -30,6 +30,9 @@ kind (int32):
               by Part::Scale / affine booleans (geometry/brep.py fits them
               back at ingest so the device never traces their
               tessellation).
+  7 TORUS     tube radius params[1] around the circle of radius params[0]
+              in the local z=0 plane (OCC gp_Torus; exact quartic
+              intersection, Ferrari + Newton polish).
 
 trim (float32[6]): per-kind trim window (OCC face trimming analog,
 ray.py:375-382):
@@ -40,6 +43,7 @@ ray.py:375-382):
   ASPHERE:  r in [trim[1], trim[2]]
   CONE:     z in [trim[1], trim[2]]
   QUADRIC:  z in [trim[1], trim[2]]
+  TORUS:    tube angle v = atan2(z, sqrt(x^2+y^2) - R) in [trim[1], trim[2]]
   TRIANGLE: unused (barycentric test is the trim)
 
 Bitmap trims: trim[0] == 2 selects a per-face UV occupancy bitmap instead
@@ -78,11 +82,11 @@ from jax import lax
 
 from . import transforms
 
-PLANE, SPHERE, CYLINDER, ASPHERE, TRIANGLE, CONE, QUADRIC = \
-    0, 1, 2, 3, 4, 5, 6
+PLANE, SPHERE, CYLINDER, ASPHERE, TRIANGLE, CONE, QUADRIC, TORUS = \
+    0, 1, 2, 3, 4, 5, 6, 7
 N_PARAMS, N_TRIM = 9, 6
 _KIND_NAMES = {0: 'plane', 1: 'sphere', 2: 'cylinder', 3: 'asphere',
-               4: 'triangle', 5: 'cone', 6: 'quadric'}
+               4: 'triangle', 5: 'cone', 6: 'quadric', 7: 'torus'}
 KIND_CODES = {name: code for code, name in _KIND_NAMES.items()}
 
 
@@ -149,6 +153,21 @@ def quadric(transform, elem, coeffs, zRange, orient=+1):
   qa, qb, qc, qz, q0 = coeffs
   return _surf(QUADRIC, (qa, qb, qc, qz, q0), (0., zRange[0], zRange[1]),
                transform, elem, orient)
+
+
+def torus(transform, elem, majorRadius, minorRadius, vRange=None, orient=+1):
+  '''Torus around the local z axis: tube of radius `minorRadius` swept
+  along the circle of radius `majorRadius` in the z=0 plane (OCC gp_Torus
+  analog; reference faces of this kind reach the tracer through
+  line.Curve.intersect, ray.py:357-383). The trim band is the TUBE angle
+  v = atan2(z, sqrt(x^2+y^2) - majorRadius) in (-pi, pi]: v = 0 is the
+  outer equator, +/-pi the inner equator, +pi/2 the top circle. vRange
+  None keeps the full tube. Requires majorRadius > minorRadius (OCC's
+  non-self-intersecting regime). orient +1 = outward of the solid tube.'''
+  if vRange is None:
+    vRange = (-3.15, 3.15)
+  return _surf(TORUS, (majorRadius, minorRadius),
+               (0., vRange[0], vRange[1]), transform, elem, orient)
 
 
 def _conicAsQuadric(s):
@@ -610,6 +629,111 @@ def _intersectQuadric(params, trim, o, d, tMin, mask=None, prims=None):
   return _pickRoot(t1, t2, (t1 > tMin) & zOk(t1), (t2 > tMin) & zOk(t2))
 
 
+def _cubicLargestRoot(B, C, D):
+  '''Largest real root of S^3 + B S^2 + C S + D = 0 by damped Newton from
+  ABOVE the Cauchy root bound — monotone global convergence to the largest
+  root (the cubic is convex and increasing there), entirely branch-free
+  with no acos/cbrt, so the Pallas kernel twin
+  (ops/pallas_trace._intersectConst TORUS branch) shares this EXACT code
+  and the two tracer paths stay bit-identical. Used by the quartic
+  factorization below, where D = -q^2 <= 0 guarantees a root >= 0.'''
+  S = 1. + jnp.maximum(jnp.abs(B), jnp.maximum(jnp.abs(C), jnp.abs(D)))
+  for _ in range(28):
+    f = ((S + B) * S + C) * S + D
+    fp = (3. * S + 2. * B) * S + C
+    fp = jnp.where(jnp.abs(fp) < 1e-20, 1e-20, fp)
+    step = f / fp
+    # never step past the root from above: f > 0 and fp > 0 on the
+    # approach, so a plain Newton step is already monotone; the clamp
+    # only guards the pathological flat-slope start
+    S = S - jnp.clip(step, -jnp.abs(S) - 1., jnp.abs(S) + 1.)
+  return S
+
+
+def _quarticSmallestRoot(b, c, d, e, tMin, validFn):
+  '''Smallest root t > tMin of t^4 + b t^3 + c t^2 + d t + e with
+  validFn(t) true, else _BIG. Ferrari-style factorization into two
+  quadratics via the resolvent cubic, every candidate polished with three
+  Newton steps on the quartic itself (f32-safe for simple roots; double
+  roots — grazing rays — land within ~sqrt(eps) like every tracer's
+  quadric grazing case).'''
+  # depress: t = u - b/4
+  b4 = b / 4.
+  p = c - 3. * b * b / 8.
+  q = d - b * c / 2. + b ** 3 / 8.
+  r = e - b * d / 4. + b * b * c / 16. - 3. * b ** 4 / 256.
+  # factor u^4 + p u^2 + q u + r = (u^2 + s u + A)(u^2 - s u + Bb):
+  # S = s^2 solves S^3 + 2p S^2 + (p^2 - 4r) S - q^2 = 0 (root >= 0 exists)
+  S = jnp.maximum(_cubicLargestRoot(2. * p, p * p - 4. * r, -q * q), 0.)
+  s = jnp.sqrt(S)
+  biquad = S < 1e-10 * (1. + jnp.abs(p))   # q ~ 0: u^4 + p u^2 + r
+  sSafe = jnp.where(biquad, 1., s)
+  A = 0.5 * (p + S - q / sSafe)
+  Bb = 0.5 * (p + S + q / sSafe)
+  # biquadratic fallback: u^2 = y with y^2 + p y + r = 0
+  y1, y2 = _quadraticRoots(jnp.ones_like(p), p, r)
+  A = jnp.where(biquad, jnp.where(y1 < _BIG, -y1, 0.), A)
+  Bb = jnp.where(biquad, jnp.where(y2 < _BIG, -y2, 0.), Bb)
+  sQ = jnp.where(biquad, 0., s)
+  u1, u2 = _quadraticRoots(jnp.ones_like(p), sQ, A)
+  u3, u4 = _quadraticRoots(jnp.ones_like(p), -sQ, Bb)
+
+  tBest = jnp.full_like(p, _BIG)
+  for u in (u1, u2, u3, u4):
+    t = jnp.where(u < _BIG, u - b4, _BIG)
+    for _ in range(3):                     # Newton polish on the quartic
+      f = (((t + b) * t + c) * t + d) * t + e
+      fp = ((4. * t + 3. * b) * t + 2. * c) * t + d
+      fp = jnp.where(jnp.abs(fp) < 1e-20, 1e-20, fp)
+      t = jnp.where(t < _BIG, t - f / fp, t)
+    ok = (t > tMin) & (t < _BIG) & validFn(t)
+    tBest = jnp.minimum(tBest, jnp.where(ok, t, _BIG))
+  return tBest
+
+
+def _intersectTorus(params, trim, o, d, tMin, mask=None, prims=None):
+  '''Ray-torus intersection: exact quartic (Ferrari + Newton polish).
+  Implicit form g(p) = (|p|^2 + R^2 - r^2)^2 - 4 R^2 (x^2 + y^2) = 0.
+  The ray is re-anchored at its closest approach to the torus center
+  before expanding the quartic — with |o'| ~ R the f32 coefficients stay
+  small enough for the factorization to hold ~1e-3 absolute root error,
+  and the Newton polish takes it to ulp for simple roots. Trim band is
+  the tube angle v (see `torus`), so caps/inner-half selections are
+  closed-form; bitmap/prim trims ride the shared machinery.'''
+  R, r = params[0], params[1]
+  # unit-less conditioning: anchor at closest approach, scale by R
+  dd = jnp.dot(d, d)
+  tMid = -jnp.dot(o, d) / jnp.where(dd < 1e-20, 1e-20, dd)
+  oS = (o + tMid * d) / R
+  dS = d / jnp.sqrt(dd)
+  rr = r / R
+  # quartic in the scaled parameter tau: t = tMid + tau * R / |d|
+  K = jnp.dot(oS, oS) + 1. - rr * rr
+  bq = 2. * jnp.dot(oS, dS)
+  exy = dS[0] ** 2 + dS[1] ** 2
+  fxy = oS[0] * dS[0] + oS[1] * dS[1]
+  gxy = oS[0] ** 2 + oS[1] ** 2
+  b = 2. * bq
+  c = bq * bq + 2. * K - 4. * exy
+  dL = 2. * bq * K - 8. * fxy
+  e = K * K - 4. * gxy
+
+  def valid(tau):
+    t = tMid + tau * R / jnp.sqrt(dd)
+    pt = o + t * d
+    sxy = jnp.sqrt(pt[0] ** 2 + pt[1] ** 2)
+    # residual gate: reject spurious factorization roots (g ~ 2 r delta)
+    g = (sxy - R) ** 2 + pt[2] ** 2 - r * r
+    v = chartAtan2(pt[2], sxy - R)
+    return (jnp.abs(g) < 2e-3 * r * r + 1e-6 * R * R) \
+        & _trimBandOk(trim, mask, pt, v, prims)
+
+  tauMin = (tMin - tMid) * jnp.sqrt(dd) / R
+  tau = _quarticSmallestRoot(b, c, dL, e, tauMin, valid)
+  t = tMid + tau * R / jnp.sqrt(dd)
+  return jnp.where(tau < _BIG, t, _BIG)
+
+
 def _intersectTriangle(params, trim, o, d, tMin, mask=None, prims=None):
   v0 = params[0:3]
   e1 = params[3:6] - v0
@@ -632,7 +756,7 @@ KIND_INTERSECTORS = {
     'plane': _intersectPlane, 'sphere': _intersectSphere,
     'cylinder': _intersectCylinder, 'asphere': _intersectAsphere,
     'triangle': _intersectTriangle, 'cone': _intersectCone,
-    'quadric': _intersectQuadric}
+    'quadric': _intersectQuadric, 'torus': _intersectTorus}
 
 
 def intersectLocal(kind, params, trim, o, d, tMin, mask=None, prims=None):
@@ -643,7 +767,7 @@ def intersectLocal(kind, params, trim, o, d, tMin, mask=None, prims=None):
   into the branches as closures — absent extras cost nothing.'''
   fns = [_intersectPlane, _intersectSphere, _intersectCylinder,
          _intersectAsphere, _intersectTriangle, _intersectCone,
-         _intersectQuadric]
+         _intersectQuadric, _intersectTorus]
   branches = [lambda p, t, oo, dd, tm, f=f: f(p, t, oo, dd, tm,
                                               mask=mask, prims=prims)
               for f in fns]
@@ -683,5 +807,15 @@ def normalLocal(kind, params, p):
         [2 * params[0] * p[0], 2 * params[1] * p[1],
          2 * params[2] * p[2] + params[3]]))
 
+  def nTorus(params, p):
+    # geometric: (p - tube-circle center) / r; s > 0 on the surface for
+    # the non-self-intersecting R > r regime
+    R = params[0]
+    s = jnp.sqrt(p[0] ** 2 + p[1] ** 2)
+    sSafe = jnp.where(s < 1e-12, 1e-12, s)
+    scale = R / sSafe
+    return transforms.normalize(jnp.array(
+        [p[0] * (1. - scale), p[1] * (1. - scale), p[2]]))
+
   return lax.switch(kind, [nPlane, nSphere, nCylinder, nAsphere, nTriangle,
-                           nCone, nQuadric], params, p)
+                           nCone, nQuadric, nTorus], params, p)

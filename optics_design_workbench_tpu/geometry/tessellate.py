@@ -293,6 +293,20 @@ def tessellateSurface(surf, resolution=48, infiniteExtent=150.):
     occ = _vertexOk(surf, pts, u, v) & good[None, :]
     return _assemble(surf, pts, occ, res, res)
 
+  elif kind == S.KIND_CODES['torus']:
+    R0, rT = params[0], params[1]
+    if 'trimBitmap' in surf:
+      v1, v2 = -np.pi, np.pi
+    else:
+      v1, v2 = max(trim[1], -np.pi), min(trim[2], np.pi)
+    vv = np.linspace(v1, v2, res + 1)
+    rad = R0 + rT * np.cos(vv)
+    pts = np.stack([np.cos(phi)[:, None] * rad[None, :],
+                    np.sin(phi)[:, None] * rad[None, :],
+                    np.broadcast_to(rT * np.sin(vv), (res + 1, res + 1))],
+                   axis=-1)
+    u, v = _chartU(pts), np.broadcast_to(vv, pts.shape[:-1])
+
   else:
     io.warn(f'tessellate: unknown surface kind {kind}; skipped')
     return np.zeros((0, 3)), np.zeros((0, 3), dtype=int)

@@ -135,7 +135,11 @@ def _shouldUnroll(scene, maxIntersections, nElements=None):
     if nElements is None:
       nElements = int(scene['elements']['optType'].shape[0])
     K = min(maxIntersections, nElements + 1)
-    return K if nSurf * K <= 80 else 0
+    # clamp to the op budget instead of falling all the way to 0: even a
+    # partial unroll covers the leading (densest) bounces at the cheap
+    # static schedule and leaves the tail to the rolled loop (example 2:
+    # K 0 -> 3 measured +3.4% on v5e for +7 s compile)
+    return min(K, max(80 // max(nSurf, 1), 0))
   return maxIntersections if nSurf * maxIntersections <= 80 else 0
 
 
@@ -423,6 +427,15 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
       # scenes at 4096-ray tiles). Argmin-with-strict-< keeps the FIRST
       # surface achieving the minimum, matching the old first-match
       # tie-break. ----
+      # Static medium cull: `medium` only ever takes -1 or the element id
+      # of a LENS / transmission-GRATING entry (see the newMedium update
+      # below), so for surfaces of any other element the other-medium
+      # test `medium != elemF` is compile-time TRUE (drop the mask), and
+      # in scenes with no such element at all the other-medium minimum
+      # IS the global minimum (drop the second tracker entirely).
+      canBeMedium = tuple(er['optF'] in (float(LENS), float(GRATING))
+                          for er in elemRows)
+      anyMedium = any(canBeMedium)
       tBest = jnp.full(shape, _BIG)
       sBest = jnp.full(shape, -1.0)
       tOth = jnp.full(shape, _BIG)
@@ -435,10 +448,12 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
         b = t < tBest
         sBest = jnp.where(b, float(s), sBest)
         tBest = jnp.where(b, t, tBest)
-        tO = jnp.where(medium != r['elemF'], t, _BIG)
-        bO = tO < tOth
-        sOth = jnp.where(bO, float(s), sOth)
-        tOth = jnp.where(bO, tO, tOth)
+        if anyMedium:
+          tO = jnp.where(medium != r['elemF'], t, _BIG) \
+              if canBeMedium[int(r['elemF'])] else t
+          bO = tO < tOth
+          sOth = jnp.where(bO, float(s), sOth)
+          tOth = jnp.where(bO, tO, tOth)
 
       # ---- SMEM-resident triangle sweep: meshes past the immediates
       # budget ride as a (nTri, 11) scalar-memory table [p0, e1, e2,
@@ -550,15 +565,18 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
         b = tT < tBest
         sBest = jnp.where(b, -2.0, sBest)
         tBest = jnp.where(b, tT, tBest)
-        tO = jnp.where(medium != elT, tT, _BIG)
-        bO = tO < tOth
-        sOth = jnp.where(bO, -2.0, sOth)
-        tOth = jnp.where(bO, tO, tOth)
+        if anyMedium:
+          tO = jnp.where(medium != elT, tT, _BIG)
+          bO = tO < tOth
+          sOth = jnp.where(bO, -2.0, sOth)
+          tOth = jnp.where(bO, tO, tOth)
 
       # same-medium preference + winner (-2 = SMEM triangle). NOTE plain
       # boolean algebra — jnp.where on i1 operands crashes the Mosaic
       # compiler.
       hasHit = tBest < _BIG
+      if not anyMedium:
+        tOth, sOth = tBest, sBest
       hasPref = (tOth < _BIG) & (tOth <= tBest + 2 * distTol)
       tSel = jnp.where(hasPref, tOth, tBest)
       sIdx = jnp.where(hasHit, jnp.where(hasPref, sOth, sBest), -1.0)
@@ -1127,6 +1145,7 @@ def _intersectConst(r, ox, oy, oz, dx, dy, dz, tMin, maskVals=()):
   (trim0 == 2) test candidate roots against their packed VMEM bitmap in
   maskVals via _bitmapOkConst; hole-primitive surfaces (trim0 == 3/4)
   subtract their holes via _holeFreeConst.'''
+  kind = r['kind']
   if r.get('ident'):
     lox, loy, loz, ldx, ldy, ldz = ox, oy, oz, dx, dy, dz
   else:
@@ -1136,7 +1155,6 @@ def _intersectConst(r, ox, oy, oz, dx, dy, dz, tMin, maskVals=()):
     ldx = r['r00'] * dx + r['r01'] * dy + r['r02'] * dz
     ldy = r['r10'] * dx + r['r11'] * dy + r['r12'] * dz
     ldz = r['r20'] * dx + r['r21'] * dy + r['r22'] * dz
-  kind = r['kind']
   if kind == GS.TRIANGLE:
     # Moeller-Trumbore with the triangle's edges as immediates
     # (geometry/surfaces._intersectTriangle twin; triangles are stored in
@@ -1328,6 +1346,54 @@ def _intersectConst(r, ox, oy, oz, dx, dy, dz, tMin, maskVals=()):
         trimOk = _applyPrimsConst(r, x, y, z, trimOk)
     ok = (t > tMin) & (jnp.abs(z - sag) < 1e-4) & trimOk
     return jnp.where(ok, t, _BIG)
+  if kind == GS.TORUS:
+    # exact quartic, sharing geometry/surfaces._quarticSmallestRoot /
+    # _cubicLargestRoot VERBATIM (branch-free Newton — no acos/cbrt, so
+    # Mosaic compiles the same ops and both paths stay bit-identical).
+    # R0/rT are python-float immediates; the ray is re-anchored at its
+    # closest approach to the torus center and scaled by R0 so the f32
+    # quartic coefficients stay conditioned (surfaces._intersectTorus).
+    R0, rT = r['p0'], r['p1']
+    dd = ldx * ldx + ldy * ldy + ldz * ldz
+    ddS = jnp.where(dd < 1e-20, 1e-20, dd)
+    tMid = -(lox * ldx + loy * ldy + loz * ldz) / ddS
+    stretch = jnp.sqrt(ddS) / R0          # d(tau)/d(t)
+    osx = (lox + tMid * ldx) / R0
+    osy = (loy + tMid * ldy) / R0
+    osz = (loz + tMid * ldz) / R0
+    invL = lax.rsqrt(ddS)
+    dsx, dsy, dsz = ldx * invL, ldy * invL, ldz * invL
+    rr2 = (rT / R0) ** 2
+    K = osx * osx + osy * osy + osz * osz + 1. - rr2
+    bq = 2. * (osx * dsx + osy * dsy + osz * dsz)
+    exy = dsx * dsx + dsy * dsy
+    fxy = osx * dsx + osy * dsy
+    gxy = osx * osx + osy * osy
+    b = 2. * bq
+    c = bq * bq + 2. * K - 4. * exy
+    dL = 2. * bq * K - 8. * fxy
+    e = K * K - 4. * gxy
+
+    def torOk(tau):
+      t = tMid + tau / stretch
+      x, y, z = lox + t * ldx, loy + t * ldy, loz + t * ldz
+      sxy = jnp.sqrt(x * x + y * y)
+      g = (sxy - R0) ** 2 + z * z - rT * rT
+      okRes = jnp.abs(g) < (2e-3 * rT * rT + 1e-6 * R0 * R0)
+      v = GS.chartAtan2(z, sxy - R0)
+      if r['trim0'] == 2.:
+        trimOk = _bitmapOkConst(r, maskVals[r['maskSlot']],
+                                GS.chartAtan2(y, x), v)
+      else:
+        trimOk = (v >= r['trim1']) & (v <= r['trim2'])
+        if r['trim0'] == 3.:
+          trimOk = _applyPrimsConst(r, x, y, z, trimOk)
+      return okRes & trimOk
+
+    tauMin = (tMin - tMid) * stretch
+    tau = GS._quarticSmallestRoot(b, c, dL, e, tauMin, torOk)
+    t = tMid + tau / stretch
+    return jnp.where(tau < _BIG, t, _BIG)
   raise ValueError(f'unsupported kind {kind}')
 
 
@@ -1368,6 +1434,14 @@ def _normalConst(r, lx, ly, lz):
          + 4 * a4 * r2 + 6 * a6 * r2 * r2 + 8 * a8 * r2 ** 3)
     inv = lax.rsqrt(g * g * r2 + 1. + 1e-20)
     return -g * lx * inv, -g * ly * inv, jnp.ones_like(lz) * inv
+  if kind == GS.TORUS:
+    # geometric: (p - tube-circle center) / r (surfaces.normalLocal)
+    s = jnp.sqrt(lx * lx + ly * ly)
+    sS = jnp.where(s < 1e-12, 1e-12, s)
+    scale = r['p0'] / sS
+    nx, ny = lx * (1. - scale), ly * (1. - scale)
+    inv = lax.rsqrt(nx * nx + ny * ny + lz * lz + 1e-20)
+    return nx * inv, ny * inv, lz * inv
   raise ValueError(f'unsupported kind {kind}')
 
 

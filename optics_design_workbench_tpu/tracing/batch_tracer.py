@@ -146,21 +146,26 @@ def _localNormal(kindf, prm, plx, ply, plz):
   qx, qy, qz = _norm3(2 * prm[:, 0] * plx, 2 * prm[:, 1] * ply,
                       2 * prm[:, 2] * plz + prm[:, 3])
 
+  # torus: (p - tube-circle center) / r (surfaces.normalLocal nTorus)
+  toScale = prm[:, 0] / rSafe
+  ox_, oy_, oz_ = _norm3(plx * (1. - toScale), ply * (1. - toScale), plz)
+
   isS = kindf == S.SPHERE
   isC = kindf == S.CYLINDER
   isA = kindf == S.ASPHERE
   isT = kindf == S.TRIANGLE
   isK = kindf == S.CONE
   isQ = kindf == S.QUADRIC
+  isO = kindf == S.TORUS
   nx = jnp.where(isS, sx, jnp.where(isC, cx, jnp.where(isA, ax,
                  jnp.where(isT, tx, jnp.where(isK, kx,
-                 jnp.where(isQ, qx, 0.))))))
+                 jnp.where(isQ, qx, jnp.where(isO, ox_, 0.)))))))
   ny = jnp.where(isS, sy, jnp.where(isC, cy, jnp.where(isA, ay,
                  jnp.where(isT, ty, jnp.where(isK, ky,
-                 jnp.where(isQ, qy, 0.))))))
+                 jnp.where(isQ, qy, jnp.where(isO, oy_, 0.)))))))
   nz = jnp.where(isS, sz, jnp.where(isC, 0., jnp.where(isA, az,
                  jnp.where(isT, tz, jnp.where(isK, kz,
-                 jnp.where(isQ, qz, 1.))))))
+                 jnp.where(isQ, qz, jnp.where(isO, oz_, 1.)))))))
   return nx, ny, nz
 
 

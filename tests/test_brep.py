@@ -275,3 +275,34 @@ def test_reference_corpus_classification_census():
     assert cnt.get('tessellated bspline', 0) + cnt.get(
         'tessellated torus', 0) <= tessCeiling.get(name, 0), \
         (name, dict(cnt))
+
+
+def test_step_import_tori_load_analytic():
+  '''The STEP-imported surface-source part carries 3 torus records; they
+  must now ingest as analytic TORUS surfaces (kind 7) instead of the
+  pre-round-4 triangle tessellations (reference delegates tori to OCC,
+  ray.py:357-383; brep torus records are CASCADE type 5).'''
+  import collections
+  import glob
+  files = [p for p in glob.glob('/root/reference/**/*.FCStd', recursive=True)
+           if 'imported-stepfile' in p]
+  if not files:
+    pytest.skip('reference not available')
+  cnt = collections.Counter()
+  torus = 0
+  with zipfile.ZipFile(files[0]) as z:
+    for n in z.namelist():
+      if not n.endswith('.brp'):
+        continue
+      text = z.read(n).decode('latin-1')
+      if 'TShapes' not in text:
+        continue
+      try:
+        surfs, notes = B.brepToSurfaces(text, elem=0)
+      except ValueError:
+        continue
+      torus += sum(1 for s in surfs if s.get('kind') == 7)
+      for note in notes:
+        cnt[note.split('(')[0].strip()] += 1
+  assert torus >= 3, dict(cnt)
+  assert cnt.get('tessellated torus', 0) == 0, dict(cnt)

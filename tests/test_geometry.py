@@ -410,3 +410,110 @@ class TestQuadric:
     # off-axis vertical ray: z = r^2/4
     _, t, has = hit_t(tab, *ray([2, 0, 10], [0, 0, -1]))
     assert has and abs((10. - t) - 1.) < 1e-3
+
+
+class TestTorus:
+  '''TORUS kind: exact quartic (Ferrari + Newton polish) vs closed-form and
+  brute-force numpy polyroots (reference delegates tori to OCC's
+  line.Curve.intersect, ray.py:357-383).'''
+
+  def test_equator_hits(self):
+    tab = S.buildSurfaceTable([S.torus(np.eye(4), elem=0,
+                                       majorRadius=10., minorRadius=2.)])
+    # from the center out along +x: inner equator at R - r = 8
+    _, t, has = hit_t(tab, *ray([0, 0, 0], [1, 0, 0]))
+    assert has and abs(t - 8.) < 1e-3
+    # from far outside in: outer equator at x = 12 -> t = 38
+    _, t, has = hit_t(tab, *ray([-50, 0, 0], [1, 0, 0]))
+    assert has and abs(t - 38.) < 1e-3
+    # vertical ray through the tube top: z = +/-2 at s = R
+    _, t, has = hit_t(tab, *ray([10, 0, 50], [0, 0, -1]))
+    assert has and abs(t - 48.) < 1e-3
+    # through the hole: miss
+    assert not hit_t(tab, *ray([0, 0, 50], [0, 0, -1]))[2]
+    # fully outside: miss
+    assert not hit_t(tab, *ray([0, 30, 0], [1, 0, 0]))[2]
+
+  def test_vband_trim(self):
+    # keep only the OUTER half of the tube: v in (-pi/2, pi/2)
+    tab = S.buildSurfaceTable([S.torus(np.eye(4), elem=0, majorRadius=10.,
+                                       minorRadius=2.,
+                                       vRange=(-1.5707, 1.5707))])
+    # inner equator (v = pi) is trimmed away -> first hit is the FAR
+    # outer equator? no: ray +x from center passes inner (8, trimmed),
+    # then the far side of the tube at x = 12 (v = 0 on the far side is
+    # at x = 12? the far tube is centered at x = -10... take the near
+    # tube's outer point x = 12
+    _, t, has = hit_t(tab, *ray([0, 0, 0], [1, 0, 0]))
+    assert has and abs(t - 12.) < 1e-3
+    # vertical ray at s = R hits z = +2 with v = +pi/2 boundary...
+    # use s slightly outside R so v < pi/2 strictly
+    _, t, has = hit_t(tab, *ray([11, 0, 50], [0, 0, -1]))
+    assert has
+
+  def test_normals_and_orientation(self):
+    tab = S.buildSurfaceTable([S.torus(np.eye(4), elem=0,
+                                       majorRadius=10., minorRadius=2.)])
+    p = jnp.asarray([12., 0., 0.])
+    n = S.normalLocal(jnp.int32(S.TORUS), tab['params'][0], p)
+    assert np.allclose(np.asarray(n), [1., 0., 0.], atol=1e-5)
+    p = jnp.asarray([8., 0., 0.])
+    n = S.normalLocal(jnp.int32(S.TORUS), tab['params'][0], p)
+    assert np.allclose(np.asarray(n), [-1., 0., 0.], atol=1e-5)
+    p = jnp.asarray([0., 10., 2.])
+    n = S.normalLocal(jnp.int32(S.TORUS), tab['params'][0], p)
+    assert np.allclose(np.asarray(n), [0., 0., 1.], atol=1e-5)
+
+  def test_random_rays_vs_polyroots(self):
+    R, r = 25., 6.
+    tab = S.buildSurfaceTable([S.torus(np.eye(4), elem=0,
+                                       majorRadius=R, minorRadius=r)])
+    rng = np.random.default_rng(7)
+    checked = 0
+    for i in range(300):
+      o = rng.uniform(-60, 60, 3)
+      # aim at a random point of the tube so most rays genuinely hit
+      u, v = rng.uniform(-np.pi, np.pi, 2)
+      aim = np.array([(R + r * np.cos(v)) * np.cos(u),
+                      (R + r * np.cos(v)) * np.sin(u),
+                      r * np.sin(v)]) + rng.normal(scale=1.0, size=3)
+      dv = aim - o
+      dv /= np.linalg.norm(dv)
+      # brute force: numpy quartic roots in double precision
+      K = o @ o + R * R - r * r
+      b2 = 2 * (o @ dv)
+      coeffs = [1.,
+                2 * b2,
+                b2 * b2 + 2 * K - 4 * R * R * (dv[0] ** 2 + dv[1] ** 2),
+                2 * b2 * K - 8 * R * R * (o[0] * dv[0] + o[1] * dv[1]),
+                K * K - 4 * R * R * (o[0] ** 2 + o[1] ** 2)]
+      # note K here folds |o|^2: recompute exactly as the quartic of
+      # (t^2 + b2 t + C)^2 = 4R^2((ox+t dx)^2 + (oy+t dy)^2), C = K
+      roots = np.roots(coeffs)
+      real = sorted(float(x.real) for x in roots
+                    if abs(x.imag) < 1e-8 and x.real > 1e-6)
+      _, t, has = hit_t(tab, *ray(o, dv))
+      if not real:
+        assert not has, f'ray {i}: device hit {t}, numpy says miss'
+        continue
+      # skip near-grazing rays (double roots) — f32 boundary cases
+      g = np.polyval(np.polyder(coeffs), real[0])
+      if abs(g) < 1e2:
+        continue
+      checked += 1
+      assert has, f'ray {i}: device miss, numpy hit at {real[0]}'
+      assert abs(t - real[0]) < 5e-3 * max(1., real[0]), \
+          f'ray {i}: device {t} vs numpy {real[0]}'
+    assert checked > 120   # the sweep must actually exercise hits
+
+  def test_placed_torus_roundtrip(self):
+    # rotate + translate the torus; a ray aimed at the placed outer
+    # equator must hit at the right world point
+    tf = T.translation(5., -3., 40.) @ T.rotation((1., 0., 0.), 90.)
+    tab = S.buildSurfaceTable([S.torus(tf, elem=0,
+                                       majorRadius=10., minorRadius=2.)])
+    # the ring circle now lives in the world x-z plane (local z -> -y);
+    # outer equator point local (12, 0, 0) -> world (17, -3, 40). Hit it
+    # RADIALLY (a +z ray would graze the tube tangentially there):
+    _, t, has = hit_t(tab, *ray([50., -3., 40.], [-1, 0, 0]))
+    assert has and abs(t - 33.) < 2e-3

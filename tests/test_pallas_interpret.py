@@ -821,3 +821,59 @@ def test_smem_chunked_large_mesh_matches_xla_interpret():
   assert int(cX['hits']) > 0.2 * N
   assert int(cP['hits']) == int(cX['hits'])
   assert _nearlyEqualCounts(hP, hX)
+
+
+def test_torus_mirror_matches_xla_interpret():
+  '''TORUS kind through the kernel: the quartic solver
+  (surfaces._quarticSmallestRoot) is shared VERBATIM between the XLA
+  sweep and the kernel immediates branch, so a toroidal fold mirror must
+  reproduce the XLA fused step bin-for-bin (reference delegates tori to
+  OCC line.Curve.intersect, ray.py:357-383).'''
+  scene = Scene(label='tork')
+  scene.addOpticalGroup(OpticalGroup(
+      OpticalType='Mirror', Label='Ring',
+      surfaces=[S.torus(np.eye(4), elem=0, majorRadius=30.,
+                        minorRadius=8.)],
+      placements=[T.translation(0, 0, 80.)]))
+  scene.addOpticalGroup(OpticalGroup(
+      OpticalType='Absorber', Label='Det',
+      surfaces=[S.plane(np.eye(4), elem=0, halfExtents=(200., 200.))],
+      placements=[T.translation(0, 0, 0)]))
+  # aim at the lower tube of the ring (the source sits on the axis; the
+  # tube's nearest band is ~R-r .. R+r off-axis at z=80)
+  scene.addSource(PointSource(
+      Label='Src', PowerDensity='exp(-(theta-0.38)^2/0.01)',
+      ThetaDomain='0.15, 0.55', Wavelength=532.,
+      ThetaResolutionNumericMode='1e3'))
+  scene.addSimulationSettings(RaysPerIteration=1e4, MaxIntersections=3)
+  device, info = scene.compile()
+  device['powerTol'] = 1e-6
+  assert pallas_trace.pallasEligible(device)
+  hP, hX, cP, cX = _runPair(scene, bounds=(-200., 200., -200., 200.),
+                            bins=(32, 128), maxIntersections=3, n=N)
+  assert int(cX['hits']) > 0.1 * N      # the ring reflects a band down
+  assert int(cP['hits']) == int(cX['hits'])
+  assert _nearlyEqualCounts(hP, hX)
+
+
+def test_torus_vband_trim_matches_xla_interpret():
+  '''v-band-trimmed torus (outer half only) through the kernel.'''
+  scene = Scene(label='torkband')
+  scene.addOpticalGroup(OpticalGroup(
+      OpticalType='Mirror', Label='HalfRing',
+      surfaces=[S.torus(np.eye(4), elem=0, majorRadius=30., minorRadius=8.,
+                        vRange=(-1.5707, 1.5707))],
+      placements=[T.translation(0, 0, 80.)]))
+  scene.addOpticalGroup(OpticalGroup(
+      OpticalType='Absorber', Label='Det',
+      surfaces=[S.plane(np.eye(4), elem=0, halfExtents=(400., 400.))],
+      placements=[T.translation(0, 0, 0)]))
+  scene.addSource(PointSource(
+      Label='Src', PowerDensity='exp(-(theta-0.44)^2/0.02)',
+      ThetaDomain='0.2, 0.7', Wavelength=532.,
+      ThetaResolutionNumericMode='1e3'))
+  scene.addSimulationSettings(RaysPerIteration=1e4, MaxIntersections=3)
+  hP, hX, cP, cX = _runPair(scene, bounds=(-400., 400., -400., 400.),
+                            bins=(32, 128), maxIntersections=3, n=N)
+  assert int(cP['hits']) == int(cX['hits'])
+  assert _nearlyEqualCounts(hP, hX)

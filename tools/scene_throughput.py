@@ -225,6 +225,49 @@ def sceneMeshDish():
   return scene, 3, (-200., 200., -200., 200.)
 
 
+def sceneMeshDishCollimated():
+  '''Same 200-triangle dish, but lit by a NARROW beam (theta <= 0.03 rad)
+  aimed off-center: the per-tile alive-ray reach AABB stays thin, so the
+  Morton-chunk broad-phase cull skips most of the mesh each bounce —
+  the coherent-tile counterpart of mesh_dish_smem (fan/render-mode and
+  collimated-source workloads look like this).'''
+  import math
+  from optics_design_workbench_tpu.models import (Scene, PointSource,
+                                                  OpticalGroup)
+  from optics_design_workbench_tpu.geometry import surfaces as S
+  from optics_design_workbench_tpu.geometry import transforms as T
+  scene = Scene(label='dishcoh_tp')
+  tris = []
+  nQ, R0, z0 = 10, 40., 60.
+
+  def pt(ir, ip):
+    r = R0 * ir / nQ
+    ph = 2 * math.pi * ip / nQ
+    return (r * math.cos(ph), r * math.sin(ph), z0 + 0.004 * r * r)
+
+  for ir in range(nQ):
+    for ip in range(nQ):
+      a, b = pt(ir, ip), pt(ir + 1, ip)
+      c, d = pt(ir + 1, ip + 1), pt(ir, ip + 1)
+      tris.append(S.triangle(a, b, c, elem=0))
+      tris.append(S.triangle(a, c, d, elem=0))
+  scene.addOpticalGroup(OpticalGroup(
+      OpticalType='Mirror', Label='Dish', surfaces=tris,
+      placements=[np.eye(4)]))
+  scene.addOpticalGroup(OpticalGroup(
+      OpticalType='Absorber', Label='Det',
+      surfaces=[S.plane(np.eye(4), elem=0, halfExtents=(200., 200.))],
+      placements=[T.translation(0, 0, 0)]))
+  # beam aimed at the dish rim: tilt the source frame ~24 deg off-axis
+  aim = T.rotation((0., 1., 0.), 24.) @ T.translation(0, 0, 1e-3)
+  scene.addSource(PointSource(
+      Label='Src', PowerDensity='exp(-theta^2/2e-4)', ThetaDomain='0, 0.03',
+      Wavelength=532., ThetaResolutionNumericMode='1e3',
+      placement=aim))
+  scene.addSimulationSettings(RaysPerIteration=1e6, MaxIntersections=3)
+  return scene, 3, (-200., 200., -200., 200.)
+
+
 def sceneSpectrometer():
   '''examples/4: reflection-grating spectrometer (4th BASELINE config).'''
   from optics_design_workbench_tpu.models import (Scene, PointSource,
@@ -309,6 +352,7 @@ CRITERIA = [
     ('mesh_fold', sceneMeshFold, 0.3e9, 1e9, 'G seg/s'),
     ('spectrometer', sceneSpectrometer, 0.3e9, 1e9, 'G seg/s'),
     ('mesh_dish_smem', sceneMeshDish, 0.1e9, 1e9, 'G seg/s'),
+    ('mesh_dish_coherent', sceneMeshDishCollimated, 0.1e9, 1e9, 'G seg/s'),
 ]
 
 
