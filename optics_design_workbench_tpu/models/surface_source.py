@@ -32,6 +32,19 @@ from .common import parseDomain
 from .generic_source import GenericSource
 
 
+def _torusTubeAngleCdf(face, quantileRes=257):
+  '''Inverse CDF v(u) of the torus tube-angle area element
+  dA ~ (R + r cos v) dv on the face's v band, tabulated on a uniform
+  quantile grid (same plumbing as the asphere rInv table).'''
+  R0, rT = float(face.params[0]), float(face.params[1])
+  v1 = max(float(face.trim[1]), -np.pi)
+  v2 = min(float(face.trim[2]), np.pi)
+  vGrid = np.linspace(v1, v2, 2001)
+  cdf = R0 * (vGrid - v1) + rT * (np.sin(vGrid) - np.sin(v1))
+  cdf /= cdf[-1]
+  return np.interp(np.linspace(0., 1., quantileRes), cdf, vGrid)
+
+
 def _asphereRadiusCdf(face, quantileRes=257):
   '''Inverse CDF r(u) of the area element dA(r) of an asphere face,
   tabulated on a uniform quantile grid (the device twin of the host
@@ -112,6 +125,15 @@ def _localSampleColumns(face, u, v, rCol=None):
     ninv = jax.lax.rsqrt(g * g * r2 + 1. + 1e-20)
     return (r * ca, r * sa, sag,
             -g * r * ca * ninv, -g * r * sa * ninv, ninv)
+  if k == GS.TORUS:
+    vT = rCol     # tube angle from the tabulated inverse area CDF
+    a = 2. * np.pi * v
+    R0, rT = p[0], p[1]
+    ca, sa = jnp.cos(a), jnp.sin(a)
+    cv, sv = jnp.cos(vT), jnp.sin(vT)
+    rad = R0 + rT * cv
+    return (rad * ca, rad * sa, rT * sv,
+            cv * ca, cv * sa, sv)
   if k == GS.TRIANGLE:
     v0 = np.array(p[0:3])
     v1 = np.array(p[3:6])
@@ -174,6 +196,12 @@ class _Face:
       z1, z2 = t[1], t[2]
       return float(2 * np.pi * np.sqrt(1 + tanA ** 2)
                    * (r0 * (z2 - z1) + tanA * (z2 ** 2 - z1 ** 2) / 2))
+    if k == GS.TORUS:
+      # dA = r (R + r cos v) du dv, u full circle, v band
+      R0, rT = p[0], p[1]
+      v1, v2 = max(t[1], -np.pi), min(t[2], np.pi)
+      return float(2 * np.pi * rT
+                   * (R0 * (v2 - v1) + rT * (np.sin(v2) - np.sin(v1))))
     raise ValueError(f'unknown surface kind {k}')
 
   def _sagPrimeOverR(self, r2):
@@ -258,6 +286,16 @@ class _Face:
       normals = np.stack([np.cos(phi), np.sin(phi),
                           np.full(n, -tanA)], -1)
       normals /= np.linalg.norm(normals, axis=-1, keepdims=True)
+    elif k == GS.TORUS:
+      vInv = _torusTubeAngleCdf(self)
+      vT = np.interp(u, np.linspace(0., 1., len(vInv)), vInv)
+      phi = 2 * np.pi * v
+      R0, rT = p[0], p[1]
+      rad = R0 + rT * np.cos(vT)
+      pts = np.stack([rad * np.cos(phi), rad * np.sin(phi),
+                      rT * np.sin(vT)], -1)
+      normals = np.stack([np.cos(vT) * np.cos(phi),
+                          np.cos(vT) * np.sin(phi), np.sin(vT)], -1)
     else:
       raise ValueError(f'unknown surface kind {k}')
     return pts, normals * self.orient
@@ -560,6 +598,8 @@ class SurfaceSource(GenericSource):
                cumLo=float(cum[i]), cumHi=float(cum[i + 1]))
       if f.kind == GS.ASPHERE:
         d['rInv'] = _asphereRadiusCdf(f)
+      elif f.kind == GS.TORUS:
+        d['rInv'] = _torusTubeAngleCdf(f)
       out.append(d)
     return out
 
@@ -635,7 +675,7 @@ class SurfaceSource(GenericSource):
     specFaces = []
     for f in faces:
       f = dict(f)
-      if f['kind'] == GS.ASPHERE:
+      if 'rInv' in f:       # tabulated-parameter kinds (asphere r, torus v)
         rSpec = fitPiecewisePoly(f.pop('rInv'))
         if rSpec is None:
           return None
@@ -666,7 +706,7 @@ def _surfaceSampleColumns(faces, uF, u, v, theta, phi, wavelength):
   for f in faces:
     m = (uF >= f['cumLo']) & (uF < f['cumHi'])
     rCol = None
-    if f['kind'] == GS.ASPHERE:
+    if f['kind'] in (GS.ASPHERE, GS.TORUS):
       if 'rInv' in f:
         K = len(f['rInv'])
         pos = u * (K - 1)

@@ -179,3 +179,46 @@ def test_surface_source_takes_histogram_fast_path(tmp_path):
   import glob
   hits = glob.glob(os.path.join(run, 'source-SS', 'object-Det', '*-hits.*'))
   assert hits
+
+
+def test_torus_face_device_host_equivalence():
+  '''A torus emitter face (STEP-imported parts now ingest tori
+  analytically): the device column sampler must statistically match the
+  host numpy sampler — positions on the tube (|g| ~ 0), area-uniform in
+  the tube angle, and normals outward.'''
+  import numpy as np
+  import jax
+  from optics_design_workbench_tpu.models import (Scene, SurfaceSource,
+                                                  OpticalGroup)
+  from optics_design_workbench_tpu.geometry import surfaces as S
+
+  R0, rT = 20., 5.
+  scene = Scene(label='torussrc')
+  scene.addOpticalGroup(OpticalGroup(
+      OpticalType='Vacuum', Label='Emitter',
+      surfaces=[S.torus(np.eye(4), elem=0, majorRadius=R0,
+                        minorRadius=rT)],
+      placements=[np.eye(4)]))
+  src = SurfaceSource(Label='Src', PowerDensity='cos(theta)^2',
+                      ActiveSurfaces=['Emitter'], Wavelength=532.)
+  scene.addSource(src)
+  scene.addSimulationSettings(RaysPerIteration=1e3, MaxIntersections=2)
+  scene.compile()
+
+  gen = src.deviceColumnsGenerator()
+  cols = gen(jax.random.PRNGKey(3), 4096)
+  ox = np.asarray(cols['ox']); oy = np.asarray(cols['oy'])
+  oz = np.asarray(cols['oz'])
+  s = np.hypot(ox, oy)
+  g = (s - R0) ** 2 + oz ** 2 - rT * rT
+  assert np.abs(g).max() < 1e-2              # on the tube
+  # tube-angle distribution ~ (R + r cos v): outer half carries more area
+  v = np.arctan2(oz, s - R0)
+  outer = (np.abs(v) < np.pi / 2).mean()
+  expect = (R0 * np.pi + 2 * rT) / (2 * np.pi * R0)  # analytic outer share
+  assert abs(outer - expect) < 0.03
+  # host sampler agrees on the same statistic
+  pts, nrm = src._activeFaces()[0].samplePositions(
+      4096, np.random.default_rng(5))
+  vH = np.arctan2(pts[:, 2], np.hypot(pts[:, 0], pts[:, 1]) - R0)
+  assert abs((np.abs(vH) < np.pi / 2).mean() - outer) < 0.04
