@@ -75,6 +75,8 @@ radially out, asphere grad(z - sag(r)) (points to +z side), triangle
 right-handed winding.
 '''
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -665,8 +667,11 @@ def _quarticSmallestRoot(b, c, d, e, tMin, validFn):
   # factor u^4 + p u^2 + q u + r = (u^2 + s u + A)(u^2 - s u + Bb):
   # S = s^2 solves S^3 + 2p S^2 + (p^2 - 4r) S - q^2 = 0 (root >= 0 exists)
   S = jnp.maximum(_cubicLargestRoot(2. * p, p * p - 4. * r, -q * q), 0.)
-  s = jnp.sqrt(S)
   biquad = S < 1e-10 * (1. + jnp.abs(p))   # q ~ 0: u^4 + p u^2 + r
+  # sqrt on a masked-safe value: sqrt'(0) = inf would 0*inf-NaN the
+  # cotangent under reverse-mode AD even though the biquad branch never
+  # uses s (same trap as _quadraticRoots' double-where)
+  s = jnp.sqrt(jnp.where(biquad, 1., S))
   sSafe = jnp.where(biquad, 1., s)
   A = 0.5 * (p + S - q / sSafe)
   Bb = 0.5 * (p + S + q / sSafe)
@@ -759,24 +764,46 @@ KIND_INTERSECTORS = {
     'quadric': _intersectQuadric, 'torus': _intersectTorus}
 
 
+@functools.lru_cache(maxsize=4)
+def _intersectLocalSwitch(hasMask, hasPrims):
+  '''Jitted 8-way kind switch, cached on which optional trim extras ride
+  along. Caching + jit is load-bearing, not a micro-optimization: building
+  fresh branch lambdas per call makes eager `lax.switch` retrace AND
+  recompile its cond program on EVERY call (~37 MB RSS leaked each — a
+  test looping intersectLocal 300x segfaulted the CPU backend with LLVM
+  "Cannot allocate memory"). The jitted closure pins one C++-fastpath
+  entry per (mask?, prims?) combination.'''
+  fns = [_intersectPlane, _intersectSphere, _intersectCylinder,
+         _intersectAsphere, _intersectTriangle, _intersectCone,
+         _intersectQuadric, _intersectTorus]
+
+  @jax.jit
+  def run(kind, params, trim, o, d, tMin, mask, prims):
+    branches = [lambda p, t, oo, dd, tm, mk, pr, f=f:
+                f(p, t, oo, dd, tm,
+                  mask=(mk if hasMask else None),
+                  prims=(pr if hasPrims else None))
+                for f in fns]
+    return lax.switch(kind, branches, params, trim, o, d, tMin, mask,
+                      prims)
+  return run
+
+
 def intersectLocal(kind, params, trim, o, d, tMin, mask=None, prims=None):
   '''Nearest valid intersection parameter t of a local-frame ray with one
   surface; +inf when there is none. Switch-based single-surface form; the
   batched sweep uses the per-kind kernels directly (see
   intersect.allDistances). mask/prims (bitmap / hole-primitive trims) ride
-  into the branches as closures — absent extras cost nothing.'''
-  fns = [_intersectPlane, _intersectSphere, _intersectCylinder,
-         _intersectAsphere, _intersectTriangle, _intersectCone,
-         _intersectQuadric, _intersectTorus]
-  branches = [lambda p, t, oo, dd, tm, f=f: f(p, t, oo, dd, tm,
-                                              mask=mask, prims=prims)
-              for f in fns]
-  return lax.switch(kind, branches, params, trim, o, d, tMin)
+  as ordinary operands — absent extras cost nothing (a scalar zero rides
+  in their place).'''
+  zero = jnp.zeros(())
+  return _intersectLocalSwitch(mask is not None, prims is not None)(
+      kind, params, trim, o, d, tMin,
+      zero if mask is None else mask,
+      zero if prims is None else prims)
 
 
-def normalLocal(kind, params, p):
-  '''Canonical (un-oriented) unit surface normal at local point p.'''
-
+def _normalBranches():
   def nPlane(params, p):
     return jnp.array([0., 0., 1.])
 
@@ -817,5 +844,16 @@ def normalLocal(kind, params, p):
     return transforms.normalize(jnp.array(
         [p[0] * (1. - scale), p[1] * (1. - scale), p[2]]))
 
-  return lax.switch(kind, [nPlane, nSphere, nCylinder, nAsphere, nTriangle,
-                           nCone, nQuadric, nTorus], params, p)
+  return [nPlane, nSphere, nCylinder, nAsphere, nTriangle, nCone,
+          nQuadric, nTorus]
+
+
+_NORMAL_BRANCHES = _normalBranches()
+
+
+@jax.jit
+def normalLocal(kind, params, p):
+  '''Canonical (un-oriented) unit surface normal at local point p. Jitted
+  with module-level branches so repeated eager calls reuse one compiled
+  switch (see _intersectLocalSwitch for why this is load-bearing).'''
+  return lax.switch(kind, _NORMAL_BRANCHES, params, p)

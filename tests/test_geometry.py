@@ -517,3 +517,25 @@ class TestTorus:
     # RADIALLY (a +z ray would graze the tube tangentially there):
     _, t, has = hit_t(tab, *ray([50., -3., 40.], [-1, 0, 0]))
     assert has and abs(t - 33.) < 2e-3
+
+
+def test_torus_intersect_gradient_matches_fd():
+  '''jax.grad through the torus quartic (Ferrari + branch-free Newton)
+  matches finite differences for a hitting ray — the sqrt-at-zero
+  cotangent trap in the factorization is guarded (tracing/diff.py
+  differentiates through this sweep).'''
+  import jax
+  tab = S.buildSurfaceTable([S.torus(np.eye(4), elem=0,
+                                     majorRadius=10., minorRadius=2.)])
+
+  def f(oz):
+    o = jnp.array([0., 0., oz])
+    d = jnp.array([1., 0., 0.05])
+    d = d / jnp.linalg.norm(d)
+    return I.allDistances(tab, o, d, 1e-6)[0]
+
+  g = float(jax.grad(f)(0.3))
+  eps = 1e-3
+  fd = float((f(0.3 + eps) - f(0.3 - eps)) / (2 * eps))
+  assert np.isfinite(g)
+  assert abs(g - fd) < 1e-3 * max(1., abs(fd))
