@@ -130,9 +130,12 @@ def makeBenchStep(scene=None, raysPerStep=1 << 20, maxIntersections=6,
                 if hasattr(src, 'deviceColumnsGenerator') else gen)
       samplerSpec = (src.pallasSamplerSpec()
                      if hasattr(src, 'pallasSamplerSpec') else None)
+      bound = (src.emissionBound()
+               if hasattr(src, 'emissionBound') else None)
       step = pallas_trace.makePallasTraceStep(device, histSpec, colGen,
                                               histPrecision=histPrecision,
                                               sampler=samplerSpec,
+                                              emissionBound=bound,
                                               **kwargs)
       backend = 'pallas'
     else:

@@ -87,6 +87,32 @@ class PointSource(GenericSource):
   def focalLength(self):
     return evalExpr(self.FocalLength)
 
+  def emissionBound(self):
+    '''Conservative world-frame emission envelope for the kernel's static
+    first-bounce surface cull (ops/pallas_trace._firstBounceSurfs):
+    (originCenter (3,), axis (3,), cosAlpha, originRadius) such that EVERY
+    emitted ray starts within `originRadius` of `originCenter` and points
+    within arccos(cosAlpha) of `axis`. Matches deviceColumnsGenerator's
+    exact origin math: f = 0 emits from the point, finite f from the
+    |lo| = 2|f| sin(theta/2) cap, f = inf collimated from the theta-radius
+    disc. Returns None when no finite bound exists.'''
+    try:
+      t1, t2 = self.parsedThetaDomain()
+      f = self.focalLength()
+    except Exception:
+      return None
+    if not np.isfinite(t2) or t2 < 0:
+      return None
+    R = np.asarray(self.placement[:3, :3], dtype=float)
+    off = np.asarray(self.placement[:3, 3], dtype=float)
+    axis = R @ np.array([0., 0., 1.])
+    if not np.isfinite(f):
+      # collimated: theta doubles as the aperture radius
+      return off, axis, 1.0, float(abs(t2))
+    alpha = min(float(t2), np.pi)
+    rO = 2. * abs(float(f)) * np.sin(alpha / 2.)
+    return off, axis, float(np.cos(alpha)), rO
+
   def parsedFanPhi0(self):
     return evalExpr(self.FanPhi0)
 

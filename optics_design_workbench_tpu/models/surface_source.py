@@ -421,6 +421,65 @@ class SurfaceSource(GenericSource):
     return parseDomain(self.ThetaDomain, default='0,pi/2',
                        limits=('-20*pi', '20*pi'), spanLimits=(0, '20*pi'))[1]
 
+  def emissionBound(self):
+    '''Conservative world-frame emission envelope for the kernel's static
+    first-bounce surface cull (ops/pallas_trace._firstBounceSurfs), same
+    contract as PointSource.emissionBound: (originCenter, axis, cosAlpha,
+    originRadius). Only flat emitters (plane/triangle faces, constant
+    normal) are bounded; curved faces have normals spanning a wide cone,
+    so scenes using them return None (no cull). The direction cone is the
+    minimal-ish cone around the mean face normal widened by the per-face
+    normal spread plus the theta-domain maximum.'''
+    try:
+      faces = self._activeFaces()
+      _t1, t2 = self.parsedThetaDomain()
+    except Exception:
+      return None
+    if not faces or not np.isfinite(t2):
+      return None
+    centers, radii, normals = [], [], []
+    for f in faces:
+      k, p, t = f.kind, f.params, f.trim
+      if k == GS.PLANE:
+        if abs(t[0] - 2.) < .5:
+          return None             # bitmap trim: trim[1:5] is a UV chart
+        if t[0] > 0.5:
+          rho = float(np.hypot(t[1], t[2]))
+        else:
+          rho = float(t[2])
+        if not np.isfinite(rho):
+          return None
+        cL = np.zeros(3)
+        nL = np.array([0., 0., 1.]) * (f.orient or 1.)
+      elif k == GS.TRIANGLE:
+        v = [p[0:3], p[3:6], p[6:9]]
+        cL = np.mean(v, axis=0)
+        rho = float(max(np.linalg.norm(x - cL) for x in v))
+        nL = np.cross(v[1] - v[0], v[2] - v[0])
+        nL = nL / max(np.linalg.norm(nL), 1e-30) * (f.orient or 1.)
+      else:
+        return None               # curved emitter: normals span a band
+      M = np.asarray(f.transform, float)
+      R, off = M[:3, :3], M[:3, 3]
+      nW = R @ nL
+      centers.append(R @ cL + off)
+      radii.append(rho)
+      normals.append(nW / max(np.linalg.norm(nW), 1e-30))
+    axis = np.sum(normals, axis=0)
+    nAxis = np.linalg.norm(axis)
+    if nAxis < 1e-12:
+      return None                 # opposing emitters: no useful cone
+    axis = axis / nAxis
+    spread = max(float(np.arccos(np.clip(float(n @ axis), -1., 1.)))
+                 for n in normals)
+    alpha = spread + min(float(t2), np.pi)
+    if alpha >= np.pi:
+      return None
+    o = np.mean(centers, axis=0)
+    rO = max(float(np.linalg.norm(c - o)) + r
+             for c, r in zip(centers, radii))
+    return o, axis, float(np.cos(alpha)), float(rO)
+
   def _getVrv(self):
     if self._vrv is None:
       self._vrv = distributions.ScalarRandomVariable(

@@ -143,12 +143,129 @@ def _shouldUnroll(scene, maxIntersections, nElements=None):
   return maxIntersections if nSurf * maxIntersections <= 80 else 0
 
 
+def _boundingSphere(row):
+  '''Conservative world-frame bounding sphere (center, radius) of one
+  surfRows entry, or None when the surface is unbounded (infinite trims)
+  or carries boolean-ADD prims that extend past the base window — such
+  surfaces are never culled.'''
+  for hole in row.get('holePrims', ()):
+    flag = float(hole[0])
+    if flag > 0.5 and 5.5 < (flag - 20. if flag > 15.5 else flag) < 15.5:
+      return None                 # ADD prim: area beyond the base window
+  kind = row['kind']
+  if row.get('trim0') == 2.:
+    # bitmap trim: trim[1:5] is the (u0, v0, 1/du, 1/dv) UV chart, not a
+    # window — no cheap bound, never cull
+    return None
+  t1, t2 = row['_rawTrim']        # UNclamped (trim2 may be +inf)
+  c = np.zeros(3)
+  if kind == GS.PLANE:
+    if row['trim0'] in (1., 4.):
+      rho = float(np.hypot(t1, t2))
+    else:
+      rho = t2
+  elif kind == GS.SPHERE:
+    rho = row['p0']
+  elif kind == GS.CYLINDER:
+    if not (np.isfinite(t1) and np.isfinite(t2)):
+      return None
+    c[2] = (t1 + t2) / 2.
+    rho = float(np.hypot(row['p0'], (t2 - t1) / 2.))
+  elif kind == GS.CONE:
+    if not (np.isfinite(t1) and np.isfinite(t2)):
+      return None
+    c[2] = (t1 + t2) / 2.
+    rMax = max(abs(row['p0'] + t1 * row['p1']),
+               abs(row['p0'] + t2 * row['p1']))
+    rho = float(np.hypot(rMax, (t2 - t1) / 2.))
+  elif kind == GS.ASPHERE:
+    if not np.isfinite(t2):
+      return None
+    c0, kk = row['p0'], row['p1']
+    r2 = t2 * t2
+    root = np.sqrt(max(1. - (1. + kk) * c0 * c0 * r2, 1e-12))
+    sag = c0 * r2 / (1. + root) + r2 * r2 * (
+        row['p2'] + r2 * (row['p3'] + r2 * row['p4']))
+    rho = float(t2 + abs(sag))
+  elif kind == GS.QUADRIC:
+    if not (np.isfinite(t1) and np.isfinite(t2)):
+      return None
+    qa, qb = row['p0'], row['p1']
+    if qa <= 0 or qb <= 0:
+      return None
+    # w(z) = -(p2 z^2 + p3 z + p4) is quadratic: its max over [t1, t2] is
+    # at an endpoint or the interior vertex — exact, unlike sampling
+    zs = [t1, t2]
+    if abs(row['p2']) > 0:
+      zv = -row['p3'] / (2. * row['p2'])
+      if t1 < zv < t2:
+        zs.append(zv)
+    w = [-(row['p2'] * z * z + row['p3'] * z + row['p4']) for z in zs]
+    rMax = float(np.sqrt(max(max(w), 0.) / min(qa, qb)))
+    c[2] = (t1 + t2) / 2.
+    rho = float(np.hypot(rMax, (t2 - t1) / 2.))
+  elif kind == GS.TORUS:
+    rho = row['p0'] + row['p1']
+  elif kind == GS.TRIANGLE:
+    v0 = np.array([row['p0'], row['p1'], row['p2']])
+    v1 = np.array([row['p3'], row['p4'], row['p5']])
+    v2 = np.array([row['p6'], row['p7'], row['p8']])
+    c = (v0 + v1 + v2) / 3.
+    rho = float(max(np.linalg.norm(v0 - c), np.linalg.norm(v1 - c),
+                    np.linalg.norm(v2 - c)))
+  else:
+    return None
+  if not np.isfinite(rho):
+    return None
+  if row.get('ident'):
+    cw = c
+  else:
+    R = np.array([[row['r00'], row['r01'], row['r02']],
+                  [row['r10'], row['r11'], row['r12']],
+                  [row['r20'], row['r21'], row['r22']]])
+    tv = np.array([row['t0'], row['t1'], row['t2']])
+    # w2l: local = R world + t  ->  world of local point c = R^T (c - t)
+    cw = R.T @ (c - tv)
+  return cw, rho
+
+
+def _firstBounceSurfs(surfRows, bound):
+  '''Indices (into surfRows) of surfaces REACHABLE at bounce 0 from the
+  source's emission envelope (origin sphere + direction cone,
+  models/point_source.emissionBound): a surface whose bounding sphere lies
+  entirely outside the fattened cone cannot be the first hit of any ray,
+  so the first unrolled bounce skips its intersection test. Strictly
+  conservative — unbounded or ADD-prim surfaces always stay in.'''
+  o, axis, cosA, rO = bound
+  o = np.asarray(o, float)
+  axis = np.asarray(axis, float)
+  axis = axis / max(np.linalg.norm(axis), 1e-30)
+  alpha = float(np.arccos(np.clip(cosA, -1., 1.)))
+  keep = []
+  for s, row in enumerate(surfRows):
+    bs = _boundingSphere(row)
+    if bs is None:
+      keep.append(s)
+      continue
+    cw, rho = bs
+    rho = rho + rO
+    d = cw - o
+    dist = float(np.linalg.norm(d))
+    if dist <= rho:
+      keep.append(s)
+      continue
+    beta = float(np.arccos(np.clip(float(d @ axis) / dist, -1., 1.)))
+    if beta <= alpha + np.arcsin(min(rho / dist, 1.)) + 1e-6:
+      keep.append(s)
+  return keep
+
+
 def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
                 maxIntersections, maxRayLength, distTol, powerTol,
                 histRows=None, hitSlots=1, surfAllowed=None, seqSpec=None,
                 sampler=None, scatterConsts=None, nUniformInputs=0,
                 nMasks=0, rawRecords=False, unrollBounces=0, nTriSMEM=0,
-                nTriChunks=0):
+                nTriChunks=0, firstSurfs=None):
   '''Build the kernel body with the scene baked in as python constants.
   surfRows: list of per-surface dicts of floats; elemRows likewise.
   histRows: if set (= D*H), the kernel accumulates the (histRows, 2*W)
@@ -385,13 +502,20 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
 
     bounceSurfs = (list(range(S)) if surfAllowed is None
                    else sorted(surfAllowed))
+    # static first-bounce reachability cull (see _firstBounceSurfs): only
+    # meaningful when bounce 0 is python-unrolled
+    first = (sorted(set(firstSurfs) & set(bounceSurfs))
+             if firstSurfs is not None else None)
+    if first is not None and len(first) == len(bounceSurfs):
+      first = None               # nothing culled: share the one body
 
     # ---- one bounce as a carry->carry function: rolled into a
     # lax.fori_loop so the Mosaic program holds ONE bounce body instead of
     # maxIntersections copies (a 27-surface 8-bounce unroll costs >15 min
     # of compile); the deterministic-uniform test seam consumes a distinct
     # input ref per draw, so that path keeps the python unroll ----
-    def _bounceBody(carry):
+    def _bounceBody(carry, surfSet=None):
+      mySurfs = bounceSurfs if surfSet is None else surfSet
       (ox, oy, oz, dx, dy, dz, pw, medium, aliveF, segCount, hitN,
        seqF, hitBin, hitW, hitC, hitRaw) = carry
       hitBin, hitW, hitC = list(hitBin), list(hitW), list(hitC)
@@ -440,7 +564,7 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
       sBest = jnp.full(shape, -1.0)
       tOth = jnp.full(shape, _BIG)
       sOth = jnp.full(shape, -1.0)
-      for s in bounceSurfs:
+      for s in mySurfs:
         r = surfRows[s]
         t = _intersectConst(r, ox, oy, oz, dx, dy, dz, distTol, maskVals)
         t = jnp.where(t <= maxRayLength, t, _BIG)
@@ -591,7 +715,7 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
       plxA = jnp.zeros(shape)
       plyA = jnp.zeros(shape)
       elemF = jnp.zeros(shape)
-      for s in bounceSurfs:
+      for s in mySurfs:
         r = surfRows[s]
         m = sIdx == float(s)
         if r.get('ident'):
@@ -956,20 +1080,24 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
       # keep the plain python unroll (the seam's reference computation
       # consumes the same refs unconditionally)
       for _b in range(maxIntersections):
-        carry = _bounceBody(carry)
+        carry = _bounceBody(carry, first if _b == 0 else None)
     else:
       # hybrid loop: unroll the first K = unrollBounces bounces plainly
       # (best static scheduling; the rolled loop costs ~1.5x per bounce),
       # then run the [K, maxIntersections) tail in the early-exit rolled
       # loop — on typical scenes every ray is dead by bounce K, so the
       # tail's while_loop exits immediately and deep budgets are free.
+      # Bounce 0 sweeps only the source-reachable surface set when the
+      # caller supplied an emission bound (_firstBounceSurfs).
       K = min(int(unrollBounces), maxIntersections)
       for _b in range(K):
+        sset = first if _b == 0 else None
         if EARLY_EXIT == 'cond':
-          carry = lax.cond(_anyAlive(carry), _bounceBody, lambda c: c,
-                           carry)
+          carry = lax.cond(_anyAlive(carry),
+                           lambda c, ss=sset: _bounceBody(c, ss),
+                           lambda c: c, carry)
         else:
-          carry = _bounceBody(carry)
+          carry = _bounceBody(carry, sset)
       if maxIntersections > K:
         if EARLY_EXIT == 'while':
           carry = lax.while_loop(
@@ -1483,6 +1611,8 @@ def _sceneRows(scene, histSpec, smemTris=False):
         p6=float(p[21]), p7=float(p[22]), p8=float(p[23]),
         trim0=float(trims[s, 0]), trim1=float(trims[s, 1]),
         trim2=float(min(trims[s, 2], _BIG)),
+        # raw (unclamped) window for the host-side bounding-sphere cull
+        _rawTrim=(float(trims[s, 1]), float(trims[s, 2])),
     )
     row['ident'] = bool(
         np.allclose(p[0:9], np.eye(3).reshape(-1), atol=1e-12)
@@ -1707,7 +1837,8 @@ def makePallasTraceStep(scene, histSpec, generator, raysPerStep,
                         powerTol=1e-6, stratified=False, tile='auto',
                         histPrecision='default', hitSlots='auto',
                         sampler=None, innerSteps=1, jitWrap=True,
-                        interpret=False, uniformProvider='prng'):
+                        interpret=False, uniformProvider='prng',
+                        emissionBound=None):
   '''Build the fused sample + pallas-trace + histogram step:
   (key, histograms) -> (histograms, counters). Requires pallasEligible.
   histPrecision: matmul precision of the MXU binning pass — 'default'
@@ -1834,6 +1965,9 @@ def makePallasTraceStep(scene, histSpec, generator, raysPerStep,
     triTable = chunkTable = None
   nTriChunks = 0 if chunkTable is None else len(chunkTable)
   surfAllowed, seqSpec = _staticMasks(scene)
+  firstSurfs = None
+  if emissionBound is not None:
+    firstSurfs = _firstBounceSurfs(surfRows, emissionBound)
   kernel = _makeKernel(surfRows, elemRows, histSpec['elemToDet'],
                        histSpec['bounds'], (H, W), maxIntersections,
                        float(maxRayLength), float(distTol), float(powerTol),
@@ -1843,7 +1977,7 @@ def makePallasTraceStep(scene, histSpec, generator, raysPerStep,
                        sampler=sampler, scatterConsts=scatterConsts,
                        nUniformInputs=nUniform, nMasks=len(maskConsts),
                        nTriSMEM=0 if triTable is None else len(triTable),
-                       nTriChunks=nTriChunks,
+                       nTriChunks=nTriChunks, firstSurfs=firstSurfs,
                        unrollBounces=_shouldUnroll(scene, maxIntersections))
   spec = pl.BlockSpec((rows, 128), lambda i: (i, 0),
                       memory_space=pltpu.VMEM)
@@ -2003,7 +2137,8 @@ def makePallasTraceStep(scene, histSpec, generator, raysPerStep,
 def makePallasRawStep(scene, histSpec, generator, raysPerStep,
                       maxIntersections, maxRayLength, distTol,
                       hitSlots='auto', sampler=None, tile='auto',
-                      interpret=False, uniformProvider='prng'):
+                      interpret=False, uniformProvider='prng',
+                      emissionBound=None):
   '''Build `(key) -> records`: RAW per-hit rows from the kernel's hit-slot
   ring in batch_tracer-records form — slot-major (hitSlots, N) arrays
   recordHit / hitElem / point / direction / power / isEntering plus the
@@ -2076,6 +2211,8 @@ def makePallasRawStep(scene, histSpec, generator, raysPerStep,
                        rawRecords=True,
                        nTriSMEM=0 if triTable is None else len(triTable),
                        nTriChunks=nTriChunks,
+                       firstSurfs=(_firstBounceSurfs(surfRows, emissionBound)
+                                   if emissionBound is not None else None),
                        unrollBounces=_shouldUnroll(scene, maxIntersections))
   spec = pl.BlockSpec((rows, 128), lambda i: (i, 0),
                       memory_space=pltpu.VMEM)

@@ -476,9 +476,11 @@ def runSimulation(scene, action, endIf=None, seed=None, store=None,
         kwargs['raysPerStep'] = nPad
         samplerSpec = (src.pallasSamplerSpec()
                        if hasattr(src, 'pallasSamplerSpec') else None)
+        bound = (src.emissionBound()
+                 if hasattr(src, 'emissionBound') else None)
         return pallas_trace.makePallasTraceStep(
             sc, histSpec, src.deviceColumnsGenerator(),
-            sampler=samplerSpec, **kwargs), nPad
+            sampler=samplerSpec, emissionBound=bound, **kwargs), nPad
       return fusedMod.makeFusedStep(sc, src.deviceGenerator(), histSpec,
                                     **kwargs), n
 
@@ -638,7 +640,10 @@ def runSimulation(scene, action, endIf=None, seed=None, store=None,
                     **kw)
               else:
                 stepR = pallas_trace.makePallasRawStep(
-                    sc, histSpec, src.deviceColumnsGenerator(), **kw)
+                    sc, histSpec, src.deviceColumnsGenerator(),
+                    emissionBound=(src.emissionBound()
+                                   if hasattr(src, 'emissionBound')
+                                   else None), **kw)
               entry = rawSteps[src.Label] = (stepR, nPad)
             stepR, nPad = entry
             key, sub = jax.random.split(key)

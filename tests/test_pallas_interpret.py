@@ -877,3 +877,137 @@ def test_torus_vband_trim_matches_xla_interpret():
                             bins=(32, 128), maxIntersections=3, n=N)
   assert int(cP['hits']) == int(cX['hits'])
   assert _nearlyEqualCounts(hP, hX)
+
+
+def test_first_bounce_cull_prunes_and_matches_xla():
+  '''Static first-bounce reachability cull: a narrow source aimed at one
+  of two mirrors must prune the other from the bounce-0 sweep
+  (host-checkable via _firstBounceSurfs) while the kernel stays
+  bin-identical to the XLA path (which never culls).'''
+  scene = Scene(label='fbcull')
+  # target mirror on-axis; decoy mirror far off to the side
+  scene.addOpticalGroup(OpticalGroup(
+      OpticalType='Mirror', Label='Target',
+      surfaces=[S.plane(np.eye(4), elem=0, radius=30., orient=-1)],
+      placements=[T.translation(0, 0, 100.)]))
+  scene.addOpticalGroup(OpticalGroup(
+      OpticalType='Mirror', Label='Decoy',
+      surfaces=[S.plane(np.eye(4), elem=0, radius=30.)],
+      placements=[T.translation(500., 0, 100.)]))
+  scene.addOpticalGroup(OpticalGroup(
+      OpticalType='Absorber', Label='Det',
+      surfaces=[S.plane(np.eye(4), elem=0, halfExtents=(200., 200.))],
+      placements=[T.translation(0, 0, 0)]))
+  scene.addSource(PointSource(
+      Label='Src', PowerDensity='exp(-theta^2/0.01)', ThetaDomain='0, 0.25',
+      Wavelength=532., ThetaResolutionNumericMode='1e3',
+      placement=T.translation(0, 0, 1e-3)))
+  scene.addSimulationSettings(RaysPerIteration=1e4, MaxIntersections=3)
+  device, info = scene.compile()
+  device['powerTol'] = 1e-6
+  src = scene.lightSources()[0]
+  bound = src.emissionBound()
+  assert bound is not None
+  hs = fused.makeHistogramSpec(device, info,
+                               bounds=(-200., 200., -200., 200.),
+                               bins=(32, 128))
+  surfRows, _e, _m = pallas_trace._sceneRows(device, hs)
+  keep = pallas_trace._firstBounceSurfs(surfRows, bound)
+  assert len(keep) < len(surfRows)        # the decoy mirror is culled
+  # the culled kernel must still match the (uncalled) XLA path exactly
+  hP, hX, cP, cX = _runPair(scene, bounds=(-200., 200., -200., 200.),
+                            bins=(32, 128), maxIntersections=3, n=N,
+                            emissionBound=bound)
+  assert int(cX['hits']) > 0.5 * N
+  assert int(cP['hits']) == int(cX['hits'])
+  assert _nearlyEqualCounts(hP, hX)
+
+
+def test_first_bounce_cull_surface_source():
+  '''SurfaceSource.emissionBound: a flat +z emitter with theta<=pi/2-ish
+  domain prunes a decoy mirror BEHIND the emitter from the bounce-0 sweep
+  while staying bin-identical to the XLA path. Curved emitters return
+  None (no cull).'''
+  from optics_design_workbench_tpu.models import SurfaceSource
+  scene = Scene(label='sscull')
+  scene.addOpticalGroup(OpticalGroup(
+      OpticalType='Mirror', Label='Emitter',
+      surfaces=[S.plane(np.eye(4), elem=0, radius=5.)],
+      placements=[T.translation(0, 0, 0.5)]))
+  scene.addOpticalGroup(OpticalGroup(
+      OpticalType='Mirror', Label='Decoy',
+      surfaces=[S.plane(np.eye(4), elem=0, radius=30.)],
+      placements=[T.translation(0, 0, -500.)]))
+  scene.addOpticalGroup(OpticalGroup(
+      OpticalType='Absorber', Label='Det',
+      surfaces=[S.plane(np.eye(4), elem=0, halfExtents=(300., 300.),
+                        orient=-1)],
+      placements=[T.translation(0, 0, 120.)]))
+  src = SurfaceSource(Label='SS', ActiveSurfaces=['Emitter'],
+                      PowerDensity='cos(theta)**2', ThetaDomain='0, 1.2',
+                      Wavelength=532.)
+  scene.addSource(src)
+  scene.addSimulationSettings(RaysPerIteration=1e4, MaxIntersections=3)
+  device, info = scene.compile()
+  device['powerTol'] = 1e-6
+  bound = src.emissionBound()
+  assert bound is not None
+  o, axis, cosA, rO = bound
+  assert axis[2] > 0.99 and rO >= 5.
+  hs = fused.makeHistogramSpec(device, info,
+                               bounds=(-300., 300., -300., 300.),
+                               bins=(32, 128))
+  surfRows, _e, _m = pallas_trace._sceneRows(device, hs)
+  keep = pallas_trace._firstBounceSurfs(surfRows, bound)
+  assert len(keep) < len(surfRows)       # decoy behind the emitter culled
+  hP, hX, cP, cX = _runPair(scene, bounds=(-300., 300., -300., 300.),
+                            bins=(32, 128), maxIntersections=3, n=N,
+                            emissionBound=bound)
+  assert int(cX['hits']) > 0.5 * N
+  assert int(cP['hits']) == int(cX['hits'])
+  assert _nearlyEqualCounts(hP, hX)
+  # curved emitter: no bound
+  sc2 = Scene(label='sscull2')
+  sc2.addOpticalGroup(OpticalGroup(
+      OpticalType='Mirror', Label='Emitter',
+      surfaces=[S.sphere(np.eye(4), elem=0, radius=8., zRange=(2., 8.))],
+      placements=[T.translation(0, 0, 0)]))
+  src2 = SurfaceSource(Label='S2', ActiveSurfaces=['Emitter'],
+                       PowerDensity='cos(theta)**2')
+  sc2.addSource(src2)
+  sc2.addSimulationSettings(RaysPerIteration=1e3)
+  sc2.compile()
+  assert src2.emissionBound() is None
+
+
+def test_first_bounce_cull_conservative_cases():
+  '''_boundingSphere / _firstBounceSurfs conservatism: unbounded trims and
+  boolean-ADD prims are never culled; surfaces inside the origin sphere
+  always stay.'''
+  rowBase = dict(kind=0, r00=1., r01=0., r02=0., r10=0., r11=1., r12=0.,
+                 r20=0., r21=0., r22=1., t0=0., t1=0., t2=-50.,
+                 orient=1., elemF=0., p0=0., p1=0., p2=0., p3=0., p4=0.,
+                 p5=0., p6=0., p7=0., p8=0., trim0=0., trim1=0.,
+                 trim2=10., _rawTrim=(0., 10.), ident=False)
+  bound = (np.zeros(3), np.array([0., 0., 1.]), np.cos(0.1), 0.)
+  # bounded disc plane at z=+50, on-axis: kept
+  assert pallas_trace._firstBounceSurfs([dict(rowBase)], bound) == [0]
+  # same plane BEHIND the source: culled
+  behind = dict(rowBase, t2=50.)
+  assert pallas_trace._firstBounceSurfs([behind], bound) == []
+  # unbounded disc: kept regardless
+  unb = dict(rowBase, t2=50., _rawTrim=(0., np.inf))
+  assert pallas_trace._firstBounceSurfs([unb], bound) == [0]
+  # ADD-prim surface: kept regardless
+  addp = dict(rowBase, t2=50., holePrims=((11., 0., 0., 1., 1., 1., 0.),))
+  assert pallas_trace._firstBounceSurfs([addp], bound) == [0]
+  # bitmap-trimmed face: trim[1:5] is a UV chart, not a window — kept
+  # regardless (even when the fake window would cull it)
+  bmp = dict(rowBase, t2=50., trim0=2.)
+  assert pallas_trace._firstBounceSurfs([bmp], bound) == [0]
+  # far off-axis sphere: culled; fattened by a big origin radius: kept
+  sph = dict(rowBase, kind=1, p0=5., t0=-200., t2=-50.,
+             _rawTrim=(-5., 5.))
+  assert pallas_trace._firstBounceSurfs([sph], bound) == []
+  fat = (np.zeros(3), np.array([0., 0., 1.]), np.cos(0.1), 250.)
+  assert pallas_trace._firstBounceSurfs([sph], fat) == [0]

@@ -777,3 +777,59 @@ def test_smem_triangle_mesh_matches_xla_tpu():
   assert int(cP['hits']) == int(cX['hits'])
   dP, dX = np.asarray(hP['counts']), np.asarray(hX['counts'])
   assert np.abs(dP - dX).sum() <= 4   # bin-edge ulp wobble only
+
+
+def test_torus_surface_matches_xla_tracer():
+  '''TORUS kind on hardware: the Mosaic-compiled quartic (shared
+  surfaces._quarticSmallestRoot, branch-free Newton, no acos/cbrt) must
+  reproduce the XLA path's hit statistics on a toroidal fold mirror.'''
+  import numpy as np
+  from optics_design_workbench_tpu.models import (Scene, PointSource,
+                                                  OpticalGroup)
+  from optics_design_workbench_tpu.geometry import surfaces as S
+  from optics_design_workbench_tpu.geometry import transforms as T
+  from optics_design_workbench_tpu.ops import pallas_trace
+  from optics_design_workbench_tpu.tracing import fused
+
+  scene = Scene(label='toruspallas')
+  scene.addOpticalGroup(OpticalGroup(
+      OpticalType='Mirror', Label='Ring',
+      surfaces=[S.torus(np.eye(4), elem=0, majorRadius=30.,
+                        minorRadius=8.)],
+      placements=[T.translation(0, 0, 80.)]))
+  scene.addOpticalGroup(OpticalGroup(
+      OpticalType='Absorber', Label='Det',
+      surfaces=[S.plane(np.eye(4), elem=0, halfExtents=(200., 200.))],
+      placements=[T.translation(0, 0, 0)]))
+  scene.addSource(PointSource(
+      Label='Src', PowerDensity='exp(-(theta-0.38)^2/0.01)',
+      ThetaDomain='0.15, 0.55', Wavelength=532.,
+      ThetaResolutionNumericMode='1e3'))
+  scene.addSimulationSettings(RaysPerIteration=1e5, MaxIntersections=3)
+  device, info = scene.compile()
+  device['powerTol'] = 1e-6
+  assert pallas_trace.pallasEligible(device)
+  hs = fused.makeHistogramSpec(device, info,
+                               bounds=(-200., 200., -200., 200.),
+                               bins=(64, 128))
+  src = scene.lightSources()[0]
+  N = 1 << 17
+  key = jax.random.PRNGKey(27)
+  stats = {}
+  for tag in ('pallas', 'xla'):
+    h = fused.initHistograms(hs)
+    if tag == 'pallas':
+      step = pallas_trace.makePallasTraceStep(
+          device, hs, src.deviceColumnsGenerator(), raysPerStep=N,
+          maxIntersections=3, maxRayLength=1e6, distTol=1e-4,
+          sampler=src.pallasSamplerSpec())
+    else:
+      step = fused.makeFusedStep(device, src.deviceGenerator(), hs,
+                                 raysPerStep=N, maxIntersections=3,
+                                 maxRayLength=1e6, distTol=1e-4)
+    h, c = step(key, h)
+    stats[tag] = (int(c['hits']), float(np.asarray(h['counts']).sum()))
+  hitsP, hitsX = stats['pallas'][0], stats['xla'][0]
+  assert hitsX > 0.1 * N
+  assert abs(hitsP - hitsX) < 0.02 * N
+  assert abs(stats['pallas'][1] - stats['xla'][1]) < 0.02 * N

@@ -15,6 +15,12 @@ bar for, and prints measured-vs-target:
   example2_prims     reference example 2 (trim   >= 1.0  G seg/s (VERDICT #3)
                      prims, 26 surfaces)
   mesh_fold          triangle-mesh fold mirror   >= 0.3  G seg/s (VERDICT #3)
+  spectrometer       reflection grating          >= 0.3  G seg/s (4th BASELINE)
+  mesh_dish_smem     200-tri SMEM mesh sweep     >= 0.1  G seg/s (round 3)
+  mesh_dish_coherent same dish, narrow beam      >= 0.1  G seg/s (round 4:
+                     Morton-chunk broad-phase cull engages on coherent tiles)
+  torus_mirror       toroidal fold mirror        >= 0.3  G seg/s (round 4:
+                     in-kernel Ferrari/Newton quartic)
   raw_step           per-hit ring records        >= 20   M rays/s (VERDICT #5)
 
 Every stage is individually guarded so one failing scene class cannot
@@ -81,7 +87,9 @@ def _measureHistScene(scene, maxIntersections, bounds, bins=(128, 128),
   step = pallas_trace.makePallasTraceStep(
       device, histSpec, src.deviceColumnsGenerator(),
       raysPerStep=raysPerStep, maxIntersections=maxIntersections,
-      maxRayLength=1e6, distTol=1e-4, sampler=sampler)
+      maxRayLength=1e6, distTol=1e-4, sampler=sampler,
+      emissionBound=(src.emissionBound()
+                     if hasattr(src, 'emissionBound') else None))
   key = jax.random.PRNGKey(11)
   state = {'h': fused.initHistograms(histSpec)}
 
@@ -268,6 +276,31 @@ def sceneMeshDishCollimated():
   return scene, 3, (-200., 200., -200., 200.)
 
 
+def sceneTorusMirror():
+  '''Toroidal fold mirror: the quartic (Ferrari + Newton) TORUS kind in
+  the kernel immediates path.'''
+  from optics_design_workbench_tpu.models import (Scene, PointSource,
+                                                  OpticalGroup)
+  from optics_design_workbench_tpu.geometry import surfaces as S
+  from optics_design_workbench_tpu.geometry import transforms as T
+  scene = Scene(label='torus_tp')
+  scene.addOpticalGroup(OpticalGroup(
+      OpticalType='Mirror', Label='Ring',
+      surfaces=[S.torus(np.eye(4), elem=0, majorRadius=30.,
+                        minorRadius=8.)],
+      placements=[T.translation(0, 0, 80.)]))
+  scene.addOpticalGroup(OpticalGroup(
+      OpticalType='Absorber', Label='Det',
+      surfaces=[S.plane(np.eye(4), elem=0, halfExtents=(200., 200.))],
+      placements=[T.translation(0, 0, 0)]))
+  scene.addSource(PointSource(
+      Label='Src', PowerDensity='exp(-(theta-0.38)^2/0.01)',
+      ThetaDomain='0.15, 0.55', Wavelength=532.,
+      ThetaResolutionNumericMode='1e3'))
+  scene.addSimulationSettings(RaysPerIteration=1e6, MaxIntersections=3)
+  return scene, 3, (-200., 200., -200., 200.)
+
+
 def sceneSpectrometer():
   '''examples/4: reflection-grating spectrometer (4th BASELINE config).'''
   from optics_design_workbench_tpu.models import (Scene, PointSource,
@@ -353,6 +386,7 @@ CRITERIA = [
     ('spectrometer', sceneSpectrometer, 0.3e9, 1e9, 'G seg/s'),
     ('mesh_dish_smem', sceneMeshDish, 0.1e9, 1e9, 'G seg/s'),
     ('mesh_dish_coherent', sceneMeshDishCollimated, 0.1e9, 1e9, 'G seg/s'),
+    ('torus_mirror', sceneTorusMirror, 0.3e9, 1e9, 'G seg/s'),
 ]
 
 
