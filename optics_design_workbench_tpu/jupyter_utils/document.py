@@ -148,15 +148,31 @@ class Document:
 
   # ------------------------------------------------------------- simulation
 
-  def runSimulation(self, action='true', endIf=None, seed=None, mesh=None,
-                    **kwargs):
+  def runSimulation(self, action='true', endIf=None, endIfMaxLoad=0.2,
+                    seed=None, mesh=None, **kwargs):
     '''Run a simulation and return the RawFolder of the new run (reference:
     freecad_document.py:631-761). `endIf(rawFolder)` is polled between
-    iterations and ends the run when it returns truthy.'''
+    iterations and ends the run when it returns truthy; `endIfMaxLoad`
+    duty-cycle-limits the callback so an expensive endIf (loading and
+    histogramming every flush) cannot eat more than that fraction of the
+    run's wall clock — polls arriving too soon are skipped (reference:
+    freecad_document.py:631-761 endIfMaxLoad semantics).'''
     endIfWrapper = None
     if endIf is not None:
+      state = dict(nextAllowed=0.)
+
       def endIfWrapper(runPath):
-        return bool(endIf(RawFolder(runPath)))
+        now = time.monotonic()
+        if now < state['nextAllowed']:
+          return False
+        t0 = now
+        result = bool(endIf(RawFolder(runPath)))
+        cost = time.monotonic() - t0
+        # a callback that took `cost` seconds earns cost*(1-load)/load
+        # of cooldown so its long-run share stays <= endIfMaxLoad
+        load = min(max(float(endIfMaxLoad), 1e-3), 1.)
+        state['nextAllowed'] = t0 + cost + cost * (1. - load) / load
+        return result
     runPath = simulation.runSimulation(self.scene, action,
                                        endIf=endIfWrapper, seed=seed,
                                        mesh=mesh, **kwargs)

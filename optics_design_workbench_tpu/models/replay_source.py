@@ -84,11 +84,12 @@ class ReplaySource(GenericSource):
     rng = rng or np.random.default_rng()
     if not self.ReplayFromDir:
       raise ValueError(f'replay source {self.Label} has no ReplayFromDir')
+    # .pkl included so a reference-written run folder replays unchanged
+    # (reference: replay_source.py:73-113 reads its own *-hits.pkl files)
     files = sorted(set(
-        glob.glob(os.path.join(self.ReplayFromDir, '**', '*-hits.npz'),
-                  recursive=True)
-        + glob.glob(os.path.join(self.ReplayFromDir, '**', '*-hits.odwc'),
-                    recursive=True)))
+        p for ext in ('npz', 'odwc', 'pkl')
+        for p in glob.glob(os.path.join(self.ReplayFromDir, '**',
+                                        f'*-hits.{ext}'), recursive=True)))
     if not files:
       raise SimulationEnded(f'replay source {self.Label}: no hit files '
                             f'under {self.ReplayFromDir}')

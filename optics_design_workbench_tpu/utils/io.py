@@ -156,3 +156,42 @@ def atomicWrite(path, data):
     f.flush()
     os.fsync(f.fileno())
   os.replace(tmp, path)
+
+
+class RobustUnpickler:
+  '''Unpickler tolerating numpy's `numpy.core` <-> `numpy._core` module
+  rename, so result pickles written under one numpy major load under the
+  other (reference: io.py:242-249 — the reference maps _core->core; both
+  directions are tried here because this framework typically runs numpy>=2
+  while reference-era run folders were written with numpy 1.x).'''
+
+  def __init__(self, file):
+    import pickle
+
+    class _U(pickle.Unpickler):
+      def find_class(self, module, name):
+        candidates = [module]
+        if module.startswith('numpy._core'):
+          candidates.append('numpy.core' + module[len('numpy._core'):])
+        elif module.startswith('numpy.core'):
+          candidates.append('numpy._core' + module[len('numpy.core'):])
+        for mod in candidates[:-1]:
+          try:
+            return super().find_class(mod, name)
+          except (ImportError, AttributeError):
+            continue
+        return super().find_class(candidates[-1], name)
+
+    self._u = _U(file)
+
+  def load(self):
+    return self._u.load()
+
+
+def unpickle(fileOrPath):
+  '''Load one pickle robustly (see RobustUnpickler). Accepts an open
+  binary file or a path.'''
+  if hasattr(fileOrPath, 'read'):
+    return RobustUnpickler(fileOrPath).load()
+  with open(fileOrPath, 'rb') as f:
+    return RobustUnpickler(f).load()

@@ -107,6 +107,31 @@ class TestDocument:
     raw = doc.runSimulation('true', endIf=endIf, seed=1)
     assert len(calls) >= 2 and raw.exists()
 
+  def test_endif_max_load_duty_cycles_callback(self, tmp_path):
+    '''A slow endIf with a tight endIfMaxLoad is SKIPPED on polls that
+    would push its wall-clock share above the budget (reference:
+    freecad_document.py:631-761 endIfMaxLoad semantics).'''
+    import time as _t
+    scene = buildScene(tmp_path)
+    scene.getObject('SimulationSettings').EndAfterRays = 'inf'
+    state = dict(calls=0, t0=None)
+
+    def endIf(raw):
+      state['calls'] += 1
+      if state['t0'] is None:
+        state['t0'] = _t.monotonic()
+      _t.sleep(0.05)              # expensive callback
+      return _t.monotonic() - state['t0'] > 1.0
+
+    doc = Document(scene=scene)
+    raw = doc.runSimulation('true', endIf=endIf, seed=1,
+                            endIfMaxLoad=0.05)
+    assert raw.exists()
+    # at 5% load a 50 ms callback earns ~1 s of cooldown: over the ~1 s
+    # run only a couple of polls may actually execute
+    elapsed = _t.monotonic() - state['t0']
+    assert state['calls'] <= 2 + elapsed / 0.9
+
 
 class TestHitsAnalysis:
 

@@ -228,3 +228,63 @@ def test_histogram_snapshots_sum_across_workers(tmp_path):
   import glob as _glob
   files = _glob.glob(os.path.join(srcFolder, '*-histograms.npz'))
   assert len(files) == 3      # exactly one surviving file per worker
+
+
+def test_reference_pkl_hit_files_load(tmp_path):
+  '''A reference-era run folder (pickled columnar hit dicts named
+  <ts>-pid-thread-hits.pkl, reference results_store.py:399-453) loads
+  through loadResultFile/resultFilePaths unchanged, so migrating users
+  can point loaders and ReplaySource at existing folders.'''
+  folder = tmp_path / 'source-S' / 'object-D'
+  folder.mkdir(parents=True)
+  payload = dict(source='S', obj='D',
+                 points=np.array([[0., 1., 2.], [3., 4., 5.]]),
+                 directions=np.array([[0., 0., 1.], [0., 0., 1.]]),
+                 powers=np.array([1., .5]),
+                 isEntering=np.array([1, 0]),
+                 initTheta=np.array([.1, np.nan]))
+  path = folder / '123-pid1-thread2-hits.pkl'
+  with open(path, 'wb') as f:
+    pickle.dump(payload, f)
+  found = results_store.resultFilePaths(str(folder), 'hits')
+  assert str(path) in found
+  data = results_store.loadResultFile(str(path))
+  assert data['source'] == 'S' and data['obj'] == 'D'
+  np.testing.assert_allclose(data['points'], payload['points'])
+  np.testing.assert_allclose(data['powers'], [1., .5])
+
+
+def test_robust_unpickler_tolerates_numpy_module_rename(tmp_path):
+  '''Pickles referencing the numpy module path this numpy does NOT use
+  (core vs _core) still load (reference: io.py:242-249).'''
+  import numpy as _np
+  from optics_design_workbench_tpu.utils import io as tio
+  # protocol 0 writes module paths as newline-delimited text (no frame
+  # length prefixes), so the rename can be spliced in byte-for-byte
+  raw = pickle.dumps(dict(a=_np.arange(4.), b=_np.array([[1, 2]])),
+                     protocol=0)
+  real = b'numpy._core' if _np.__version__.startswith('2') else b'numpy.core'
+  other = b'numpy.core' if real == b'numpy._core' else b'numpy._core'
+  swapped = raw.replace(real + b'\n', other + b'\n')
+  p = tmp_path / 'renamed.pkl'
+  p.write_bytes(swapped)
+  data = tio.unpickle(str(p))
+  np.testing.assert_allclose(data['a'], _np.arange(4.))
+
+
+def test_replay_source_reads_reference_pkl(tmp_path):
+  '''ReplaySource replays a folder of reference-written -hits.pkl files
+  (reference: replay_source.py:73-113).'''
+  from optics_design_workbench_tpu.models.replay_source import ReplaySource
+  folder = tmp_path / 'run' / 'source-S' / 'object-D'
+  folder.mkdir(parents=True)
+  pts = np.array([[0., 0., 0.], [1., 0., 0.]])
+  dirs = np.array([[0., 0., 1.], [0., 0., 1.]])
+  with open(folder / '9-pid1-thread1-hits.pkl', 'wb') as f:
+    pickle.dump(dict(source='S', obj='D', points=pts, directions=dirs,
+                     powers=np.array([2., 3.])), f)
+  src = ReplaySource(Label='rp', ReplayFromDir=str(tmp_path / 'run'),
+                     Wavelength=532.)
+  batch = src.generateRays('true', rng=np.random.default_rng(0))
+  assert batch['origins'].shape == (2, 3)
+  assert sorted(np.asarray(batch['powers']).tolist()) == [2., 3.]
