@@ -74,11 +74,19 @@ def _enableCompilationCache():
                         'optics_design_workbench_tpu')
     cacheDir = os.path.join(root, f'jax_cache-{kernelSourceDigest()}')
     os.makedirs(cacheDir, exist_ok=True)
-    # best-effort cleanup of caches from older kernel sources
+    # best-effort cleanup of caches from older kernel sources — but only
+    # STALE ones (>1 day idle): a concurrently running process compiled
+    # from a different working-tree state must not lose its live cache
+    # dir mid-run (its writes would warn FileNotFoundError)
     import shutil
+    import time
     for d in os.listdir(root):
       p = os.path.join(root, d)
-      if d.startswith('jax_cache') and p != cacheDir:
+      try:
+        idle = time.time() - os.path.getmtime(p)
+      except OSError:
+        continue
+      if d.startswith('jax_cache') and p != cacheDir and idle > 86400:
         shutil.rmtree(p, ignore_errors=True)
     jax.config.update('jax_compilation_cache_dir', cacheDir)
     jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
