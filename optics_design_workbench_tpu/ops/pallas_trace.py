@@ -56,6 +56,15 @@ EARLY_EXIT = os.environ.get('ODW_TPU_EARLY_EXIT', 'while')
 # worth of triangles.
 _TRI_CHUNK = 64
 
+# Winner-attribute pass after the argmin sweep: 'accum' gathers the winning
+# surface's transform/orient/normal-params as columns via one cheap select
+# per constant per surface, then runs the local transform + per-KIND normal
+# + transpose rotation ONCE per bounce; 'persurf' recomputes
+# transform+normal+rotation for every surface and masks the result (the
+# round-3 form, ~2-3x more VPU ops per surface on multi-surface scenes).
+# Overridable for A/B runs via ODW_TPU_ATTR_PASS.
+ATTR_PASS = os.environ.get('ODW_TPU_ATTR_PASS', 'accum')
+
 
 def pallasEligible(scene):
   '''Static host-side check whether the fast kernel supports this scene.'''
@@ -708,39 +717,99 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
       tSeg = jnp.where(hasHit, tSel, maxRayLength)
       px, py, pz = ox + tSeg * dx, oy + tSeg * dy, oz + tSeg * dz
 
-      # ---- per-surface hit data via masked accumulation ----
-      nxA = jnp.zeros(shape)
-      nyA = jnp.zeros(shape)
-      nzA = jnp.zeros(shape)
-      plxA = jnp.zeros(shape)
-      plyA = jnp.zeros(shape)
-      elemF = jnp.zeros(shape)
-      for s in mySurfs:
-        r = surfRows[s]
-        m = sIdx == float(s)
-        if r.get('ident'):
+      # ---- winner attributes (ATTR_PASS) ----
+      if ATTR_PASS == 'accum':
+        # gather the winner's constants as columns (one select per
+        # constant per surface), then do the local transform + per-KIND
+        # normal + transpose rotation ONCE — ~2-3x fewer VPU ops per
+        # surface than recomputing transform+normal for every surface
+        rows = [(s, surfRows[s]) for s in mySurfs]
+        allIdent = all(r.get('ident') for _s, r in rows)
+        kindsHere = sorted({r['kind'] for _s, r in rows})
+        nSlots = max([len(_NORMAL_SLOTS.get(k, ())) for k in kindsHere]
+                     + [3 if GS.TRIANGLE in kindsHere else 0])
+        aCols = [jnp.zeros(shape) for _ in range(nSlots)]
+        kindF = jnp.full(shape, -1.0)
+        orientA = jnp.ones(shape)
+        elemF = jnp.zeros(shape)
+        if not allIdent:
+          R00 = jnp.ones(shape)
+          R11 = jnp.ones(shape)
+          R22 = jnp.ones(shape)
+          R01 = R02 = R10 = R12 = R20 = R21 = jnp.zeros(shape)
+          T0 = T1 = T2 = jnp.zeros(shape)
+        for s, r in rows:
+          m = sIdx == float(s)
+          kindF = jnp.where(m, float(r['kind']), kindF)
+          orientA = jnp.where(m, r['orient'], orientA)
+          elemF = jnp.where(m, r['elemF'], elemF)
+          vals = (r['triN'] if r['kind'] == GS.TRIANGLE
+                  else [r[k] for k in _NORMAL_SLOTS.get(r['kind'], ())])
+          for i, v in enumerate(vals):
+            aCols[i] = jnp.where(m, float(v), aCols[i])
+          if not allIdent and not r.get('ident'):
+            R00 = jnp.where(m, r['r00'], R00)
+            R01 = jnp.where(m, r['r01'], R01)
+            R02 = jnp.where(m, r['r02'], R02)
+            R10 = jnp.where(m, r['r10'], R10)
+            R11 = jnp.where(m, r['r11'], R11)
+            R12 = jnp.where(m, r['r12'], R12)
+            R20 = jnp.where(m, r['r20'], R20)
+            R21 = jnp.where(m, r['r21'], R21)
+            R22 = jnp.where(m, r['r22'], R22)
+            T0 = jnp.where(m, r['t0'], T0)
+            T1 = jnp.where(m, r['t1'], T1)
+            T2 = jnp.where(m, r['t2'], T2)
+        if allIdent:
           lx, ly, lz = px, py, pz
-          nlx, nly, nlz = _normalConst(r, lx, ly, lz)
-          nwx, nwy, nwz = (nlx * r['orient'], nly * r['orient'],
-                           nlz * r['orient'])
         else:
-          lx = r['r00'] * px + r['r01'] * py + r['r02'] * pz + r['t0']
-          ly = r['r10'] * px + r['r11'] * py + r['r12'] * pz + r['t1']
-          lz = r['r20'] * px + r['r21'] * py + r['r22'] * pz + r['t2']
-          nlx, nly, nlz = _normalConst(r, lx, ly, lz)
-          # world normal via transpose, then outward orientation
-          nwx = (r['r00'] * nlx + r['r10'] * nly
-                 + r['r20'] * nlz) * r['orient']
-          nwy = (r['r01'] * nlx + r['r11'] * nly
-                 + r['r21'] * nlz) * r['orient']
-          nwz = (r['r02'] * nlx + r['r12'] * nly
-                 + r['r22'] * nlz) * r['orient']
-        nxA = jnp.where(m, nwx, nxA)
-        nyA = jnp.where(m, nwy, nyA)
-        nzA = jnp.where(m, nwz, nzA)
-        plxA = jnp.where(m, lx, plxA)
-        plyA = jnp.where(m, ly, plyA)
-        elemF = jnp.where(m, r['elemF'], elemF)
+          lx = R00 * px + R01 * py + R02 * pz + T0
+          ly = R10 * px + R11 * py + R12 * pz + T1
+          lz = R20 * px + R21 * py + R22 * pz + T2
+        nlx, nly, nlz = _normalFromCols(kindsHere, kindF, aCols,
+                                        lx, ly, lz)
+        if allIdent:
+          nxA, nyA, nzA = nlx * orientA, nly * orientA, nlz * orientA
+        else:
+          nxA = (R00 * nlx + R10 * nly + R20 * nlz) * orientA
+          nyA = (R01 * nlx + R11 * nly + R21 * nlz) * orientA
+          nzA = (R02 * nlx + R12 * nly + R22 * nlz) * orientA
+        plxA, plyA = lx, ly
+        # no-hit rays keep kindF=-1 / identity defaults; downstream use
+        # is gated on hasHit exactly like the per-surface form
+      else:
+        nxA = jnp.zeros(shape)
+        nyA = jnp.zeros(shape)
+        nzA = jnp.zeros(shape)
+        plxA = jnp.zeros(shape)
+        plyA = jnp.zeros(shape)
+        elemF = jnp.zeros(shape)
+        for s in mySurfs:
+          r = surfRows[s]
+          m = sIdx == float(s)
+          if r.get('ident'):
+            lx, ly, lz = px, py, pz
+            nlx, nly, nlz = _normalConst(r, lx, ly, lz)
+            nwx, nwy, nwz = (nlx * r['orient'], nly * r['orient'],
+                             nlz * r['orient'])
+          else:
+            lx = r['r00'] * px + r['r01'] * py + r['r02'] * pz + r['t0']
+            ly = r['r10'] * px + r['r11'] * py + r['r12'] * pz + r['t1']
+            lz = r['r20'] * px + r['r21'] * py + r['r22'] * pz + r['t2']
+            nlx, nly, nlz = _normalConst(r, lx, ly, lz)
+            # world normal via transpose, then outward orientation
+            nwx = (r['r00'] * nlx + r['r10'] * nly
+                   + r['r20'] * nlz) * r['orient']
+            nwy = (r['r01'] * nlx + r['r11'] * nly
+                   + r['r21'] * nlz) * r['orient']
+            nwz = (r['r02'] * nlx + r['r12'] * nly
+                   + r['r22'] * nlz) * r['orient']
+          nxA = jnp.where(m, nwx, nxA)
+          nyA = jnp.where(m, nwy, nyA)
+          nzA = jnp.where(m, nwz, nzA)
+          plxA = jnp.where(m, lx, plxA)
+          plyA = jnp.where(m, ly, plyA)
+          elemF = jnp.where(m, r['elemF'], elemF)
       if nTriSMEM:
         # SMEM-triangle winner: argmin-tracked oriented normal; triangles
         # are stored world-frame (identity transform), so the recording
@@ -1523,6 +1592,73 @@ def _intersectConst(r, ox, oy, oz, dx, dy, dz, tMin, maskVals=()):
     t = tMid + tau / stretch
     return jnp.where(tau < _BIG, t, _BIG)
   raise ValueError(f'unsupported kind {kind}')
+
+
+# accumulator slots (per winner ray) holding the normal params of its
+# surface: disjoint winner masks let every kind reuse the same slots
+_NORMAL_SLOTS = {GS.QUADRIC: ('p0', 'p1', 'p2', 'p3'), GS.CONE: ('p1',),
+                 GS.ASPHERE: ('p0', 'p1', 'p2', 'p3', 'p4'),
+                 GS.TORUS: ('p0',)}
+
+
+def _normalFromCols(kinds, kindF, a, lx, ly, lz):
+  '''Winner-surface local normal from accumulated param COLUMNS: one
+  masked pass per surface KIND present in the sweep (vs one pass per
+  SURFACE in the round-3 form). Formulas mirror _normalConst exactly;
+  every formula is guarded so evaluating it on another kind's local
+  coords stays finite before the mask discards it. TRIANGLE rows
+  accumulate their constant normal directly into a[0:3].'''
+  nlx = jnp.zeros_like(lx)
+  nly = jnp.zeros_like(ly)
+  nlz = jnp.zeros_like(lz)
+  for kind in kinds:
+    m = kindF == float(kind)
+    if kind == GS.PLANE:
+      nx, ny, nz = (jnp.zeros_like(lx), jnp.zeros_like(ly),
+                    jnp.ones_like(lz))
+    elif kind == GS.TRIANGLE:
+      nx, ny, nz = a[0], a[1], a[2]
+    elif kind == GS.SPHERE:
+      inv = lax.rsqrt(lx * lx + ly * ly + lz * lz + 1e-20)
+      nx, ny, nz = lx * inv, ly * inv, lz * inv
+    elif kind == GS.CYLINDER:
+      inv = lax.rsqrt(lx * lx + ly * ly + 1e-20)
+      nx, ny, nz = lx * inv, ly * inv, jnp.zeros_like(lz)
+    elif kind == GS.QUADRIC:
+      n0 = 2 * a[0] * lx
+      n1 = 2 * a[1] * ly
+      n2 = 2 * a[2] * lz + a[3]
+      inv = lax.rsqrt(n0 * n0 + n1 * n1 + n2 * n2 + 1e-20)
+      nx, ny, nz = n0 * inv, n1 * inv, n2 * inv
+    elif kind == GS.CONE:
+      rr = jnp.sqrt(lx * lx + ly * ly)
+      rS = jnp.where(rr < 1e-12, 1e-12, rr)
+      n0, n1, n2 = lx / rS, ly / rS, -a[0]
+      inv = lax.rsqrt(n0 * n0 + n1 * n1 + n2 * n2 + 1e-20)
+      nx, ny, nz = n0 * inv, n1 * inv, n2 * inv
+    elif kind == GS.ASPHERE:
+      c0, kk = a[0], a[1]
+      a4, a6, a8 = a[2], a[3], a[4]
+      r2 = lx * lx + ly * ly
+      rootA = jnp.sqrt(jnp.maximum(1 - (1 + kk) * c0 * c0 * r2, 1e-12))
+      g = (c0 * (2 / (1 + rootA)
+                 + (1 + kk) * c0 * c0 * r2 / (rootA * (1 + rootA) ** 2))
+           + 4 * a4 * r2 + 6 * a6 * r2 * r2 + 8 * a8 * r2 ** 3)
+      inv = lax.rsqrt(g * g * r2 + 1. + 1e-20)
+      nx, ny, nz = -g * lx * inv, -g * ly * inv, jnp.ones_like(lz) * inv
+    elif kind == GS.TORUS:
+      s = jnp.sqrt(lx * lx + ly * ly)
+      sS = jnp.where(s < 1e-12, 1e-12, s)
+      scale = a[0] / sS
+      n0, n1 = lx * (1. - scale), ly * (1. - scale)
+      inv = lax.rsqrt(n0 * n0 + n1 * n1 + lz * lz + 1e-20)
+      nx, ny, nz = n0 * inv, n1 * inv, lz * inv
+    else:
+      raise ValueError(f'unsupported kind {kind}')
+    nlx = jnp.where(m, nx, nlx)
+    nly = jnp.where(m, ny, nly)
+    nlz = jnp.where(m, nz, nlz)
+  return nlx, nly, nlz
 
 
 def _normalConst(r, lx, ly, lz):

@@ -671,6 +671,75 @@ def test_early_exit_modes_identical_interpret():
     assert (sM, hM) == (sN, hN), mode
 
 
+def test_attr_pass_modes_identical_interpret():
+  '''ATTR_PASS in {'persurf', 'accum'} selects the winner-attribute pass
+  after the argmin sweep (recompute transform+normal per surface and mask,
+  vs accumulate the winner's constants as columns and compute once). For
+  kinds whose normal math is pure f32 both ways (PLANE/SPHERE/QUADRIC/CONE
+  — no host-double constant folding like the asphere polynomial), the two
+  builds are the same FMA sequence and must bin bit-identically, including
+  through a rotated non-identity placement (the R/T accumulation path).'''
+  ell = np.array([1. / 400., 1. / 900., 1. / 225., 0., -1.])
+  ell = ell / ell[:3].max()
+  scene = Scene(label='attrinterp')
+  # ellipsoid-front plano lens (test_quadric_lens_... layout), whole group
+  # tilted 6 deg so the winner pass must route through accumulated R/T
+  scene.addOpticalGroup(OpticalGroup(
+      OpticalType='Lens', Label='Lens', RefractiveIndex=1.6,
+      surfaces=[
+          S.quadric(T.translation(0, 0, 40), elem=0, coeffs=tuple(ell),
+                    zRange=(10., 15.)),
+          S.plane(np.eye(4), elem=0, radius=16., orient=-1),
+      ],
+      placements=[T.compose(T.translation(0, 0, 50),
+                            T.rotation((0, 1, 0), 6))]))
+  scene.addOpticalGroup(OpticalGroup(
+      OpticalType='Absorber', Label='Det', RecordHits=True,
+      surfaces=[S.plane(np.eye(4), elem=0, halfExtents=(100., 100.))],
+      placements=[T.translation(0, 0, 0)]))
+  # enclosing sphere catches every stray ray: SPHERE normals + identity
+  # transform take the allIdent=False masked path alongside the lens rows
+  scene.addOpticalGroup(OpticalGroup(
+      OpticalType='Absorber', Label='Shell', RecordHits=True,
+      surfaces=[S.sphere(np.eye(4), elem=0, radius=300., orient=-1)],
+      placements=[np.eye(4)]))
+  scene.addSource(PointSource(
+      Label='Src', PowerDensity='exp(-theta^2/0.05)',
+      ThetaDomain='0, 0.35', Wavelength=532.,
+      ThetaResolutionNumericMode='1e4',
+      placement=T.compose(T.translation(0, 0, 120),
+                          T.rotation((1, 0, 0), 180))))
+  scene.addSimulationSettings(RaysPerIteration=1e4, MaxIntersections=6)
+  device, info = scene.compile()
+  device['powerTol'] = 1e-6
+  assert pallas_trace.pallasEligible(device)
+  src = scene.lightSources()[0]
+  histSpec = fused.makeHistogramSpec(device, info,
+                                     bounds=(-120., 120., -120., 120.),
+                                     bins=(32, 128))
+  key = jax.random.PRNGKey(5)
+  results = {}
+  saved = pallas_trace.ATTR_PASS
+  try:
+    for mode in ('persurf', 'accum'):
+      pallas_trace.ATTR_PASS = mode
+      step = pallas_trace.makePallasTraceStep(
+          device, histSpec, src.deviceColumnsGenerator(), interpret=True,
+          tile=TILE, raysPerStep=N, maxIntersections=6, maxRayLength=1e6,
+          distTol=1e-4)
+      h, c = step(key, fused.initHistograms(histSpec))
+      results[mode] = (np.asarray(h['counts']), np.asarray(h['power']),
+                       int(c['segments']), int(c['hits']))
+  finally:
+    pallas_trace.ATTR_PASS = saved
+  cP, pP, sP, hP = results['persurf']
+  assert hP > 0 and sP > N        # rays actually refract/reflect
+  cA, pA, sA, hA = results['accum']
+  assert np.array_equal(cA, cP)
+  assert np.array_equal(pA, pP)
+  assert (sA, hA) == (sP, hP)
+
+
 def test_many_surface_scene_matches_xla_interpret():
   '''Scenes past the old 64-analytic-surface cap now take the kernel
   (rolled bounce loop; the VMEM-aware auto tile shrinks with the surface
