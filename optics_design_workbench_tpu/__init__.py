@@ -44,6 +44,7 @@ def kernelSourceDigest():
   for rel in ('ops/pallas_trace.py', 'ops/histogram.py',
               'tracing/batch_tracer.py', 'tracing/fused.py',
               'geometry/surfaces.py', 'geometry/intersect.py',
+              'geometry/transforms.py',
               'distributions/device_sampler.py'):
     try:
       with open(os.path.join(base, rel), 'rb') as f:

@@ -479,7 +479,12 @@ class VectorRandomVariable:
     if not isinstance(self._numericalResolutions, dict):
       self._numericalResolutions = {
           str(v): self._numericalResolutions for v in self._variables}
-    res = int(round(self._numericalResolutions.get(str(var))))
+    # deviation from the reference (random_number_generator.py:323-331):
+    # a PARTIAL resolutions dict there crashes with `round(None)`; here
+    # variables missing from the dict fall back to the same default the
+    # empty dict gets
+    default = 5 + int(1e6 ** (1 / len(self._variables)))
+    res = int(round(self._numericalResolutions.get(str(var), default)))
     return res + 1 if res % 2 == 0 else res
 
   def _numericTransform(self, varI, exprOverride=None):

@@ -273,6 +273,19 @@ def buildSurfaceTable(surfs, dtype=jnp.float32):
                             bm['invDv'], 0.])
   mats = np.stack([s['transform'] for s in surfs])
   matsInv = np.stack([np.linalg.inv(m) for m in mats])
+  # Snap world->local rotations onto exact signed-permutation groups
+  # (faces of one rigid part share a base rotation up to axis perm/sign):
+  # the Pallas sweep hoists ONE ray rotation per group per bounce and the
+  # grouped arithmetic is bit-identical to the per-surface form BECAUSE the
+  # snapped rows are exact sign-copies. The frame ORIGIN (local->world
+  # translation) is held fixed; both transform directions are rebuilt from
+  # the snapped rotation so they stay exact inverses.
+  snapped, _gids = transforms.snapSignedPermGroups(matsInv[:, :3, :3])
+  for i in range(len(surfs)):
+    tl = mats[i, :3, 3]                      # frame origin in world: keep
+    matsInv[i, :3, :3] = snapped[i]
+    matsInv[i, :3, 3] = -snapped[i] @ tl
+    mats[i, :3, :3] = snapped[i].T
   w2lRot, w2lOff = transforms.rotRowsOffsets(matsInv, dtype=np.float32)
   l2wRot, l2wOff = transforms.rotRowsOffsets(mats, dtype=np.float32)
   npDtype = np.dtype(dtype.dtype if hasattr(dtype, 'dtype') else dtype)

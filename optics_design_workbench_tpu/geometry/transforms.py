@@ -83,6 +83,49 @@ def rotRowsOffsets(matrices, dtype=np.float32):
   return (m[..., :3, :3].astype(dtype), m[..., :3, 3].astype(dtype))
 
 
+def snapSignedPermGroups(rots, tol=2e-6):
+  '''Snap a stack of (N, 3, 3) rotation matrices onto exact signed-axis-
+  permutation equivalence classes.
+
+  Surfaces of one rigid part (a box housing's six faces, a lens barrel's
+  caps and wall, ...) carry world->local rotations that differ only by an
+  axis permutation and sign flips of the SAME base rotation — but each was
+  composed through its own placement chain, so the relation holds only to
+  float rounding. This pass greedily groups rows whose relative rotation
+  `R_i @ R_g.T` is within `tol` of a signed permutation matrix P and
+  rewrites each member as EXACTLY `P @ R_g` (row-wise sign-copies of the
+  representative — exact in IEEE arithmetic). The per-surface sweep in
+  ops/pallas_trace can then rotate the ray into each GROUP frame once per
+  bounce and derive every member's local frame with free sign/axis picks,
+  bit-identically to the per-surface form.
+
+  The snap moves each rotation by at most ~tol (default 2e-6, well below
+  any optically meaningful tilt; deliberate misalignments are orders of
+  magnitude larger and keep their own group). Returns (snapped (N, 3, 3)
+  float64, groupIds (N,) int). Disable with ODW_TPU_SNAP_FRAMES=0.'''
+  import os
+  R = np.array(rots, dtype=float)
+  n = len(R)
+  gid = np.full(n, -1, dtype=int)
+  if os.environ.get('ODW_TPU_SNAP_FRAMES', '1') == '0':
+    return R, np.arange(n)
+  reps = [None]                # group 0: the world frame (axis-aligned rows
+  for i in range(n):           # snap to exact 0/+-1 entries — free picks)
+    for g, rep in enumerate(reps):
+      M = R[i] if rep is None else R[i] @ R[rep].T
+      P = np.round(M)
+      if (np.max(np.abs(M - P)) <= tol
+          and np.array_equal(np.abs(P).sum(axis=0), np.ones(3))
+          and np.array_equal(np.abs(P).sum(axis=1), np.ones(3))):
+        R[i] = P if rep is None else P @ R[rep]  # exact signed row copies
+        gid[i] = g
+        break
+    if gid[i] < 0:
+      gid[i] = len(reps)
+      reps.append(i)
+  return R, gid
+
+
 # ------------------------------------------------------------- device helpers
 
 def rodrigues(v, axis, angle):

@@ -65,6 +65,21 @@ _TRI_CHUNK = 64
 # Overridable for A/B runs via ODW_TPU_ATTR_PASS.
 ATTR_PASS = os.environ.get('ODW_TPU_ATTR_PASS', 'accum')
 
+# Transform-group hoisting in the bounce sweep: rotate the ray into each
+# signed-permutation group frame once per bounce and derive member surfaces'
+# local frames with free sign/axis picks (_assignXformGroups /
+# geometry/transforms.snapSignedPermGroups). Bit-identical to the
+# per-surface 9-FMA rotation; ~25 fewer VPU ops per grouped surface —
+# example 2's 26 surfaces collapse to 7 group rotations. Overridable for
+# A/B runs via ODW_TPU_XFORM_GROUPS=0.
+XFORM_GROUPS = os.environ.get('ODW_TPU_XFORM_GROUPS', '1') != '0'
+
+# Mosaic op budget for the python-unrolled bounce prefix, in units of
+# (surfaces x unrolled bounces): compile time scales with the unrolled op
+# count (CLAUDE.md), throughput gains ~1.5x per bounce moved off the rolled
+# tail. Overridable for A/B runs via ODW_TPU_UNROLL_BUDGET.
+UNROLL_BUDGET = int(os.environ.get('ODW_TPU_UNROLL_BUDGET', '80'))
+
 
 def pallasEligible(scene):
   '''Static host-side check whether the fast kernel supports this scene.'''
@@ -148,8 +163,8 @@ def _shouldUnroll(scene, maxIntersections, nElements=None):
     # partial unroll covers the leading (densest) bounces at the cheap
     # static schedule and leaves the tail to the rolled loop (example 2:
     # K 0 -> 3 measured +3.4% on v5e for +7 s compile)
-    return min(K, max(80 // max(nSurf, 1), 0))
-  return maxIntersections if nSurf * maxIntersections <= 80 else 0
+    return min(K, max(UNROLL_BUDGET // max(nSurf, 1), 0))
+  return maxIntersections if nSurf * maxIntersections <= UNROLL_BUDGET else 0
 
 
 def _boundingSphere(row):
@@ -309,6 +324,11 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
   reproducible in interpret-mode CI tests.'''
   H, W = bins
   S = len(surfRows)
+  # range test applied ONCE to the selected minimum instead of clamping
+  # every candidate in the sweep (see _bounceBody); kept strictly below
+  # the miss marker so `tBest <= mrlEff` is false for _BIG even with an
+  # infinite maxRayLength
+  mrlEff = min(float(maxRayLength), 0.5 * _BIG)
 
   hasGrating = any(er['optF'] == float(GRATING) for er in elemRows)
 
@@ -569,14 +589,40 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
       canBeMedium = tuple(er['optF'] in (float(LENS), float(GRATING))
                           for er in elemRows)
       anyMedium = any(canBeMedium)
+      # ---- hoisted transform-group rotations (_assignXformGroups): rotate
+      # the ray into each signed-permutation group frame ONCE per bounce;
+      # member surfaces then derive their local frames with free sign/axis
+      # picks inside _intersectConst — bit-identical to the per-surface
+      # 9-FMA rotation, ~25 fewer VPU ops per extra member surface. ----
+      grpCoords = {}
+      if XFORM_GROUPS:
+        for s in mySurfs:
+          r = surfRows[s]
+          g = r.get('grp', -1)
+          if g < 0 or g in grpCoords or 'pick' not in r:
+            continue
+          (b0, b1, b2) = r['grpBase']
+          grpCoords[g] = (
+              b0[0] * ox + b0[1] * oy + b0[2] * oz,
+              b1[0] * ox + b1[1] * oy + b1[2] * oz,
+              b2[0] * ox + b2[1] * oy + b2[2] * oz,
+              b0[0] * dx + b0[1] * dy + b0[2] * dz,
+              b1[0] * dx + b1[1] * dy + b1[2] * dz,
+              b2[0] * dx + b2[1] * dy + b2[2] * dz)
+      # The per-surface `t <= maxRayLength` clamp is hoisted out of the
+      # sweep: min() over unclamped candidates picks the same winner for
+      # any candidate within range (out-of-range ones are never smaller
+      # than an in-range minimum), so one range test on the selected
+      # tBest/tOth below replaces S clamp ops per bounce. NaN candidates
+      # still never win (NaN < x is false).
       tBest = jnp.full(shape, _BIG)
       sBest = jnp.full(shape, -1.0)
       tOth = jnp.full(shape, _BIG)
       sOth = jnp.full(shape, -1.0)
       for s in mySurfs:
         r = surfRows[s]
-        t = _intersectConst(r, ox, oy, oz, dx, dy, dz, distTol, maskVals)
-        t = jnp.where(t <= maxRayLength, t, _BIG)
+        t = _intersectConst(r, ox, oy, oz, dx, dy, dz, distTol, maskVals,
+                            grpCoords=grpCoords if XFORM_GROUPS else None)
         t = _seqGate(s, t)
         b = t < tBest
         sBest = jnp.where(b, float(s), sBest)
@@ -707,10 +753,10 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
       # same-medium preference + winner (-2 = SMEM triangle). NOTE plain
       # boolean algebra — jnp.where on i1 operands crashes the Mosaic
       # compiler.
-      hasHit = tBest < _BIG
+      hasHit = tBest <= mrlEff
       if not anyMedium:
         tOth, sOth = tBest, sBest
-      hasPref = (tOth < _BIG) & (tOth <= tBest + 2 * distTol)
+      hasPref = (tOth <= mrlEff) & (tOth <= tBest + 2 * distTol)
       tSel = jnp.where(hasPref, tOth, tBest)
       sIdx = jnp.where(hasHit, jnp.where(hasPref, sOth, sBest), -1.0)
 
@@ -1336,15 +1382,40 @@ def _applyPrimsConst(r, x, y, z, baseOk):
   return out
 
 
-def _intersectConst(r, ox, oy, oz, dx, dy, dz, tMin, maskVals=()):
+def _intersectConst(r, ox, oy, oz, dx, dy, dz, tMin, maskVals=(),
+                    grpCoords=None):
   '''Ray-surface distance with the surface's transform/params as python
   float constants (folds into immediates). Bitmap-trimmed surfaces
   (trim0 == 2) test candidate roots against their packed VMEM bitmap in
   maskVals via _bitmapOkConst; hole-primitive surfaces (trim0 == 3/4)
-  subtract their holes via _holeFreeConst.'''
+  subtract their holes via _holeFreeConst.
+  grpCoords: optional {groupId: 6 group-frame ray coords} hoisted by the
+  bounce sweep (_assignXformGroups) — rows carrying a `pick` then derive
+  their local frame with free sign/axis picks instead of the 9-FMA
+  rotation, bit-identically (signed row copies are exact).'''
   kind = r['kind']
   if r.get('ident'):
     lox, loy, loz, ldx, ldy, ldz = ox, oy, oz, dx, dy, dz
+  elif grpCoords is not None and 'pick' in r:
+    if r['grp'] < 0:
+      go, gd = (ox, oy, oz), (dx, dy, dz)
+    else:
+      g = grpCoords[r['grp']]
+      go, gd = g[:3], g[3:]
+    (j0, s0), (j1, s1), (j2, s2) = r['pick']
+
+    def _pk(v, j, s):
+      return v[j] if s > 0 else -v[j]
+
+    def _off(v, t):
+      return v if t == 0. else v + t
+
+    lox = _off(_pk(go, j0, s0), r['t0'])
+    loy = _off(_pk(go, j1, s1), r['t1'])
+    loz = _off(_pk(go, j2, s2), r['t2'])
+    ldx = _pk(gd, j0, s0)
+    ldy = _pk(gd, j1, s1)
+    ldz = _pk(gd, j2, s2)
   else:
     lox = r['r00'] * ox + r['r01'] * oy + r['r02'] * oz + r['t0']
     loy = r['r10'] * ox + r['r11'] * oy + r['r12'] * oz + r['t1']
@@ -1709,6 +1780,61 @@ def _normalConst(r, lx, ly, lz):
   raise ValueError(f'unsupported kind {kind}')
 
 
+def _assignXformGroups(surfRows):
+  '''Attach signed-permutation transform-group metadata to surface rows.
+
+  geometry/transforms.snapSignedPermGroups snapped the scene table so that
+  rotations of one rigid part's faces are EXACT (bit-level) signed row
+  copies of a shared base rotation. Each non-identity row whose rotation
+  rows match a base's rows up to sign gets:
+
+    grp     — group key: -1 = the world frame (entries all 0/+-1),
+              else an id shared by every member of the group;
+    grpBase — the base rotation as a 9-tuple (only on grp >= 0 rows);
+    pick    — ((srcAxis, sign) x3): local axis i = sign*groupCoord[srcAxis].
+
+  The kernel's bounce sweep rotates the ray into each group frame ONCE and
+  derives member locals with free sign/axis picks — bit-identical to the
+  per-surface 9-FMA rotation because (-a)*x + (-b)*y == -(a*x + b*y)
+  exactly in IEEE arithmetic. Rows keep r00..r22/t0..t2 for the winner-
+  attribute pass. Unmatched rows become their own group (same op count as
+  the inline form), so this is never a pessimization.'''
+  ident = ((1., 0., 0.), (0., 1., 0.), (0., 0., 1.))
+  bases = []                                   # [(gid, 3x3 row tuples)]
+  for row in surfRows:
+    if row.get('ident'):
+      continue
+    rows3 = ((row['r00'], row['r01'], row['r02']),
+             (row['r10'], row['r11'], row['r12']),
+             (row['r20'], row['r21'], row['r22']))
+    for g, base in [(-1, ident)] + bases:
+      pick = []
+      for i in range(3):
+        hit = None
+        for j in range(3):
+          if rows3[i] == base[j]:
+            hit = (j, 1.)
+            break
+          if rows3[i] == tuple(-x for x in base[j]):
+            hit = (j, -1.)
+            break
+        if hit is None:
+          break
+        pick.append(hit)
+      if len(pick) == 3:
+        row['grp'] = g
+        row['pick'] = tuple(pick)
+        if g >= 0:
+          row['grpBase'] = bases[g][1]
+        break
+    else:
+      gid = len(bases)
+      bases.append((gid, rows3))
+      row['grp'] = gid
+      row['grpBase'] = rows3
+      row['pick'] = ((0, 1.), (1, 1.), (2, 1.))
+
+
 def _sceneRows(scene, histSpec, smemTris=False):
   '''Extract python-float scene constants (host side; scene arrays must be
   concrete). Returns (surfRows, elemRows, maskConsts): bitmap-trimmed
@@ -1796,6 +1922,7 @@ def _sceneRows(scene, histSpec, smemTris=False):
       row['holePrims'] = tuple(tuple(float(x) for x in hole)
                                for hole in pr if hole[0] > 0.5)
     surfRows.append(row)
+  _assignXformGroups(surfRows)
   ep = np.asarray(scene['elements']['packed'], dtype=float)
   elemToDet = np.asarray(histSpec['elemToDet'])
   boundsArr = np.asarray(histSpec['bounds'])

@@ -92,6 +92,20 @@ class TestVector2D:
     assert _rmsHistError1D(theta, pdfT, (0, np.pi / 4)) < 3e-2
     assert _rmsHistError1D(phi, lambda p: np.ones_like(p), (0, 2 * np.pi)) < 3e-2
 
+  def test_partial_resolutions_dict_defaults(self):
+    '''A resolutions dict covering only SOME variables must default the
+    missing ones instead of crashing (the reference raises TypeError via
+    round(None), random_number_generator.py:331 — documented deviation).'''
+    rv = VectorRandomVariable('exp(-theta**2/0.1)*abs(sin(theta))',
+                              variableDomains=dict(theta=(0., 1.2),
+                                                   phi=(0., 2 * np.pi)),
+                              numericalResolutions=dict(theta=2001),
+                              variableOrder=('theta', 'phi'))
+    rv.compile()
+    theta, phi = np.asarray(rv.draw(N=N))
+    assert 0.05 < theta.mean() < 0.6
+    assert abs(phi.mean() - np.pi) < 0.1
+
   def test_correlated_2d(self):
     # astigmatic gaussian: theta spread depends on phi
     expr = 'exp(-(theta*cos(phi))**2/0.01 - (theta*sin(phi))**2/0.04)'

@@ -539,3 +539,55 @@ def test_torus_intersect_gradient_matches_fd():
   fd = float((f(0.3 + eps) - f(0.3 - eps)) / (2 * eps))
   assert np.isfinite(g)
   assert abs(g - fd) < 1e-3 * max(1., abs(fd))
+
+
+# ---------------------------------------------------------------- snapping
+
+class TestSnapSignedPermGroups:
+
+  def test_rigid_part_faces_share_group(self):
+    '''Face frames of one rigid part (axis perms of a common base, composed
+    through float chains) snap to EXACT signed row copies of the first
+    member, and the grouping survives the f32 table cast.'''
+    base = T.rotation((1, 2, 3), 17)[:3, :3]
+    perms = [np.eye(3),
+             np.array([[0., 0., 1.], [0., 1., 0.], [-1., 0., 0.]]),
+             np.array([[1., 0., 0.], [0., 0., -1.], [0., 1., 0.]]),
+             -np.eye(3)]
+    rots = [p @ base + np.random.default_rng(4).normal(0, 5e-8, (3, 3))
+            for p in perms]
+    snapped, gid = T.snapSignedPermGroups(rots)
+    assert len(set(gid.tolist())) == 1
+    rep32 = snapped[0].astype(np.float32)
+    for i, p in enumerate(perms):
+      got32 = snapped[i].astype(np.float32)
+      want32 = np.asarray([[np.float32(s) * rep32[j]
+                            for j in range(3) if abs(p[r, j]) > .5][0]
+                           for r, s in ((r, p[r, np.abs(p[r]).argmax()])
+                                        for r in range(3))])
+      assert np.array_equal(got32, want32), i
+
+  def test_axis_aligned_snaps_to_world(self):
+    '''Rotations within tol of a signed perm of identity join group 0 and
+    become exact 0/+-1 entries (free world-frame picks in the kernel).'''
+    r = T.rotation((0, 1, 0), 90)[:3, :3] + 1e-8
+    snapped, gid = T.snapSignedPermGroups([r])
+    assert gid[0] == 0
+    assert set(np.abs(snapped[0]).ravel().tolist()) <= {0., 1.}
+
+  def test_distinct_rotations_keep_groups(self):
+    '''A deliberate misalignment far beyond tol must NOT be snapped.'''
+    a = T.rotation((0, 1, 0), 45)[:3, :3]
+    b = T.rotation((0, 1, 0), 45.01)[:3, :3]    # ~1.7e-4 rad apart
+    snapped, gid = T.snapSignedPermGroups([a, b])
+    assert gid[0] != gid[1]
+    assert np.allclose(snapped[1], b)
+
+  def test_snap_moves_rotations_by_at_most_tol(self):
+    rng = np.random.default_rng(11)
+    base = T.rotation(rng.normal(size=3), 33.3)[:3, :3]
+    noisy = T.rotation((0, 0, 1), 90)[:3, :3] @ base \
+        + rng.normal(0, 1e-7, (3, 3))
+    snapped, gid = T.snapSignedPermGroups([base, noisy])
+    assert gid[0] == gid[1]
+    assert np.max(np.abs(snapped[1] - noisy)) < 5e-7

@@ -740,6 +740,82 @@ def test_attr_pass_modes_identical_interpret():
   assert (sA, hA) == (sP, hP)
 
 
+def test_xform_groups_identical_interpret():
+  '''XFORM_GROUPS hoists one ray rotation per signed-permutation transform
+  group per bounce; member surfaces derive their local frames with sign/
+  axis picks. After geometry/transforms.snapSignedPermGroups snapped the
+  table, the grouped arithmetic is the SAME IEEE op sequence as the
+  per-surface 9-FMA rotation (sign flips are exact), so histograms and
+  counters must be bit-identical with the hoist on and off.'''
+  scene = Scene(label='xgrpinterp')
+  # an open box of four mirror walls: face frames are axis permutations of
+  # the part frame, the whole part tilted 17 deg about an oblique axis so
+  # the group rotation is non-trivial and all four faces share it
+  part = T.compose(T.translation(0, 0, 60), T.rotation((1, 2, 3), 17))
+  walls = [
+      S.plane(T.compose(T.translation(20, 0, 0), T.rotation((0, 1, 0), 90)),
+              elem=0, halfExtents=(25., 25.)),
+      S.plane(T.compose(T.translation(-20, 0, 0),
+                        T.rotation((0, 1, 0), -90)),
+              elem=0, halfExtents=(25., 25.)),
+      S.plane(T.compose(T.translation(0, 20, 0), T.rotation((1, 0, 0), -90)),
+              elem=0, halfExtents=(25., 25.)),
+      S.plane(T.compose(T.translation(0, -20, 0), T.rotation((1, 0, 0), 90)),
+              elem=0, halfExtents=(25., 25.)),
+  ]
+  scene.addOpticalGroup(OpticalGroup(
+      OpticalType='Mirror', Label='Box', Reflectivity=0.9,
+      surfaces=walls, placements=[part]))
+  scene.addOpticalGroup(OpticalGroup(
+      OpticalType='Absorber', Label='Det', RecordHits=True,
+      surfaces=[S.plane(np.eye(4), elem=0, halfExtents=(120., 120.))],
+      placements=[T.translation(0, 0, 0)]))
+  scene.addOpticalGroup(OpticalGroup(
+      OpticalType='Absorber', Label='Shell', RecordHits=True,
+      surfaces=[S.sphere(np.eye(4), elem=0, radius=400., orient=-1)],
+      placements=[np.eye(4)]))
+  scene.addSource(PointSource(
+      Label='Src', PowerDensity='exp(-theta^2/0.3)',
+      ThetaDomain='0, 1.2', Wavelength=532.,
+      ThetaResolutionNumericMode='1e4',
+      placement=T.compose(T.translation(0, 0, 120),
+                          T.rotation((1, 0, 0), 180))))
+  scene.addSimulationSettings(RaysPerIteration=1e4, MaxIntersections=6)
+  device, info = scene.compile()
+  device['powerTol'] = 1e-6
+  assert pallas_trace.pallasEligible(device)
+  histSpec = fused.makeHistogramSpec(device, info,
+                                     bounds=(-150., 150., -150., 150.),
+                                     bins=(32, 128))
+  # the four wall frames must actually have collapsed to ONE hoisted group
+  rows, _e, _m = pallas_trace._sceneRows(device, histSpec)
+  hoisted = {r['grp'] for r in rows if r.get('grp', -1) >= 0}
+  assert len(hoisted) == 1, [r.get('grp') for r in rows]
+  assert sum(1 for r in rows if r.get('grp', -1) >= 0) == 4
+  src = scene.lightSources()[0]
+  key = jax.random.PRNGKey(3)
+  results = {}
+  saved = pallas_trace.XFORM_GROUPS
+  try:
+    for mode in (False, True):
+      pallas_trace.XFORM_GROUPS = mode
+      step = pallas_trace.makePallasTraceStep(
+          device, histSpec, src.deviceColumnsGenerator(), interpret=True,
+          tile=TILE, raysPerStep=N, maxIntersections=6, maxRayLength=1e6,
+          distTol=1e-4)
+      h, c = step(key, fused.initHistograms(histSpec))
+      results[mode] = (np.asarray(h['counts']), np.asarray(h['power']),
+                       int(c['segments']), int(c['hits']))
+  finally:
+    pallas_trace.XFORM_GROUPS = saved
+  cF, pF, sF, hF = results[False]
+  assert hF > 0 and sF > N        # rays actually bounce off the walls
+  cT, pT, sT, hT = results[True]
+  assert np.array_equal(cT, cF)
+  assert np.array_equal(pT, pF)
+  assert (sT, hT) == (sF, hF)
+
+
 def test_many_surface_scene_matches_xla_interpret():
   '''Scenes past the old 64-analytic-surface cap now take the kernel
   (rolled bounce loop; the VMEM-aware auto tile shrinks with the surface
