@@ -77,8 +77,11 @@ XFORM_GROUPS = os.environ.get('ODW_TPU_XFORM_GROUPS', '1') != '0'
 # Mosaic op budget for the python-unrolled bounce prefix, in units of
 # (surfaces x unrolled bounces): compile time scales with the unrolled op
 # count (CLAUDE.md), throughput gains ~1.5x per bounce moved off the rolled
-# tail. Overridable for A/B runs via ODW_TPU_UNROLL_BUDGET.
-UNROLL_BUDGET = int(os.environ.get('ODW_TPU_UNROLL_BUDGET', '80'))
+# tail. 140 covers K = nElements+1 = 5 for example 2's 26 surfaces
+# (interleaved A/B on v5e: 0.981 vs 0.966 G seg/s at 80, compile
+# 12.8 vs 12.2 s; tiles 2048/auto tie, 8192 loses ~17%). Overridable for
+# A/B runs via ODW_TPU_UNROLL_BUDGET.
+UNROLL_BUDGET = int(os.environ.get('ODW_TPU_UNROLL_BUDGET', '140'))
 
 
 def pallasEligible(scene):
