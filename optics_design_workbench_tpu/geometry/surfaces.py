@@ -228,8 +228,11 @@ def _conicAsQuadric(s):
   return out
 
 
-def buildSurfaceTable(surfs, dtype=jnp.float32):
+def buildSurfaceTable(surfs, dtype=jnp.float32, devicePut=True):
   '''Pack a list of surface dicts into a SoA device table (a pytree dict).
+  With devicePut=False the table stays host-side numpy (used by the batched
+  sweep, which stacks many variant tables and ships them as ONE jit
+  argument instead of one device_put per variant).
 
   Surfaces are SORTED BY KIND and the table carries a `byKind` sub-dict of
   contiguous per-kind slices: the intersection sweep dispatches one
@@ -341,7 +344,8 @@ def buildSurfaceTable(surfs, dtype=jnp.float32):
   # ONE batched host->device transfer for the whole table: per-array
   # jnp.asarray calls cost ~0.35 s each over the axon relay (31 arrays =
   # ~11 s of scene-compile latency)
-  table = jax.device_put(table)
+  if devicePut:
+    table = jax.device_put(table)
   # host copy of the (kind-sorted) element indices so callers never pay a
   # device->host fetch during compilation (the first fetch of a process
   # costs seconds to minutes over the relay)

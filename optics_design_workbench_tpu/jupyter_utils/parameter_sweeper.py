@@ -36,6 +36,105 @@ from .retries import retryOnError
 PENALTY = 1e99
 
 
+class _FastPathUnavailable(Exception):
+  '''Raised when the batched-sweep fast path cannot represent the sweep
+  (multiple sources, structure changing across variants, source sweeps
+  beyond placement/wavelength, ...) — callers fall back to the eager
+  per-variant path.'''
+
+
+def _sourceSignature(src, mode):
+  '''Byte signature of a source for the batched-sweep sampler cache.
+  mode='full' covers everything (identical sources -> one shared
+  generator); mode='geom' excludes placement and wavelength (identical
+  SAMPLING, per-variant geometry -> the geometry-parameterized
+  generator).'''
+  d = dict(src.propertiesDict())
+  if mode == 'geom':
+    d.pop('Wavelength', None)
+  placement = (None if mode == 'geom'
+               else np.asarray(src.placement, float).tobytes())
+  payload = (type(src).__module__ + '.' + type(src).__qualname__,
+             sorted(d.items()), placement)
+  return pickle.dumps(payload, protocol=2)
+
+
+def _sourceGeomRow(src):
+  '''(13,) float row [R row-major (9), offset (3), wavelength] consumed by
+  PointSource.deviceGeomGenerator.'''
+  P = np.asarray(src.placement, float)
+  return np.concatenate([P[:3, :3].reshape(9), P[:3, 3],
+                         [float(src.Wavelength)]]).astype(np.float32)
+
+
+def _hostHistSpec(hostScene, info, bounds, bins):
+  '''Numpy mirror of tracing.fused.makeHistogramSpec (no device arrays:
+  the batched sweep ships everything as jit arguments).'''
+  elemLabels = info['elementLabels']
+  recordFlags = np.asarray(hostScene['elements']['recordHits'])
+  recordElems = [i for i in range(len(elemLabels)) if recordFlags[i]]
+  elemToDet = np.full(len(elemLabels), -1, dtype=np.int32)
+  allBounds = []
+  for d, e in enumerate(recordElems):
+    elemToDet[e] = d
+    b = bounds
+    if isinstance(bounds, dict):
+      b = bounds.get(elemLabels[e])
+    if b is None:
+      b = (-50., 50., -50., 50.)
+    allBounds.append(b)
+  return elemToDet, np.asarray(allBounds, dtype=np.float32)
+
+
+def _makeBatchedSweepStep(treedef, scalarItems, sampler, flagsTuple,
+                          maxIntersections, maxRayLength, distTol, bins,
+                          hasScatter, nLeaves, mappedIdx):
+  '''Build the jitted batched-sweep step: (stacked mapped scene leaves,
+  elemToDet, bounds, per-variant geometry rows, key) -> stacked
+  (2, V, D, H, W) [power, counts] histograms. Sampling + trace + histogram
+  for EVERY variant run inside one jit; the variant axis is a lax.map
+  (vmapping the full-physics bounce loop multiplied the XLA program and
+  took ~15 min to compile on the relay — round-2 observation).'''
+  import jax
+  import jax.numpy as jnp
+  from jax import lax
+  from ..tracing.fused import _traceHistogram
+
+  scalarByIdx = dict(scalarItems)
+
+  @jax.jit
+  def step(mappedLeaves, elemToDet, bounds, geoms, key):
+    V = geoms.shape[0]
+    keys = jax.random.split(key, V)
+    D = bounds.shape[0]
+    H, W = bins
+    hist0 = dict(power=jnp.zeros((D, H, W), jnp.float32),
+                 counts=jnp.zeros((D, H, W), jnp.float32))
+
+    def one(x):
+      leavesV, geom, k = x
+      full = [None] * nLeaves
+      for i, v in scalarByIdx.items():
+        full[i] = v
+      for i, leaf in zip(mappedIdx, leavesV):
+        full[i] = leaf
+      scene = jax.tree_util.tree_unflatten(treedef, full)
+      kSample, kScatter = jax.random.split(k)
+      batch = sampler(geom, kSample)
+      hist, _ = _traceHistogram(
+          scene, elemToDet, bounds, bins, hist0, batch['origins'],
+          batch['directions'], batch['powers'], batch['wavelengths'],
+          maxIntersections=maxIntersections, maxRayLength=maxRayLength,
+          distTol=distTol, flagsTuple=flagsTuple,
+          scatterKey=(kScatter if hasScatter else None), earlyExit=False)
+      return hist
+
+    hists = lax.map(one, (mappedLeaves, geoms, keys))
+    return jnp.stack([hists['power'], hists['counts']])
+
+  return step
+
+
 class Parameter:
   '''A settable scene parameter: either (obj, attributeName) or explicit
   getter/setter callables. Optional bounds clamp set().'''
@@ -531,28 +630,186 @@ class ParameterSweeper:
 
   # ------------------------------------------------------- batched evaluation
 
+  def _evaluateBatchedFast(self, parameterSets, metric, sceneFactory,
+                           raysPerScene, maxIntersections, bins, histBounds,
+                           seed):
+    '''Steady-state-lean batched sweep: host-side variant compiles, one
+    cached jitted step (in-jit sampling + lax.map trace + histograms), one
+    device fetch. Raises _FastPathUnavailable when the sweep cannot be
+    expressed this way (evaluateBatched then falls back).'''
+    import jax
+
+    from ..models.point_source import PointSource
+    from ..tracing.batch_tracer import sceneStaticFlags, scatterConstants
+
+    hostScenes, geoms = [], []
+    sigsFull, sigsGeom, sources = [], [], []
+    for ps in parameterSets:
+      self.set(**ps)
+      scene = sceneFactory() if sceneFactory is not None else self.scene
+      srcs = scene.lightSources()
+      if len(srcs) != 1:
+        raise _FastPathUnavailable('needs exactly one light source')
+      src = srcs[0]
+      if not getattr(src, 'supportsDeviceSampling', lambda: False)():
+        raise _FastPathUnavailable('source has no device sampler')
+      host, info = scene.compile(devicePut=False)
+      host['powerTol'] = 1e-6
+      host['elements'].pop('_hostOptType', None)
+      hostScenes.append((host, info))
+      sources.append(src)
+      sigsFull.append(_sourceSignature(src, 'full'))
+      sigsGeom.append(_sourceSignature(src, 'geom'))
+      geoms.append(_sourceGeomRow(src))
+
+    # sampler mode: fully identical sources share ONE cached generator;
+    # sources differing only in placement/wavelength ride the
+    # geometry-parameterized generator; anything else needs per-variant
+    # sampling tables -> eager path
+    if all(s == sigsFull[0] for s in sigsFull):
+      mode, sig = 'full', sigsFull[0]
+    elif (all(s == sigsGeom[0] for s in sigsGeom)
+          and type(sources[0]) is PointSource):
+      mode, sig = 'geom', sigsGeom[0]
+    else:
+      raise _FastPathUnavailable('sources differ beyond placement/'
+                                 'wavelength across variants')
+
+    # structural equality of the variant scenes
+    host0, info0 = hostScenes[0]
+    leaves0, treedef = jax.tree_util.tree_flatten(host0)
+    allLeaves = [leaves0]
+    for host, info in hostScenes[1:]:
+      leaves, td = jax.tree_util.tree_flatten(host)
+      if td != treedef:
+        raise _FastPathUnavailable('scene structure differs across variants')
+      allLeaves.append(leaves)
+    mappedIdx, scalarItems = [], []
+    for i, l in enumerate(leaves0):
+      if np.ndim(l) >= 1:
+        mappedIdx.append(i)
+      else:
+        v = l.item() if hasattr(l, 'item') else l
+        for other in allLeaves[1:]:
+          o = other[i]
+          if (o.item() if hasattr(o, 'item') else o) != v:
+            raise _FastPathUnavailable('scalar scene field differs across '
+                                       'variants')
+        scalarItems.append((i, v))
+    # flags / element typing / recording layout are baked as compile-time
+    # constants from variant 0 — require them identical
+    for host, info in hostScenes[1:]:
+      if not np.array_equal(host['elements']['optType'],
+                            host0['elements']['optType']) \
+          or not np.array_equal(host['elements']['recordHits'],
+                                host0['elements']['recordHits']):
+        raise _FastPathUnavailable('element types/recording differ across '
+                                   'variants')
+      if ('scatter' in host0) and not all(
+          np.array_equal(a, b) for a, b in zip(
+              jax.tree_util.tree_leaves(host['scatter']),
+              jax.tree_util.tree_leaves(host0['scatter']))):
+        raise _FastPathUnavailable('scatter tables differ across variants')
+    try:
+      stackedMapped = tuple(
+          np.stack([allLeaves[v][i] for v in range(len(allLeaves))])
+          for i in mappedIdx)
+    except ValueError as e:
+      raise _FastPathUnavailable(f'variant leaf shapes differ: {e}')
+
+    # cached sampler (built once per source signature: VRV/table
+    # compilation is host-sympy-expensive)
+    if not hasattr(self, '_ebSamplerCache'):
+      self._ebSamplerCache = {}
+      self._ebStepCache = {}
+    samplerKey = (mode, sig, int(raysPerScene))
+    sampler = self._ebSamplerCache.get(samplerKey)
+    if sampler is None:
+      src0 = sources[0]
+      if mode == 'full':
+        gen = src0.deviceGenerator()
+
+        def sampler(geom, k, _gen=gen, _n=int(raysPerScene)):
+          b = _gen(k, _n)
+          return dict(origins=b['origins'], directions=b['directions'],
+                      powers=b['powers'], wavelengths=b['wavelengths'])
+      else:
+        gg = src0.deviceGeomGenerator()
+
+        def sampler(geom, k, _gg=gg, _n=int(raysPerScene)):
+          return _gg(geom, k, _n)
+      self._ebSamplerCache[samplerKey] = sampler
+
+    flags = sceneStaticFlags(host0)
+    try:
+      sc = scatterConstants(host0)
+    except Exception:
+      sc = None
+    flagsTuple = (flags['hasMirror'], flags['hasLens'], flags['hasGrating'],
+                  sc)
+    settings = self.scene.activeSimulationSettings()
+    maxRayLength = float(settings.maxRayLength())
+    distTol = float(max(settings.distanceTolerance(), 1e-4))
+
+    stepKey = (treedef, tuple(scalarItems), tuple(mappedIdx), samplerKey,
+               flagsTuple, int(maxIntersections), maxRayLength, distTol,
+               tuple(bins), 'scatter' in host0)
+    step = self._ebStepCache.get(stepKey)
+    if step is None:
+      step = _makeBatchedSweepStep(
+          treedef, tuple(scalarItems), sampler, flagsTuple,
+          int(maxIntersections), maxRayLength, distTol, tuple(bins),
+          'scatter' in host0, len(leaves0), tuple(mappedIdx))
+      self._ebStepCache[stepKey] = step
+
+    elemToDet, boundsArr = _hostHistSpec(host0, info0, histBounds, bins)
+    out = step(stackedMapped, elemToDet, boundsArr,
+               np.stack(geoms).astype(np.float32),
+               jax.random.PRNGKey(seed))
+    out = np.asarray(out)            # ONE device->host fetch
+    power, counts = out[0], out[1]
+    return np.array([metric(power[i], counts[i])
+                     for i in range(len(parameterSets))])
+
   def evaluateBatched(self, parameterSets, metric, sceneFactory=None,
                       raysPerScene=100_000, maxIntersections=8, bins=(64, 64),
                       histBounds=(-50., 50., -50., 50.), seed=0):
     '''
-    TPU-native sweep: evaluate MANY geometry variants in one vmapped trace.
+    TPU-native sweep: evaluate MANY geometry variants in one mapped trace.
     `parameterSets` is a list of parameter dicts; each is applied (via
     set()) before compiling one scene variant; all variants must share the
     same structure (same surfaces/elements). `metric(histPower, histCounts)`
     maps each variant's detector histogram to a scalar. Returns an (N,)
     numpy array of metric values.
+
+    Steady-state calls are device-transfer-lean: every variant compiles
+    HOST-side (devicePut=False), the stacked numpy tables ride as arguments
+    of ONE cached jitted step (sampling + trace + histogram fused), and the
+    histograms come back in a single fetch. The jitted step is cached on
+    the sweeper keyed by scene structure + source signature, so an
+    optimize() loop pays compilation once (reference workflow:
+    parameter_sweeper.py:757-918; SURVEY §2.2 "Batched scenes").
     '''
     import jax
-    import jax.numpy as jnp
-    from ..tracing import fused
 
+    try:
+      return self._evaluateBatchedFast(
+          parameterSets, metric, sceneFactory=sceneFactory,
+          raysPerScene=raysPerScene, maxIntersections=maxIntersections,
+          bins=bins, histBounds=histBounds, seed=seed)
+    except _FastPathUnavailable as e:
+      io.verb(f'batched-sweep fast path unavailable ({e}); using the '
+              f'per-variant eager path')
+
+    # ---- eager fallback: per-variant device scenes + eager generators ----
     # each variant gets its OWN device generator: sweep parameters may
     # modify the source (placement, divergence, focal length, power
     # density), which the generator bakes in as host constants — sampling
     # every variant through gens[0] silently ignored those (round-3 judge
-    # finding). Batches are generated eagerly up front and ride the
-    # lax.map as stacked traced inputs, so the mapped trace still
-    # compiles once.
+    # finding).
+    import jax.numpy as jnp
+    from ..tracing import fused
+
     keys = jax.random.split(jax.random.PRNGKey(seed), len(parameterSets))
     devices, infos, batches = [], [], []
     for vi, ps in enumerate(parameterSets):

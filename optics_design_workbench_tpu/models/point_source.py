@@ -457,6 +457,54 @@ class PointSource(GenericSource):
 
     return generate
 
+  def deviceGeomGenerator(self):
+    '''Geometry-parameterized device generator for the batched sweep
+    (jupyter_utils/parameter_sweeper.evaluateBatched): returns
+    `generate(geom, key, N)` where `geom` is a TRACED (13,) array
+    [R row-major (9), offset (3), wavelength] — so one jitted sweep step
+    can trace many variants that differ only in source placement /
+    wavelength without re-tracing per variant. The inverse-CDF tables and
+    the focal length stay closure constants (they parameterize the SAMPLING
+    math, not the placement); callers must ensure they are identical across
+    variants (parameter_sweeper._sourceSignatures).'''
+    if self._deviceTables is None:
+      self._deviceTables = buildDeviceTables(self._getVrv())
+    tables = self._deviceTables
+    f = self.focalLength()
+    finite = bool(np.isfinite(f))
+
+    def generate(geom, key, N):
+      R = geom[:9]
+      off = geom[9:12]
+      wavelength = geom[12]
+      tp = deviceDraw(tables, key, N)
+      t, p = tp[0], tp[1]
+      if finite:
+        st, ct = jnp.sin(t), jnp.cos(t)
+        ldx, ldy, ldz = st * jnp.sin(p), -st * jnp.cos(p), ct
+        lox, loy, loz = -f * ldx, -f * ldy, f * (1. - ldz)
+      else:
+        lox, loy = t * jnp.cos(p), -t * jnp.sin(p)
+        loz = jnp.zeros_like(t)
+        ldx, ldy = jnp.zeros_like(t), jnp.zeros_like(t)
+        ldz = jnp.ones_like(t)
+      # component FMAs (not `@ R.T`): f32 matmuls run at bf16 input
+      # precision on TPU (see deviceGenerator above)
+      origins = jnp.stack(
+          [R[0] * lox + R[1] * loy + R[2] * loz + off[0],
+           R[3] * lox + R[4] * loy + R[5] * loz + off[1],
+           R[6] * lox + R[7] * loy + R[8] * loz + off[2]], axis=-1)
+      directions = jnp.stack(
+          [R[0] * ldx + R[1] * ldy + R[2] * ldz,
+           R[3] * ldx + R[4] * ldy + R[5] * ldz,
+           R[6] * ldx + R[7] * ldy + R[8] * ldz], axis=-1)
+      return dict(origins=origins.astype(jnp.float32),
+                  directions=directions.astype(jnp.float32),
+                  powers=jnp.ones((N,), jnp.float32),
+                  wavelengths=jnp.full((N,), wavelength, jnp.float32))
+
+    return generate
+
   def pallasSamplerSpec(self):
     '''In-kernel sampling descriptor for the fused Pallas path
     (ops/pallas_trace): the (theta|r, phi) inverse-CDF marginals as

@@ -22,6 +22,7 @@ modify step rotates around the outgoing direction (optical_group.py:281-325).
 '''
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from .. import distributions
@@ -95,23 +96,24 @@ def _buildOneKind(density, thetaDomain, phiDomain, kind, n, dtype):
         [x, np.full(maxD - len(x), x[-1] if len(x) else 0.)])
         for x in lists])
 
+  npDtype = np.dtype(dtype.dtype if hasattr(dtype, 'dtype') else dtype)
   out = dict(
-      phiInv=jnp.asarray(np.stack(phiInvs), dtype=dtype),
-      thetaInv=jnp.asarray(np.stack(thetaInvs), dtype=dtype),
+      phiInv=np.stack(phiInvs).astype(npDtype),
+      thetaInv=np.stack(thetaInvs).astype(npDtype),
       phiGridLo=float(np.asarray(raws[0]['tables'][0]['laterGrids'][0])[0]),
       phiGridStep=float(np.diff(
           np.asarray(raws[0]['tables'][0]['laterGrids'][0])[:2])[0]),
       phiGridLen=int(raws[0]['tables'][0]['laterGrids'][0].shape[0]),
   )
   if maxD:
-    out['thetaDiscVals'] = jnp.asarray(pad(thetaDiscV), dtype=dtype)
-    out['thetaDiscCum'] = jnp.asarray(pad(thetaDiscC), dtype=dtype)
-    out['phiDiscVals'] = jnp.asarray(pad(phiDiscV), dtype=dtype)
-    out['phiDiscCum'] = jnp.asarray(pad(phiDiscC), dtype=dtype)
+    out['thetaDiscVals'] = pad(thetaDiscV).astype(npDtype)
+    out['thetaDiscCum'] = pad(thetaDiscC).astype(npDtype)
+    out['phiDiscVals'] = pad(phiDiscV).astype(npDtype)
+    out['phiDiscCum'] = pad(phiDiscC).astype(npDtype)
   return out
 
 
-def buildScatterTables(groups, dtype=jnp.float32):
+def buildScatterTables(groups, dtype=jnp.float32, devicePut=True):
   '''Build the scene-level scatter table pytree for a list of OpticalGroups,
   or None when no group defines any scatter density. All elements share one
   stacked table per kind; elements without a given kind get identity rows
@@ -187,22 +189,24 @@ def buildScatterTables(groups, dtype=jnp.float32):
                       axis=-1).reshape(-1, 2)
   thetaPairs = np.stack([thetaInv[..., :-1], thetaInv[..., 1:]],
                         axis=-1).reshape(-1, 2)
+  npDtype = np.dtype(dtype.dtype if hasattr(dtype, 'dtype') else dtype)
   tables = dict(
-      flags=jnp.asarray(flags),
-      phiInv=jnp.asarray(phiInv),
-      thetaInv=jnp.asarray(thetaInv),
-      phiInvPairs=jnp.asarray(phiPairs, dtype=dtype),
-      thetaInvPairs=jnp.asarray(thetaPairs, dtype=dtype),
-      thetaInRes=jnp.float32(Tin),
-      phiGridLo=jnp.float32(meta['phiGridLo']),
-      phiGridStep=jnp.float32(meta['phiGridStep']),
-      phiGridLen=jnp.int32(meta['phiGridLen']),
+      flags=flags,
+      phiInv=phiInv,
+      thetaInv=thetaInv,
+      phiInvPairs=phiPairs.astype(npDtype),
+      thetaInvPairs=thetaPairs.astype(npDtype),
+      thetaInRes=np.float32(Tin),
+      phiGridLo=np.float32(meta['phiGridLo']),
+      phiGridStep=np.float32(meta['phiGridStep']),
+      phiGridLen=np.int32(meta['phiGridLen']),
   )
   if maxD:
-    tables.update(thetaDiscVals=jnp.asarray(tDiscV),
-                  thetaDiscCum=jnp.asarray(tDiscC),
-                  phiDiscVals=jnp.asarray(pDiscV),
-                  phiDiscCum=jnp.asarray(pDiscC))
+    tables.update(thetaDiscVals=tDiscV, thetaDiscCum=tDiscC,
+                  phiDiscVals=pDiscV, phiDiscCum=pDiscC)
   io.verb(f'compiled scatter tables for {int(flags.any(axis=1).sum())} '
           f'element(s)')
-  return tables
+  # ONE batched host->device transfer (per-array jnp.asarray costs ~0.35 s
+  # each over the axon relay); devicePut=False keeps numpy for the batched
+  # sweep's host-side variant stacking
+  return jax.device_put(tables) if devicePut else tables

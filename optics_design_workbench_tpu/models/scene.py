@@ -100,11 +100,13 @@ class Scene:
 
   # ------------------------------------------------------------- compilation
 
-  def compile(self, dtype=jnp.float32):
+  def compile(self, dtype=jnp.float32, devicePut=True):
     '''Build the device scene dict: surface table (one instance per group
     placement), element table, sequential-mode masks. Returns (sceneDict,
     info) where info maps element indices to labels and per-source surface
-    masks.'''
+    masks. With devicePut=False every leaf stays host-side numpy — the
+    batched sweep (jupyter_utils/parameter_sweeper.evaluateBatched) compiles
+    many variants host-side and ships them as ONE stacked jit argument.'''
     groups = self.opticalObjects()
     if not groups:
       raise ValueError('scene has no optical elements')
@@ -118,17 +120,19 @@ class Scene:
               np.asarray(spec['transform'], dtype=float)
           inst['elem'] = e
           surfs.append(inst)
-    table = geomSurfaces.buildSurfaceTable(surfs, dtype=dtype)
+    table = geomSurfaces.buildSurfaceTable(surfs, dtype=dtype,
+                                           devicePut=devicePut)
     # host copy of the per-surface element ids: never fetch from device
     # during compilation (a D2H fetch costs seconds over the axon relay)
     surfElemHost = table.pop('_hostElem')
-    scene = dict(surfaces=table, elements=buildElementTable(elems,
-                                                            dtype=dtype))
+    scene = dict(surfaces=table,
+                 elements=buildElementTable(elems, dtype=dtype,
+                                            devicePut=devicePut))
 
     # stochastic scatter tables (Reflected/Refracted/RayModification
     # probability densities, reference: optical_group.py:214-325)
     from .scatter import buildScatterTables
-    scatter = buildScatterTables(groups, dtype=dtype)
+    scatter = buildScatterTables(groups, dtype=dtype, devicePut=devicePut)
     if scatter is not None:
       scene['scatter'] = scatter
 
@@ -141,7 +145,8 @@ class Scene:
       for labels in settings.SequentialModeElements:
         allowedElems = {labelToIdx[l] for l in labels}
         rows.append(np.isin(surfElem, list(allowedElems)))
-      scene['seqMask'] = jnp.asarray(np.stack(rows))
+      mask = np.stack(rows)
+      scene['seqMask'] = jnp.asarray(mask) if devicePut else mask
 
     surfMasks = {}
     surfElem = surfElemHost
@@ -150,7 +155,8 @@ class Scene:
       if ignored:
         allowed = np.array([groups[e].Label not in ignored
                             for e in surfElem])
-        surfMasks[src.Label] = jnp.asarray(allowed)
+        surfMasks[src.Label] = jnp.asarray(allowed) if devicePut \
+            else allowed
 
     info = dict(elementLabels=[g.Label for g in groups],
                 surfaceMasks=surfMasks)

@@ -45,8 +45,9 @@ def element(opticalType='Vacuum', refractiveIndex=1.0, reflectivity=1.0,
               label=label)
 
 
-def buildElementTable(elems, dtype=jnp.float32):
-  '''Pack element dicts into the SoA device table.'''
+def buildElementTable(elems, dtype=jnp.float32, devicePut=True):
+  '''Pack element dicts into the SoA device table (host-side numpy with
+  devicePut=False — the batched sweep stacks variant tables host-side).'''
   if not elems:
     raise ValueError('scene contains no optical elements')
   # assemble in numpy, transfer once: jnp.asarray(x, dtype=...) lowers the
@@ -106,7 +107,7 @@ def buildElementTable(elems, dtype=jnp.float32):
     table['hasDispersion'] = np.asarray(hasDisp, dtype=bool)
   # ONE batched host->device transfer (per-array jnp.asarray costs ~0.35 s
   # each over the axon relay)
-  out = jax.device_put(table)
+  out = jax.device_put(table) if devicePut else dict(table)
   # host copy so consumers (tracing/diff.py grating co-rotation) never pay
   # a device->host fetch to inspect optical types
   out['_hostOptType'] = host['optType']

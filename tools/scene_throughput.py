@@ -417,8 +417,11 @@ def measureSweepBatched(nVariants=11, raysPerScene=200_000):
     return float((H * ((ys - cy) ** 2 + (xs - cx) ** 2)).sum() / n)
 
   def call(seed):
+    # shift the radii per call: a real optimize() loop proposes NEW values
+    # each probe, so the steady-state number must include the per-call
+    # host recompiles + transfers (no value-level caching can hide them)
     return sweeper.evaluateBatched(
-        [dict(R=r) for r in radii], spotMetric,
+        [dict(R=r + 0.3 * seed) for r in radii], spotMetric,
         sceneFactory=lambda: holder['scene'],
         raysPerScene=raysPerScene, maxIntersections=6, bins=(64, 64),
         histBounds=(-40., 40., -40., 40.), seed=seed)
@@ -454,6 +457,21 @@ CRITERIA = [
 ]
 
 
+def _warmUpRelay():
+  '''The FIRST device->host fetch of a process pays the axon relay session
+  warm-up (~2-4 min measured; CLAUDE.md) regardless of what is fetched.
+  Pay it on a trivial matmul up front so each stage's cold number measures
+  OUR compile/evaluate cost — a long-lived user process (the reference's
+  workflow keeps one FreeCAD/Jupyter process alive) pays this once per
+  session, not per sweep call. Full runs already amortized it through the
+  first stage; this makes `--only <stage>` runs measure the same thing.'''
+  import jax.numpy as jnp
+  t0 = time.perf_counter()
+  x = jnp.ones((128, 128), jnp.float32)
+  _ = float((x @ x)[0, 0])
+  print(f'relay warm-up {time.perf_counter() - t0:.0f}s', flush=True)
+
+
 def main():
   ap = argparse.ArgumentParser()
   ap.add_argument('--json', default='/tmp/scene_throughput.json')
@@ -462,6 +480,7 @@ def main():
   args = ap.parse_args()
   only = set(args.only.split(',')) if args.only else None
 
+  _warmUpRelay()
   results = {}
   for name, builder, target, scaleV, unit in CRITERIA:
     if only and name not in only:
