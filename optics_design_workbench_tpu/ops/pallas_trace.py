@@ -56,6 +56,13 @@ EARLY_EXIT = os.environ.get('ODW_TPU_EARLY_EXIT', 'while')
 # worth of triangles.
 _TRI_CHUNK = 64
 
+# SMEM triangle-table capacity (rows of 11 f32 scalars). Raised from the
+# round-3/4 value of 1024 after the per-ray chunk cull + tile-stratified
+# sampling made big-mesh sweeps sublinear (round-4 verdict #2: a 5-10k-tri
+# CAD part must have an in-kernel story); 10240 rows = 440 KB of SMEM.
+# Overridable for capacity A/B probes via ODW_TPU_SMEM_TRI_LIMIT.
+SMEM_TRI_LIMIT = int(os.environ.get('ODW_TPU_SMEM_TRI_LIMIT', '10240'))
+
 # Winner-attribute pass after the argmin sweep: 'accum' gathers the winning
 # surface's transform/orient/normal-params as columns via one cheap select
 # per constant per surface, then runs the local transform + per-KIND normal
@@ -112,9 +119,9 @@ def pallasIneligibleReason(scene):
             'polynomial model')
   kindArr = np.asarray(scene['surfaces']['kind'])
   nTri = int((kindArr == GS.TRIANGLE).sum())
-  if nTri > 1024:
-    return (f'{nTri} mesh triangles > the 1024 the kernel holds in SMEM '
-            f'(big tessellations stay on the XLA path)')
+  if nTri > SMEM_TRI_LIMIT:
+    return (f'{nTri} mesh triangles > the {SMEM_TRI_LIMIT} the kernel '
+            f'holds in SMEM (bigger tessellations stay on the XLA path)')
   if nTri > 128:
     # the SMEM mesh sweep has no per-surface compile-time gates, so
     # sequential-mode stages and per-source surface masks keep such
@@ -405,7 +412,17 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
     exact column maths with the XLA device generator
     (models/surface_source._surfaceSampleColumns), so the two sampling
     paths cannot drift apart. Draw order (uniform-seam contract):
-    point = (first, phi); surface = (face, u, v, theta, phi).'''
+    point = (first, phi); surface = (face, u, v, theta, phi).
+
+    tileStrata (G1, G2) in the sampler spec stratifies the two point-source
+    quantiles BY TILE: tile (i1, i2) of the G1 x G2 grid draws its first
+    variable from quantile stratum [i1/G1, (i1+1)/G1) and phi from
+    [i2/G2, (i2+1)/G2). Unbiased (equal-probability strata, one tile each),
+    variance-REDUCING (a per-step latin decomposition, the device analog of
+    the reference's drawPseudo bin-evening, random_number_generator.py:
+    562-682) — and it makes each tile's rays a narrow (theta, phi) wedge,
+    which is what lets the per-ray chunk cull skip most of a big mesh for
+    Monte-Carlo sources (round-4 verdict #2).'''
     if sampler.get('type') == 'surface':
       from ..models.surface_source import _surfaceSampleColumns
       uF = _uniform(shape)
@@ -417,8 +434,18 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
                                    sampler['wavelength'])
       return (cols['ox'], cols['oy'], cols['oz'],
               cols['dx'], cols['dy'], cols['dz'], cols['pw'], cols['wl'])
-    t = _marginal(sampler['first'], _uniform(shape))
-    p = _marginal(sampler['phi'], _uniform(shape))
+    u1 = _uniform(shape)
+    u2 = _uniform(shape)
+    strata = sampler.get('tileStrata')
+    if strata:
+      G1, G2 = strata
+      pid = pl.program_id(0)
+      i1 = (pid // G2).astype(jnp.float32)
+      i2 = (pid % G2).astype(jnp.float32)
+      u1 = (i1 + u1) * float(1.0 / G1)
+      u2 = (i2 + u2) * float(1.0 / G2)
+    t = _marginal(sampler['first'], u1)
+    p = _marginal(sampler['phi'], u2)
     sp, cp = jnp.sin(p), jnp.cos(p)
     if sampler['finite']:
       f = float(sampler['f'])
@@ -684,51 +711,51 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
         triInit = (zeroV + _BIG, zeroV, zeroV, zeroV, zeroV - 1.0)
         if nTriChunks > 1:
           # ---- chunk-culled sweep: triangles are Morton-ordered into
-          # chunks of _TRI_CHUNK with per-chunk world AABBs (SMEM). The
-          # SCALAR core runs a broad-phase prepass — a conservative
-          # interval slab test of each chunk AABB against the tile's
-          # alive-ray reach — and appends surviving chunk ids to SMEM
+          # chunks of _TRI_CHUNK with per-chunk world AABBs (SMEM). A
+          # broad-phase prepass appends surviving chunk ids to SMEM
           # scratch; the VECTOR loop then sweeps only survivors. The
-          # reach bound uses the analytic sweep's tBest (plus the
-          # same-medium window), so closed scenes (housings, detectors)
-          # cull chunks behind the nearest analytic hit; open scenes
-          # degrade to the full sweep. ----
-          am = alive
-          big = jnp.zeros_like(ox) + _BIG
+          # prepass slab-tests each chunk AABB against EVERY alive ray
+          # individually (round-4 verdict #2: the old tile-reach interval
+          # test inflated the reach to the AABB of all rays, so
+          # INCOHERENT tiles — e.g. diffuse bounces — never culled
+          # anything; a chunk now survives only if some actual ray's
+          # segment enters it). The per-ray t cap uses the analytic
+          # sweep's tBest plus the same-medium window, so closed scenes
+          # (housings, detectors) cull chunks behind each ray's nearest
+          # analytic hit. ~30 VPU ops per chunk per bounce; the savings
+          # are ~40 ops per culled TRIANGLE (_TRI_CHUNK = 64 per chunk).
+          aliveMask = aliveF > 0.5
 
-          def rlo(v):
-            return jnp.min(jnp.where(am, v, big))
+          def _safeInv(d):
+            # sign-preserving 1/d with the zero-direction clamped: the
+            # slab test stays conservative (interval collapses to the
+            # origin's side)
+            mag = jnp.maximum(jnp.abs(d), 1e-30)
+            return jnp.where(d < 0., -1.0, 1.0) / mag
 
-          def rhi(v):
-            return jnp.max(jnp.where(am, v, -big))
-
-          oxL, oxH = rlo(ox), rhi(ox)
-          oyL, oyH = rlo(oy), rhi(oy)
-          ozL, ozH = rlo(oz), rhi(oz)
-          dxL, dxH = rlo(dx), rhi(dx)
-          dyL, dyH = rlo(dy), rhi(dy)
-          dzL, dzH = rlo(dz), rhi(dz)
-          tCap = jnp.max(jnp.where(
-              am, jnp.minimum(tBest, maxRayLength), jnp.zeros_like(ox))) \
-              + 2 * distTol
-          zero = jnp.float32(0.)
-          rxL = oxL + tCap * jnp.minimum(dxL, zero)
-          rxH = oxH + tCap * jnp.maximum(dxH, zero)
-          ryL = oyL + tCap * jnp.minimum(dyL, zero)
-          ryH = oyH + tCap * jnp.maximum(dyH, zero)
-          rzL = ozL + tCap * jnp.minimum(dzL, zero)
-          rzH = ozH + tCap * jnp.maximum(dzH, zero)
+          invDx, invDy, invDz = _safeInv(dx), _safeInv(dy), _safeInv(dz)
+          tCapRay = jnp.minimum(tBest, mrlEff) + 2 * distTol
 
           def _pre(c, count):
-            ok = ((rxL <= chunkRef[c, 3]) & (rxH >= chunkRef[c, 0])
-                  & (ryL <= chunkRef[c, 4]) & (ryH >= chunkRef[c, 1])
-                  & (rzL <= chunkRef[c, 5]) & (rzH >= chunkRef[c, 2]))
+            tx1 = (chunkRef[c, 0] - ox) * invDx
+            tx2 = (chunkRef[c, 3] - ox) * invDx
+            ty1 = (chunkRef[c, 1] - oy) * invDy
+            ty2 = (chunkRef[c, 4] - oy) * invDy
+            tz1 = (chunkRef[c, 2] - oz) * invDz
+            tz2 = (chunkRef[c, 5] - oz) * invDz
+            tN = jnp.maximum(jnp.maximum(jnp.minimum(tx1, tx2),
+                                         jnp.minimum(ty1, ty2)),
+                             jnp.maximum(jnp.minimum(tz1, tz2), 0.))
+            tF = jnp.minimum(jnp.minimum(jnp.maximum(tx1, tx2),
+                                         jnp.maximum(ty1, ty2)),
+                             jnp.minimum(jnp.maximum(tz1, tz2), tCapRay))
+            anyHit = jnp.max(jnp.where((tN <= tF) & aliveMask, 1., 0.)) > 0.
 
             def _keep(k):
               survRef[k] = c
               return k + 1
 
-            return lax.cond(ok, _keep, lambda k: k, count)
+            return lax.cond(anyHit, _keep, lambda k: k, count)
 
           nSurv = lax.fori_loop(0, nTriChunks, _pre, jnp.int32(0))
 
@@ -2104,7 +2131,7 @@ def makePallasTraceStep(scene, histSpec, generator, raysPerStep,
                         histPrecision='default', hitSlots='auto',
                         sampler=None, innerSteps=1, jitWrap=True,
                         interpret=False, uniformProvider='prng',
-                        emissionBound=None):
+                        emissionBound=None, tileStratified='auto'):
   '''Build the fused sample + pallas-trace + histogram step:
   (key, histograms) -> (histograms, counters). Requires pallasEligible.
   histPrecision: matmul precision of the MXU binning pass — 'default'
@@ -2234,6 +2261,21 @@ def makePallasTraceStep(scene, histSpec, generator, raysPerStep,
   firstSurfs = None
   if emissionBound is not None:
     firstSurfs = _firstBounceSurfs(surfRows, emissionBound)
+  # tile-stratified point-source sampling (see _sampleRays docstring):
+  # 'auto' enables it exactly where tile coherence pays — chunk-culled SMEM
+  # meshes, where a narrow per-tile (theta, phi) wedge lets the per-ray
+  # broad-phase skip most chunks. Unbiased; explicitly opt in/out via
+  # tileStratified=True/False for other scenes.
+  nGridTiles = raysPerStep // tile
+  if (sampler is not None and sampler.get('type') != 'surface'
+      and nGridTiles > 1
+      and (tileStratified is True
+           or (tileStratified == 'auto' and nTriChunks > 1))):
+    k2 = max(int(nGridTiles).bit_length() - 1, 0) // 2
+    G2 = 1 << k2
+    G1 = nGridTiles // G2
+    if G1 * G2 == nGridTiles:
+      sampler = dict(sampler, tileStrata=(int(G1), int(G2)))
   kernel = _makeKernel(surfRows, elemRows, histSpec['elemToDet'],
                        histSpec['bounds'], (H, W), maxIntersections,
                        float(maxRayLength), float(distTol), float(powerTol),

@@ -1156,3 +1156,188 @@ def test_first_bounce_cull_conservative_cases():
   assert pallas_trace._firstBounceSurfs([sph], bound) == []
   fat = (np.zeros(3), np.array([0., 0., 1.]), np.cos(0.1), 250.)
   assert pallas_trace._firstBounceSurfs([sph], fat) == [0]
+
+
+def _marginalsClose(hA, hB, tolL1=0.15, minCount=200):
+  '''Statistical comparison of two 2-D count histograms drawn with
+  INDEPENDENT entropy: normalized row- and column-marginals must agree
+  within an L1 distance budget set by the Monte-Carlo noise floor.'''
+  for axis in (0, 1):
+    a = hA.sum(axis=axis)
+    b = hB.sum(axis=axis)
+    if a.sum() < minCount or b.sum() < minCount:
+      return False
+    d = float(np.abs(a / a.sum() - b / b.sum()).sum())
+    if d > tolL1:
+      return False
+  return True
+
+
+def test_sampler_distribution_matches_xla_sampler_interpret():
+  '''Distribution-level validation of the IN-KERNEL sampler against the
+  XLA-side deviceDraw sampler with REAL entropy (round-4 verdict #7: the
+  exact-uniform seam pins the transform chain, but only hardware runs
+  checked the sampled DISTRIBUTION; this runs in default CPU CI). The two
+  paths use independent draws, so the comparison is statistical:
+  row/column marginals of the detector histogram within an L1 budget.'''
+  scene = Scene(label='samplerdist')
+  scene.addOpticalGroup(OpticalGroup(
+      OpticalType='Absorber', Label='Det', RecordHits=True,
+      surfaces=[S.plane(np.eye(4), elem=0, halfExtents=(80., 80.))],
+      placements=[T.translation(0, 0, 60.)]))
+  scene.addSource(PointSource(
+      Label='Src', PowerDensity='exp(-theta^2/0.03)*(1+sin(phi)/3)',
+      ThetaDomain='0, 0.5', PhiDomain='0, 2*pi', Wavelength=532.,
+      ThetaResolutionNumericMode='2e3', PhiResolutionNumericMode='5e2'))
+  scene.addSimulationSettings(RaysPerIteration=1e4, MaxIntersections=2)
+  device, info = scene.compile()
+  device['powerTol'] = 1e-6
+  src = scene.lightSources()[0]
+  spec = src.pallasSamplerSpec()
+  assert spec is not None
+  histSpec = fused.makeHistogramSpec(device, info,
+                                     bounds=(-80., 80., -80., 80.),
+                                     bins=(16, 128))
+  n = 1 << 13
+  kw = dict(raysPerStep=n, maxIntersections=2, maxRayLength=1e6,
+            distTol=1e-4)
+  stepK = pallas_trace.makePallasTraceStep(
+      device, histSpec, src.deviceColumnsGenerator(), sampler=spec,
+      uniformProvider='input', interpret=True, tile=TILE, **kw)
+  hK, cK = stepK(jax.random.PRNGKey(101), fused.initHistograms(histSpec))
+  stepX = fused.makeFusedStep(device, src.deviceGenerator(), histSpec, **kw)
+  hX, cX = stepX(jax.random.PRNGKey(707), fused.initHistograms(histSpec))
+  assert int(cK['hits']) > 0.9 * n and int(cX['hits']) > 0.9 * n
+  assert _marginalsClose(np.asarray(hK['counts'])[0],
+                         np.asarray(hX['counts'])[0])
+
+
+def test_scatter_distribution_matches_xla_tracer_interpret():
+  '''Distribution-level validation of the in-kernel scatter chain
+  (inverse-CDF lobe draw + Rodrigues rotations) against the XLA tracer's
+  gather-based scatter with REAL, independent entropy in default CPU CI
+  (round-4 verdict #7).'''
+  scene = Scene(label='scatdist')
+  scene.addOpticalGroup(OpticalGroup(
+      OpticalType='Mirror', Label='Diffuser', Reflectivity=1.0,
+      ReflectedProbabilityDensity='exp(-theta^2/0.05)',
+      PowerThetaDomain='0, pi/3',
+      surfaces=[S.plane(np.eye(4), elem=0, radius=50., orient=-1)],
+      placements=[T.translation(0, 0, 50)]))
+  scene.addOpticalGroup(OpticalGroup(
+      OpticalType='Absorber', Label='Det',
+      surfaces=[S.plane(np.eye(4), elem=0, halfExtents=(200., 200.))],
+      placements=[T.translation(0, 0, 0)]))
+  scene.addSource(PointSource(Label='Src', PowerDensity='exp(-theta^2/0.01)',
+                              ThetaDomain='0, 0.1',
+                              ThetaResolutionNumericMode='1e3',
+                              placement=T.translation(0, 0, 1e-3)))
+  scene.addSimulationSettings(RaysPerIteration=1e4, MaxIntersections=4)
+  device, info = scene.compile()
+  device['powerTol'] = 1e-6
+  histSpec = fused.makeHistogramSpec(device, info,
+                                     bounds=(-150., 150., -150., 150.),
+                                     bins=(16, 128))
+  src = scene.lightSources()[0]
+  n = 1 << 13
+  kw = dict(raysPerStep=n, maxIntersections=4, maxRayLength=1e6,
+            distTol=1e-4)
+  stepK = pallas_trace.makePallasTraceStep(
+      device, histSpec, src.deviceColumnsGenerator(),
+      uniformProvider='input', interpret=True, tile=TILE, **kw)
+  hK, cK = stepK(jax.random.PRNGKey(11), fused.initHistograms(histSpec))
+  stepX = fused.makeFusedStep(device, src.deviceGenerator(), histSpec, **kw)
+  hX, cX = stepX(jax.random.PRNGKey(77), fused.initHistograms(histSpec))
+  assert int(cK['hits']) > 0.8 * n and int(cX['hits']) > 0.8 * n
+  assert _marginalsClose(np.asarray(hK['counts'])[0],
+                         np.asarray(hX['counts'])[0])
+
+
+def _shellScene(nT, nP, label):
+  import math
+  scene = Scene(label=label)
+  tris = []
+  R0 = 50.
+
+  def pt(it, ip):
+    th = math.pi * 0.55 * it / nT
+    ph = 2 * math.pi * ip / nP
+    return (R0 * math.sin(th) * math.cos(ph),
+            R0 * math.sin(th) * math.sin(ph),
+            60. + R0 * (1. - math.cos(th)))
+
+  for it in range(nT):
+    for ip in range(nP):
+      a, b = pt(it, ip), pt(it + 1, ip)
+      c, d = pt(it + 1, ip + 1), pt(it, ip + 1)
+      if it:
+        tris.append(S.triangle(a, b, c, elem=0))
+      tris.append(S.triangle(a, c, d, elem=0))
+  scene.addOpticalGroup(OpticalGroup(
+      OpticalType='Mirror', Label='Shell', surfaces=tris,
+      placements=[np.eye(4)]))
+  scene.addOpticalGroup(OpticalGroup(
+      OpticalType='Absorber', Label='Det',
+      surfaces=[S.plane(np.eye(4), elem=0, halfExtents=(300., 300.))],
+      placements=[T.translation(0, 0, 0)]))
+  scene.addSource(PointSource(
+      Label='Src', PowerDensity='exp(-theta^2/0.2)', ThetaDomain='0, 0.6',
+      Wavelength=532., ThetaResolutionNumericMode='1e3',
+      placement=T.translation(0, 0, 1e-3)))
+  scene.addSimulationSettings(RaysPerIteration=1e4, MaxIntersections=3)
+  return scene
+
+
+def test_smem_mesh_past_1024_matches_xla_interpret():
+  '''A 1368-triangle shell — past the round-3/4 1024-row SMEM ceiling
+  (raised by round-5 verdict #2) — through the per-ray chunk-culled SMEM
+  sweep must reproduce the XLA fused step bin-for-bin.'''
+  scene = _shellScene(26, 27, 'smembig')
+  device, info = scene.compile()
+  assert pallas_trace.pallasEligible(device)
+  from optics_design_workbench_tpu.geometry import surfaces as GS
+  assert (np.asarray(device['surfaces']['kind'])
+          == GS.TRIANGLE).sum() > 1024
+  hP, hX, cP, cX = _runPair(scene, bounds=(-300., 300., -300., 300.),
+                            bins=(32, 128), maxIntersections=3, n=N)
+  assert int(cX['hits']) > 0.2 * N
+  assert int(cP['hits']) == int(cX['hits'])
+  assert _nearlyEqualCounts(hP, hX)
+
+
+def test_tile_stratified_sampler_distribution_interpret():
+  '''tileStratified sampling: each tile draws its (theta, phi) quantiles
+  from its own stratum — the sampled DISTRIBUTION over the whole step must
+  match the XLA sampler (unbiasedness); exercised through the uniform seam
+  with real entropy.'''
+  scene = Scene(label='stratdist')
+  scene.addOpticalGroup(OpticalGroup(
+      OpticalType='Absorber', Label='Det', RecordHits=True,
+      surfaces=[S.plane(np.eye(4), elem=0, halfExtents=(80., 80.))],
+      placements=[T.translation(0, 0, 60.)]))
+  scene.addSource(PointSource(
+      Label='Src', PowerDensity='exp(-theta^2/0.03)',
+      ThetaDomain='0, 0.5', Wavelength=532.,
+      ThetaResolutionNumericMode='2e3'))
+  scene.addSimulationSettings(RaysPerIteration=1e4, MaxIntersections=2)
+  device, info = scene.compile()
+  device['powerTol'] = 1e-6
+  src = scene.lightSources()[0]
+  spec = src.pallasSamplerSpec()
+  assert spec is not None
+  histSpec = fused.makeHistogramSpec(device, info,
+                                     bounds=(-80., 80., -80., 80.),
+                                     bins=(16, 128))
+  n = 1 << 13
+  kw = dict(raysPerStep=n, maxIntersections=2, maxRayLength=1e6,
+            distTol=1e-4)
+  stepK = pallas_trace.makePallasTraceStep(
+      device, histSpec, src.deviceColumnsGenerator(), sampler=spec,
+      uniformProvider='input', interpret=True, tile=1 << 10,
+      tileStratified=True, **kw)
+  hK, cK = stepK(jax.random.PRNGKey(3), fused.initHistograms(histSpec))
+  stepX = fused.makeFusedStep(device, src.deviceGenerator(), histSpec, **kw)
+  hX, cX = stepX(jax.random.PRNGKey(9), fused.initHistograms(histSpec))
+  assert int(cK['hits']) > 0.9 * n and int(cX['hits']) > 0.9 * n
+  assert _marginalsClose(np.asarray(hK['counts'])[0],
+                         np.asarray(hX['counts'])[0])
