@@ -412,6 +412,109 @@ def evalPwpoly2d(spec, u, c):
   return jnp.clip(out, lo, hi)
 
 
+def fitLowRankTheta(rowsT, cond, phiGrid, maxRank=3, relTol=5e-3):
+  '''Low-rank separable fit of a theta|phi-COUPLED conditional inverse-CDF
+  family (round-4 verdict #4): rowsT (Tin, M, Q) tabulates the theta
+  inverse CDF per (incidence angle, phi bin). SVD over the phi axis gives
+  thetaInv(u; theta_in, phi) ~= sum_k A_k(u, theta_in) * B_k(phi); each
+  A_k is fitted as a pwpoly2d in (quantile, theta_in) and each B_k as a
+  poly1d in phi — so a coupled draw costs K pwpoly2d evaluations instead
+  of the ~9 ms/1e6 random gather (the last scatter class still off the
+  kernel path). Acceptance mirrors fitPiecewisePoly2d: 99.5th-percentile
+  reconstruction error <= relTol * range, max <= 6x. Returns
+  ('lowrank', ((aspec, bspec), ...), lo, hi) or None — callers then keep
+  the exact gather path.'''
+  rowsT = np.asarray(rowsT, dtype=float)
+  Tin, M, Q = rowsT.shape
+  rng = max(np.ptp(rowsT), 1e-30)
+  tol, cap = relTol * rng, 6. * relTol * rng
+  X = rowsT.transpose(1, 0, 2).reshape(M, Tin * Q)
+  U, s, Vt = np.linalg.svd(X, full_matrices=False)
+  q = np.linspace(0., 1., Q)
+  uFlat = jnp.asarray(np.tile(q, Tin))
+  cFlat = jnp.asarray(np.repeat(np.asarray(cond, float), Q))
+  phiJ = jnp.asarray(np.asarray(phiGrid, float))
+  comps = []
+  recon = np.zeros_like(rowsT)
+  for k in range(min(maxRank, len(s))):
+    if s[k] <= 1e-12 * max(s[0], 1e-30):
+      break
+    A = (s[k] * Vt[k]).reshape(Tin, Q)
+    B = U[:, k]
+    aspec = fitPiecewisePoly2d(A, cond, relTol=relTol)
+    bspec = fitPoly1d(B, phiGrid, deg=12, relTol=1e-3)
+    if bspec is None:
+      # phi components are typically PERIODIC (lobe widths repeat over
+      # the azimuth) — the trigonometric basis succeeds where the
+      # polynomial one leaves percent-level error
+      bspec = fitFourier(B, phiGrid, relTol=1e-3,
+                         maxHarmonics=min(15, (len(phiGrid) - 1) // 2))
+    if aspec is None or bspec is None:
+      return None
+    comps.append((aspec, bspec))
+    Av = np.asarray(evalPwpoly2d(aspec, uFlat, cFlat)).reshape(Tin, Q)
+    Bv = np.asarray(evalFourier(bspec, phiJ) if bspec[0] == 'fourier'
+                    else evalPoly1d(bspec, phiJ)) * np.ones(M)
+    recon = recon + Av[:, None, :] * Bv[None, :, None]
+    err = np.abs(recon - rowsT)
+    if float(np.quantile(err, 0.995)) <= tol and float(err.max()) <= cap:
+      return ('lowrank', tuple(comps),
+              float(rowsT.min()), float(rowsT.max()))
+  return None
+
+
+def fitFourier(vals, x, maxHarmonics=12, relTol=1e-3):
+  '''Least-squares trigonometric fit vals(x) ~= c0 + sum_m am cos(mx) +
+  bm sin(mx) — the right basis for the PERIODIC phi components of a
+  low-rank coupled-scatter expansion (a degree-20 polynomial left ~5% max
+  error on an astigmatic lobe's phi profile; 8 harmonics fit it to 1e-4).
+  Returns ('fourier', c0, ((a1, b1), ...)) or None.'''
+  vals = np.asarray(vals, dtype=float)
+  x = np.asarray(x, dtype=float)
+  rng = max(np.ptp(vals), 1e-30)
+  for Mh in range(2, maxHarmonics + 1):
+    cols = [np.ones_like(x)]
+    for m in range(1, Mh + 1):
+      cols += [np.cos(m * x), np.sin(m * x)]
+    A = np.stack(cols, axis=-1)
+    sol, *_ = np.linalg.lstsq(A, vals, rcond=None)
+    if np.abs(A @ sol - vals).max() <= relTol * rng:
+      return ('fourier', float(sol[0]),
+              tuple((float(sol[1 + 2 * m]), float(sol[2 + 2 * m]))
+                    for m in range(Mh)))
+  return None
+
+
+def evalFourier(spec, x):
+  '''Evaluate a fitFourier spec via the Chebyshev angle-addition
+  recurrence: one cos/sin pair, then FMAs only — Mosaic-safe.'''
+  _, c0, terms = spec
+  c1, s1 = jnp.cos(x), jnp.sin(x)
+  out = c0 + terms[0][0] * c1 + terms[0][1] * s1
+  cp, sp = jnp.ones_like(x), jnp.zeros_like(x)
+  cm, sm = c1, s1
+  for m in range(2, len(terms) + 1):
+    cm, cp = 2. * c1 * cm - cp, cm
+    sm, sp = 2. * c1 * sm - sp, sm
+    am, bm = terms[m - 1]
+    out = out + am * cm + bm * sm
+  return out
+
+
+def evalLowRankTheta(spec, u, thetaIn, phi):
+  '''Evaluate a fitLowRankTheta spec: sum of K separable terms, clamped to
+  the tabulated theta range. Pure FMA/select columns — Mosaic-safe,
+  shared by the XLA batch tracer and the Pallas kernel.'''
+  _, comps, lo, hi = spec
+  out = None
+  for aspec, bspec in comps:
+    bv = (evalFourier(bspec, phi) if bspec[0] == 'fourier'
+          else evalPoly1d(bspec, phi))
+    term = evalPwpoly2d(aspec, u, thetaIn) * bv
+    out = term if out is None else out + term
+  return jnp.clip(out, lo, hi)
+
+
 def evalPoly1d(spec, c):
   '''Evaluate a fitPoly1d spec on a column (or return the scalar for
   'const' — jnp broadcasting handles it at the use site).'''

@@ -59,24 +59,40 @@ def _buildOneKind(density, thetaDomain, phiDomain, kind, n, dtype):
   if not density:
     return None
   thetaInGrid = np.linspace(0, np.pi / 2, THETA_IN_RES)
+  # densities that never reference the incidence variables compile to the
+  # SAME sampler for every grid row — build once and replicate (a per-row
+  # compile costs seconds of sympy/numeric work x THETA_IN_RES = tens of
+  # minutes for densities whose analytic attempt runs into the timeout)
+  try:
+    import sympy as sy
+    free = {str(s) for s in
+            sy.sympify(density.replace('^', '**')).free_symbols}
+  except Exception:
+    free = {'theta_in'}            # parse trouble: keep per-row compiles
+  condDependent = bool(free & {'theta_in', 'phi_in', 'theta_refl',
+                               'phi_refl'})
   phiInvs, thetaInvs = [], []
   thetaDiscV, thetaDiscC, phiDiscV, phiDiscC = [], [], [], []
   maxD = 0
   raws = []
+  shared = None
   for thetaIn in thetaInGrid:
-    vrv = distributions.VectorRandomVariable(
-        '(' + density + ')',
-        variableOrder=('theta', 'phi'),
-        variableDomains=dict(theta=tuple(thetaDomain),
-                             phi=tuple(phiDomain)),
-        numericalResolutions=dict(theta=THETA_TAB_RES, phi=PHI_COND_RES))
-    # generous timeout: DiracDelta mixtures need the analytic path (numeric
-    # tabulation cannot represent deltas), and sympy solves can take seconds
-    vrv.compile(timeout=20, theta_in=float(thetaIn), phi_in=0.,
-                theta_refl=float(_idealOutAngle(kind, thetaIn, n)),
-                phi_refl=0.)
-    tabs = distributions.buildDeviceTables(vrv, dtype=dtype,
-                                           quantileRes=QUANTILE_RES)
+    if condDependent or shared is None:
+      vrv = distributions.VectorRandomVariable(
+          '(' + density + ')',
+          variableOrder=('theta', 'phi'),
+          variableDomains=dict(theta=tuple(thetaDomain),
+                               phi=tuple(phiDomain)),
+          numericalResolutions=dict(theta=THETA_TAB_RES, phi=PHI_COND_RES))
+      # generous timeout: DiracDelta mixtures need the analytic path
+      # (numeric tabulation cannot represent deltas), and sympy solves can
+      # take seconds
+      vrv.compile(timeout=20, theta_in=float(thetaIn), phi_in=0.,
+                  theta_refl=float(_idealOutAngle(kind, thetaIn, n)),
+                  phi_refl=0.)
+      shared = distributions.buildDeviceTables(vrv, dtype=dtype,
+                                               quantileRes=QUANTILE_RES)
+    tabs = shared
     raws.append(tabs)
     tTheta, tPhi = tabs['tables'][0], tabs['tables'][1]
     phiInvs.append(np.asarray(tPhi['invCdf'][0]))

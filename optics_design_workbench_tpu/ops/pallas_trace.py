@@ -63,6 +63,10 @@ _TRI_CHUNK = 64
 # Overridable for capacity A/B probes via ODW_TPU_SMEM_TRI_LIMIT.
 SMEM_TRI_LIMIT = int(os.environ.get('ODW_TPU_SMEM_TRI_LIMIT', '10240'))
 
+# SMEM analytic-surface-table capacity (rows of 21 f32 scalars; round-4
+# verdict #5 — assemblies past the 256-surface immediates budget).
+SMEM_SURF_LIMIT = int(os.environ.get('ODW_TPU_SMEM_SURF_LIMIT', '4096'))
+
 # Winner-attribute pass after the argmin sweep: 'accum' gathers the winning
 # surface's transform/orient/normal-params as columns via one cheap select
 # per constant per surface, then runs the local transform + per-KIND normal
@@ -107,13 +111,16 @@ def pallasIneligibleReason(scene):
     return 'scene arrays are not host-inspectable (traced/abstract)'
   if 'scatter' in scene:
     # in-kernel scatter covers phi-separable lobes — incidence-independent
-    # or theta_in-conditioned — plus smooth DiracDelta event mixtures
-    # (tracing/batch_tracer.scatterConstants); theta|phi-coupled tables or
-    # fits that miss tolerance keep the XLA gather path
+    # or theta_in-conditioned — plus smooth DiracDelta event mixtures AND
+    # theta|phi-coupled lobes via the low-rank separable expansion
+    # (tracing/batch_tracer.scatterConstants,
+    # device_sampler.fitLowRankTheta); fits that miss tolerance keep the
+    # XLA gather path
     from ..tracing.batch_tracer import scatterConstants
     if scatterConstants(scene) is None:
-      return ('scatter PDFs are theta/phi-coupled or miss the in-kernel '
-              'fit tolerance (phi-separable lobes run in the kernel)')
+      return ('scatter PDFs miss the in-kernel fit tolerance '
+              '(phi-separable lobes and low-rank theta|phi couplings run '
+              'in the kernel)')
   if 'nTable' in scene['elements'] and not dispersionFitsInKernel(scene):
     return ('dispersive n(wavelength) tables do not fit the in-kernel '
             'polynomial model')
@@ -137,9 +144,25 @@ def pallasIneligibleReason(scene):
                 f'mesh surfaces (<=128 tris for masked meshes)')
   nOther = numSurfacesStatic(scene) - nTri
   if nOther > 256:
-    return (f'{nOther} analytic surfaces > the 256-surface kernel sweep '
-            f'budget (VMEM live-state bound; the auto tile shrinks to '
-            f'4096 rays past 128 surfaces)')
+    # past the immediates budget, simple-kind window-trimmed surfaces ride
+    # the SMEM surface table (round-4 verdict #5); complex rows (bitmap
+    # trims, hole prims, aspheres, tori) must stay immediates
+    trims0 = np.asarray(scene['surfaces']['trim'])[:, 0]
+    simple = (np.isin(kindArr, _SMEM_SURF_KINDS)
+              & np.isin(trims0, (0., 1.)))
+    nSimple = int(simple.sum())
+    nComplex = nOther - nSimple
+    if nComplex > 256:
+      return (f'{nComplex} analytic surfaces with bitmap/prim trims or '
+              f'iterative kinds > the 256-surface immediates budget '
+              f'(simple window-trimmed surfaces ride the SMEM table)')
+    if nSimple > SMEM_SURF_LIMIT:
+      return (f'{nSimple} SMEM-table surfaces > the {SMEM_SURF_LIMIT} '
+              f'the kernel holds in scalar memory')
+    if 'seqMask' in scene or 'surfMask' in scene:
+      return (f'{nOther} analytic surfaces with sequential mode or a '
+              f'per-source ignore mask: stage/mask gates are per-surface '
+              f'immediates (<=256 surfaces for masked scenes)')
   return None
 
 
@@ -299,7 +322,7 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
                 histRows=None, hitSlots=1, surfAllowed=None, seqSpec=None,
                 sampler=None, scatterConsts=None, nUniformInputs=0,
                 nMasks=0, rawRecords=False, unrollBounces=0, nTriSMEM=0,
-                nTriChunks=0, firstSurfs=None):
+                nTriChunks=0, nSurfSMEM=0, surfRuns=(), firstSurfs=None):
   '''Build the kernel body with the scene baked in as python constants.
   surfRows: list of per-surface dicts of floats; elemRows likewise.
   histRows: if set (= D*H), the kernel accumulates the (histRows, 2*W)
@@ -487,8 +510,9 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
     maskVals = tuple(rest[k][:] for k in range(nMasks))
     triRef = rest[nMasks] if nTriSMEM else None   # (nTri, 11) SMEM scalars
     chunkRef = rest[nMasks + 1] if nTriChunks > 1 else None
-    out_refs = rest[nMasks + (1 if nTriSMEM else 0)
-                    + (1 if nTriChunks > 1 else 0):]
+    nIn = nMasks + (1 if nTriSMEM else 0) + (1 if nTriChunks > 1 else 0)
+    surfRef = rest[nIn] if nSurfSMEM else None    # (nRows, 21) SMEM scalars
+    out_refs = rest[nIn + (1 if nSurfSMEM else 0):]
     survRef = None
     if nTriChunks > 1:
       # SMEM scratch written by the scalar broad-phase prepass (surviving
@@ -780,7 +804,76 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
           sOth = jnp.where(bO, -2.0, sOth)
           tOth = jnp.where(bO, tO, tOth)
 
-      # same-medium preference + winner (-2 = SMEM triangle). NOTE plain
+      # ---- SMEM-resident analytic-surface sweep: assemblies past the
+      # 256-surface immediates budget ride as a (nRows, 21) scalar table
+      # [rot(9), off(3), orient, elemF, p0..p4, trim1, trim2], grouped
+      # into contiguous (kind, trim0) runs so each fori_loop's
+      # intersection formula stays STATIC while its coefficients are
+      # scalar reads (round-4 verdict #5 — the same mechanism as the
+      # triangle sweep; formulas shared with the immediates path via
+      # _intersectConst(localCoords=...) / _normalConst so the paths
+      # cannot drift). The running argmin tracks the winner's oriented
+      # WORLD normal, element and local (x, y) hit chart — no per-ray
+
+      # gather. Sequential stages / per-source masks are per-surface
+      # compile-time gates and keep such scenes off this path
+      # (eligibility).
+      if nSurfSMEM:
+        def _surfBody(i, c, kind, trim0):
+          tS, nxS, nyS, nzS, elS, lxS, lyS = c
+          r00, r01, r02 = surfRef[i, 0], surfRef[i, 1], surfRef[i, 2]
+          r10, r11, r12 = surfRef[i, 3], surfRef[i, 4], surfRef[i, 5]
+          r20, r21, r22 = surfRef[i, 6], surfRef[i, 7], surfRef[i, 8]
+          t0, t1, t2 = surfRef[i, 9], surfRef[i, 10], surfRef[i, 11]
+          orn, elF = surfRef[i, 12], surfRef[i, 13]
+          r = dict(kind=kind, trim0=trim0,
+                   p0=surfRef[i, 14], p1=surfRef[i, 15],
+                   p2=surfRef[i, 16], p3=surfRef[i, 17],
+                   p4=surfRef[i, 18],
+                   trim1=surfRef[i, 19], trim2=surfRef[i, 20])
+          lox = r00 * ox + r01 * oy + r02 * oz + t0
+          loy = r10 * ox + r11 * oy + r12 * oz + t1
+          loz = r20 * ox + r21 * oy + r22 * oz + t2
+          ldx = r00 * dx + r01 * dy + r02 * dz
+          ldy = r10 * dx + r11 * dy + r12 * dz
+          ldz = r20 * dx + r21 * dy + r22 * dz
+          t = _intersectConst(r, ox, oy, oz, dx, dy, dz, distTol,
+                              localCoords=(lox, loy, loz, ldx, ldy, ldz))
+          better = (t < tS) & (t <= mrlEff)
+          lxH = lox + t * ldx
+          lyH = loy + t * ldy
+          lzH = loz + t * ldz
+          nlx, nly, nlz = _normalConst(r, lxH, lyH, lzH)
+          nwx = (r00 * nlx + r10 * nly + r20 * nlz) * orn
+          nwy = (r01 * nlx + r11 * nly + r21 * nlz) * orn
+          nwz = (r02 * nlx + r12 * nly + r22 * nlz) * orn
+          return (jnp.where(better, t, tS),
+                  jnp.where(better, nwx, nxS),
+                  jnp.where(better, nwy, nyS),
+                  jnp.where(better, nwz, nzS),
+                  jnp.where(better, elF, elS),
+                  jnp.where(better, lxH, lxS),
+                  jnp.where(better, lyH, lyS))
+
+        cS = (zeroV + _BIG, zeroV, zeroV, zeroV, zeroV - 1.0, zeroV,
+              zeroV)
+        for runKind, runTrim0, runStart, runStop in surfRuns:
+          cS = lax.fori_loop(
+              runStart, runStop,
+              lambda i, cc, _k=runKind, _t=runTrim0: _surfBody(i, cc, _k,
+                                                               _t), cS)
+        tSm, nxSm, nySm, nzSm, elSm, lxSm, lySm = cS
+        b = tSm < tBest
+        sBest = jnp.where(b, -3.0, sBest)
+        tBest = jnp.where(b, tSm, tBest)
+        if anyMedium:
+          tO = jnp.where(medium != elSm, tSm, _BIG)
+          bO = tO < tOth
+          sOth = jnp.where(bO, -3.0, sOth)
+          tOth = jnp.where(bO, tO, tOth)
+
+      # same-medium preference + winner (-2 = SMEM triangle,
+      # -3 = SMEM analytic surface). NOTE plain
       # boolean algebra — jnp.where on i1 operands crashes the Mosaic
       # compiler.
       hasHit = tBest <= mrlEff
@@ -897,6 +990,18 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
         plxA = jnp.where(mT, px, plxA)
         plyA = jnp.where(mT, py, plyA)
         elemF = jnp.where(mT, elT, elemF)
+      if nSurfSMEM:
+        # SMEM-analytic winner: argmin-tracked oriented world normal,
+        # element and LOCAL (x, y) — the recording chart of an analytic
+        # face is its local frame, tracked during the sweep since the
+        # winner's rotation lives in scalar memory
+        mS = sIdx == -3.0
+        nxA = jnp.where(mS, nxSm, nxA)
+        nyA = jnp.where(mS, nySm, nyA)
+        nzA = jnp.where(mS, nzSm, nzA)
+        plxA = jnp.where(mS, lxSm, plxA)
+        plyA = jnp.where(mS, lySm, plyA)
+        elemF = jnp.where(mS, elSm, elemF)
 
       cosA = dx * nxA + dy * nyA + dz * nzA
       isEntering = cosA < 0
@@ -1031,10 +1136,12 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
       # kind slots 0=REFLECT 1=REFRACT_ENTER 2=REFRACT_EXIT 3=MODIFY) ----
       if scatterConsts:
         from ..distributions.device_sampler import (
-            evalPwpoly2d, evalDiscreteEvents, arccosApprox)
+            evalPwpoly2d, evalDiscreteEvents, arccosApprox,
+            evalLowRankTheta)
         lobe = [c for c in scatterConsts if c[1] in (0, 1, 2)]
         mods = [c for c in scatterConsts if c[1] == 3]
-        needCond = any(c[2][0] == 'pwpoly2d' or c[3][0] == 'pwpoly2d'
+        needCond = any(c[2][0] in ('pwpoly2d', 'lowrank')
+                       or c[3][0] in ('pwpoly2d', 'lowrank')
                        or c[4] or c[5] for c in scatterConsts)
         # continuous incidence angle through the shared sqrt*poly arccos
         # (Mosaic has no acos lowering); identical math to the XLA twin
@@ -1042,9 +1149,13 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
         thetaInC = arccosApprox(jnp.clip(dDotN, 0., 1.)) if needCond \
             else None
 
-        def drawSpec(spec, u):
+        def drawSpec(spec, u, phi=None):
           if spec[0] == 'pwpoly2d':
             return evalPwpoly2d(spec, u, thetaInC)
+          if spec[0] == 'lowrank':
+            # theta|phi-coupled lobe: conditioned on the drawn phi too
+            # (XLA twin: batch_tracer._scatterDrawConst)
+            return evalLowRankTheta(spec, u, thetaInC, phi)
           return _marginal(spec, u)
 
         def kindMask(k):
@@ -1083,9 +1194,11 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
           for e, k, phiSpec, thetaSpec, phiDisc, thetaDisc in lobe:
             m = (elemF == float(e)) & kindMask(k) & hasHit
             ph = drawSpec(phiSpec, u1)
-            th = drawSpec(thetaSpec, u2)
             if phiDisc:
               ph = evalDiscreteEvents(phiDisc, thetaInC, u3, ph)
+            # theta conditions on the drawn phi AFTER its discrete
+            # overwrite (matches _scatterDraw's phiIdx-from-phiOut)
+            th = drawSpec(thetaSpec, u2, ph)
             if thetaDisc:
               th = evalDiscreteEvents(thetaDisc, thetaInC, u4, th)
             thetaS = jnp.where(m, th, thetaS)
@@ -1111,9 +1224,9 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
           for e, _k, phiSpec, thetaSpec, phiDisc, thetaDisc in mods:
             m = (elemF == float(e)) & kindMask(3) & hasHit
             ph = drawSpec(phiSpec, m1)
-            th = drawSpec(thetaSpec, m2)
             if phiDisc:
               ph = evalDiscreteEvents(phiDisc, thetaInC, m3, ph)
+            th = drawSpec(thetaSpec, m2, ph)
             if thetaDisc:
               th = evalDiscreteEvents(thetaDisc, thetaInC, m4, th)
             thetaM = jnp.where(m, th, thetaM)
@@ -1413,7 +1526,7 @@ def _applyPrimsConst(r, x, y, z, baseOk):
 
 
 def _intersectConst(r, ox, oy, oz, dx, dy, dz, tMin, maskVals=(),
-                    grpCoords=None):
+                    grpCoords=None, localCoords=None):
   '''Ray-surface distance with the surface's transform/params as python
   float constants (folds into immediates). Bitmap-trimmed surfaces
   (trim0 == 2) test candidate roots against their packed VMEM bitmap in
@@ -1422,9 +1535,16 @@ def _intersectConst(r, ox, oy, oz, dx, dy, dz, tMin, maskVals=(),
   grpCoords: optional {groupId: 6 group-frame ray coords} hoisted by the
   bounce sweep (_assignXformGroups) — rows carrying a `pick` then derive
   their local frame with free sign/axis picks instead of the 9-FMA
-  rotation, bit-identically (signed row copies are exact).'''
+  rotation, bit-identically (signed row copies are exact).
+  localCoords: optional (lox, loy, loz, ldx, ldy, ldz) — the caller
+  already rotated the ray into the surface frame (the SMEM surface sweep
+  does, from scalar-memory rows whose values are TRACED rather than
+  python floats; every formula below works for either as long as `kind`
+  and `trim0` stay static).'''
   kind = r['kind']
-  if r.get('ident'):
+  if localCoords is not None:
+    lox, loy, loz, ldx, ldy, ldz = localCoords
+  elif r.get('ident'):
     lox, loy, loz, ldx, ldy, ldz = ox, oy, oz, dx, dy, dz
   elif grpCoords is not None and 'pick' in r:
     if r['grp'] < 0:
@@ -1865,7 +1985,10 @@ def _assignXformGroups(surfRows):
       row['pick'] = ((0, 1.), (1, 1.), (2, 1.))
 
 
-def _sceneRows(scene, histSpec, smemTris=False):
+_SMEM_SURF_KINDS = (GS.PLANE, GS.SPHERE, GS.CYLINDER, GS.CONE, GS.QUADRIC)
+
+
+def _sceneRows(scene, histSpec, smemTris=False, smemSurfs=False):
   '''Extract python-float scene constants (host side; scene arrays must be
   concrete). Returns (surfRows, elemRows, maskConsts): bitmap-trimmed
   surfaces (trim0 == 2, geometry/brep.py UV occupancy bitmaps) carry their
@@ -1875,7 +1998,16 @@ def _sceneRows(scene, histSpec, smemTris=False):
   smemTris=True splits every TRIANGLE surface out of surfRows into a
   (nTri, 11) float32 table [v0(3), e1(3), e2(3), elemF, orient] in WORLD
   coordinates, for the kernel's SMEM-looped mesh sweep (meshes past the
-  ~128-triangle immediates budget).'''
+  ~128-triangle immediates budget).
+  smemSurfs=True additionally splits every closed-form ANALYTIC surface of
+  a simple kind (plane/sphere/cylinder/cone/quadric) with a window trim
+  into a (nRows, 21) float32 table [rot(9), off(3), orient, elemF,
+  p0..p4, trim1, trim2] plus a run list [(kind, trim0, start, stop)] —
+  the kernel's SMEM surface sweep (assemblies past the 256-surface
+  immediates budget, round-4 verdict #5). Rows with bitmap trims, hole
+  prims, aspheres and tori stay immediates.
+  Each returned row carries `sceneIdx` (its index in the scene's surface
+  table) so callers can remap per-scene-index masks onto row positions.'''
   surf = scene['surfaces']
   S = numSurfacesStatic(scene)
   packed = np.asarray(surf['packed'], dtype=float)
@@ -1889,9 +2021,11 @@ def _sceneRows(scene, histSpec, smemTris=False):
   maskSlotOf = {}
   surfRows = []
   smemTriRows = []
+  smemSurfRows = []                     # [(kind, trim0, 21-col row)]
   for s in range(S):
     p = packed[s]
     row = dict(
+        sceneIdx=s,
         kind=int(kinds[s]),
         r00=float(p[0]), r01=float(p[1]), r02=float(p[2]),
         r10=float(p[3]), r11=float(p[4]), r12=float(p[5]),
@@ -1951,6 +2085,15 @@ def _sceneRows(scene, histSpec, smemTris=False):
       pr = np.asarray(scene['surfaces']['trimPrims'], dtype=float)[s]
       row['holePrims'] = tuple(tuple(float(x) for x in hole)
                                for hole in pr if hole[0] > 0.5)
+    if smemSurfs and row['kind'] in _SMEM_SURF_KINDS \
+        and row['trim0'] in (0., 1.):
+      smemSurfRows.append((row['kind'], row['trim0'], np.array([
+          row['r00'], row['r01'], row['r02'], row['r10'], row['r11'],
+          row['r12'], row['r20'], row['r21'], row['r22'],
+          row['t0'], row['t1'], row['t2'], row['orient'], row['elemF'],
+          row['p0'], row['p1'], row['p2'], row['p3'], row['p4'],
+          row['trim1'], row['trim2']], dtype=np.float32)))
+      continue
     surfRows.append(row)
   _assignXformGroups(surfRows)
   ep = np.asarray(scene['elements']['packed'], dtype=float)
@@ -1975,12 +2118,26 @@ def _sceneRows(scene, histSpec, smemTris=False):
         gratType=float(ep[e, 4]), gratLpm=float(max(ep[e, 5], 1e-9)),
         gratDirX=float(ep[e, 6]), gratDirY=float(ep[e, 7]),
         gratDirZ=float(ep[e, 8]), gratOrder=float(ep[e, 9])))
+  out = [surfRows, elemRows, maskConsts]
   if smemTris:
     triTable = (np.asarray(smemTriRows, dtype=np.float32)
                 if smemTriRows else np.zeros((0, 11), np.float32))
     triTable, chunkTable = _chunkTriangles(triTable)
-    return surfRows, elemRows, maskConsts, triTable, chunkTable
-  return surfRows, elemRows, maskConsts
+    out += [triTable, chunkTable]
+  if smemSurfs:
+    # contiguous (kind, trim0) runs: the kernel sweeps each run with one
+    # fori_loop whose kind/trim formulas are static
+    smemSurfRows.sort(key=lambda e: (e[0], e[1]))
+    surfTable = (np.stack([e[2] for e in smemSurfRows])
+                 if smemSurfRows else np.zeros((0, 21), np.float32))
+    surfRuns = []
+    for i, (kind, trim0, _r) in enumerate(smemSurfRows):
+      if surfRuns and surfRuns[-1][0] == kind and surfRuns[-1][1] == trim0:
+        surfRuns[-1] = (kind, trim0, surfRuns[-1][2], i + 1)
+      else:
+        surfRuns.append((kind, trim0, i, i + 1))
+    out += [surfTable, tuple(surfRuns)]
+  return tuple(out)
 
 
 def _chunkTriangles(triTable):
@@ -2250,14 +2407,29 @@ def makePallasTraceStep(scene, histSpec, generator, raysPerStep,
   nTriScene = int((np.asarray(scene['surfaces']['kind'])
                    == GS.TRIANGLE).sum())
   useSmemTris = nTriScene > 128
+  nAnalytic = numSurfacesStatic(scene) - nTriScene
+  useSmemSurfs = nAnalytic > 256
+  parts = _sceneRows(scene, histSpec, smemTris=useSmemTris,
+                     smemSurfs=useSmemSurfs)
+  surfRows, elemRows, maskConsts = parts[:3]
+  triTable = chunkTable = None
+  k = 3
   if useSmemTris:
-    surfRows, elemRows, maskConsts, triTable, chunkTable = _sceneRows(
-        scene, histSpec, smemTris=True)
-  else:
-    surfRows, elemRows, maskConsts = _sceneRows(scene, histSpec)
-    triTable = chunkTable = None
+    triTable, chunkTable = parts[3:5]
+    k = 5
+  surfTable, surfRuns = (parts[k:k + 2] if useSmemSurfs
+                         else (None, ()))
   nTriChunks = 0 if chunkTable is None else len(chunkTable)
   surfAllowed, seqSpec = _staticMasks(scene)
+  # _staticMasks indexes the SCENE surface table; surfRows omit the
+  # SMEM-split surfaces, so remap mask indices onto row POSITIONS
+  posOf = {r['sceneIdx']: p for p, r in enumerate(surfRows)}
+  if surfAllowed is not None:
+    surfAllowed = sorted(posOf[s] for s in surfAllowed if s in posOf)
+  if seqSpec is not None:
+    nStages, stages = seqSpec
+    seqSpec = (nStages, {posOf[s]: stages[s] for s in stages
+                         if s in posOf})
   firstSurfs = None
   if emissionBound is not None:
     firstSurfs = _firstBounceSurfs(surfRows, emissionBound)
@@ -2285,7 +2457,9 @@ def makePallasTraceStep(scene, histSpec, generator, raysPerStep,
                        sampler=sampler, scatterConsts=scatterConsts,
                        nUniformInputs=nUniform, nMasks=len(maskConsts),
                        nTriSMEM=0 if triTable is None else len(triTable),
-                       nTriChunks=nTriChunks, firstSurfs=firstSurfs,
+                       nTriChunks=nTriChunks,
+                       nSurfSMEM=0 if surfTable is None else len(surfTable),
+                       surfRuns=surfRuns, firstSurfs=firstSurfs,
                        unrollBounces=_shouldUnroll(scene, maxIntersections))
   spec = pl.BlockSpec((rows, 128), lambda i: (i, 0),
                       memory_space=pltpu.VMEM)
@@ -2305,6 +2479,9 @@ def makePallasTraceStep(scene, histSpec, generator, raysPerStep,
     inSpecs += [pl.BlockSpec(memory_space=pltpu.SMEM)]
   if nTriChunks > 1:
     maskInputs = maskInputs + (jnp.asarray(chunkTable),)
+    inSpecs += [pl.BlockSpec(memory_space=pltpu.SMEM)]
+  if surfTable is not None and len(surfTable):
+    maskInputs = maskInputs + (jnp.asarray(surfTable),)
     inSpecs += [pl.BlockSpec(memory_space=pltpu.SMEM)]
   scratch = ([pltpu.SMEM((nTriChunks,), jnp.int32)]
              if nTriChunks > 1 else [])
@@ -2500,14 +2677,28 @@ def makePallasRawStep(scene, histSpec, generator, raysPerStep,
     nUniform = 0
   nTriScene = int((np.asarray(scene['surfaces']['kind'])
                    == GS.TRIANGLE).sum())
-  if nTriScene > 128:
-    surfRows, elemRows, maskConsts, triTable, chunkTable = _sceneRows(
-        scene, histSpec, smemTris=True)
-  else:
-    surfRows, elemRows, maskConsts = _sceneRows(scene, histSpec)
-    triTable = chunkTable = None
+  useSmemTris = nTriScene > 128
+  nAnalytic = numSurfacesStatic(scene) - nTriScene
+  useSmemSurfs = nAnalytic > 256
+  parts = _sceneRows(scene, histSpec, smemTris=useSmemTris,
+                     smemSurfs=useSmemSurfs)
+  surfRows, elemRows, maskConsts = parts[:3]
+  triTable = chunkTable = None
+  k = 3
+  if useSmemTris:
+    triTable, chunkTable = parts[3:5]
+    k = 5
+  surfTable, surfRuns = (parts[k:k + 2] if useSmemSurfs
+                         else (None, ()))
   nTriChunks = 0 if chunkTable is None else len(chunkTable)
   surfAllowed, seqSpec = _staticMasks(scene)
+  posOf = {r['sceneIdx']: p for p, r in enumerate(surfRows)}
+  if surfAllowed is not None:
+    surfAllowed = sorted(posOf[s] for s in surfAllowed if s in posOf)
+  if seqSpec is not None:
+    nStages, stages = seqSpec
+    seqSpec = (nStages, {posOf[s]: stages[s] for s in stages
+                         if s in posOf})
   powerTol = float(scene.get('powerTol', 1e-6))
   kernel = _makeKernel(surfRows, elemRows, histSpec['elemToDet'],
                        histSpec['bounds'], (H, W), maxIntersections,
@@ -2519,6 +2710,8 @@ def makePallasRawStep(scene, histSpec, generator, raysPerStep,
                        rawRecords=True,
                        nTriSMEM=0 if triTable is None else len(triTable),
                        nTriChunks=nTriChunks,
+                       nSurfSMEM=0 if surfTable is None else len(surfTable),
+                       surfRuns=surfRuns,
                        firstSurfs=(_firstBounceSurfs(surfRows, emissionBound)
                                    if emissionBound is not None else None),
                        unrollBounces=_shouldUnroll(scene, maxIntersections))
@@ -2538,6 +2731,9 @@ def makePallasRawStep(scene, histSpec, generator, raysPerStep,
     inSpecs += [pl.BlockSpec(memory_space=pltpu.SMEM)]
   if nTriChunks > 1:
     maskInputs = maskInputs + (jnp.asarray(chunkTable),)
+    inSpecs += [pl.BlockSpec(memory_space=pltpu.SMEM)]
+  if surfTable is not None and len(surfTable):
+    maskInputs = maskInputs + (jnp.asarray(surfTable),)
     inSpecs += [pl.BlockSpec(memory_space=pltpu.SMEM)]
   nOut = 9 * hitSlots + 2
   traceCall = pl.pallas_call(

@@ -268,8 +268,16 @@ def scatterConstants(scene):
     rowsT = thetaInv[e, k]                    # (Tin, M, Q)
     tolT = 1e-6 * max(np.ptp(rowsT), 1e-30)
     if not np.allclose(rowsT, rowsT[:, 0:1, :], atol=tolT):
-      return None       # theta|phi coupling -> keep the exact gather path
-    tf = fitMarginal(rowsT[:, 0, :])
+      # theta|phi coupling (e.g. astigmatic scatter): low-rank separable
+      # expansion over the phi axis (device_sampler.fitLowRankTheta);
+      # fits that miss tolerance keep the exact gather path
+      from ..distributions.device_sampler import fitLowRankTheta
+      M = rowsT.shape[1]
+      phiGrid = (float(sc['phiGridLo'])
+                 + float(sc['phiGridStep']) * np.arange(M))
+      tf = fitLowRankTheta(rowsT, grid, phiGrid)
+    else:
+      tf = fitMarginal(rowsT[:, 0, :])
     pf = fitMarginal(phiInv[e, k])
     if tf is None or pf is None:
       return None
@@ -285,9 +293,15 @@ def scatterConstants(scene):
   return tuple(out)
 
 
-def _evalMarginalConst(spec, u, thetaIn):
-  return (_evalPwpoly2d(spec, u, thetaIn) if spec[0] == 'pwpoly2d'
-          else _evalPwpoly(spec, u))
+def _evalMarginalConst(spec, u, thetaIn, phi=None):
+  if spec[0] == 'pwpoly2d':
+    return _evalPwpoly2d(spec, u, thetaIn)
+  if spec[0] == 'lowrank':
+    # theta|phi-coupled family: conditioned on BOTH the incidence angle
+    # and the already-drawn phi (device_sampler.fitLowRankTheta)
+    from ..distributions.device_sampler import evalLowRankTheta
+    return evalLowRankTheta(spec, u, thetaIn, phi)
+  return _evalPwpoly(spec, u)
 
 
 def _scatterDrawConst(consts, elemIdx, kind, thetaIn, u1, u2, u3, u4):
@@ -300,8 +314,10 @@ def _scatterDrawConst(consts, elemIdx, kind, thetaIn, u1, u2, u3, u4):
   for e, k, phiSpec, thetaSpec, phiDisc, thetaDisc in consts:
     m = (elemIdx == e) & (kind == k)
     ph = _evalMarginalConst(phiSpec, u1, thetaIn)
-    th = _evalMarginalConst(thetaSpec, u2, thetaIn)
     ph = _evalDiscreteEvents(phiDisc, thetaIn, u3, ph)
+    # theta conditions on the drawn phi AFTER its discrete overwrite,
+    # matching the exact gather path (_scatterDraw phiIdx from phiOut)
+    th = _evalMarginalConst(thetaSpec, u2, thetaIn, ph)
     th = _evalDiscreteEvents(thetaDisc, thetaIn, u4, th)
     phiOut = jnp.where(m, ph, phiOut)
     thetaOut = jnp.where(m, th, thetaOut)

@@ -1341,3 +1341,120 @@ def test_tile_stratified_sampler_distribution_interpret():
   assert int(cK['hits']) > 0.9 * n and int(cX['hits']) > 0.9 * n
   assert _marginalsClose(np.asarray(hK['counts'])[0],
                          np.asarray(hX['counts'])[0])
+
+
+def test_smem_surface_table_matches_xla_interpret():
+  '''A 522-surface assembly — past the 256-surface immediates budget — must
+  ride the SMEM analytic-surface table and reproduce the XLA fused step
+  bin-for-bin (round-4 verdict #5). The scene is a 20x26 wall of small
+  tilted mirror discs plus a spherical cap and a detector, so the sweep
+  exercises PLANE and SPHERE runs and the argmin-tracked normals/locals.'''
+  import math
+  scene = Scene(label='smemsurf')
+  mirrors = []
+  nx, ny, pitch = 26, 20, 8.
+  for iy in range(ny):
+    for ix in range(nx):
+      cx = (ix - (nx - 1) / 2.) * pitch
+      cy = (iy - (ny - 1) / 2.) * pitch
+      tilt = T.compose(
+          T.translation(cx, cy, 80. + 2. * math.sin(ix * 0.7 + iy)),
+          T.rotation((1, 0, 0), 3. * math.cos(ix + iy * 0.5)),
+          T.rotation((0, 1, 0), 3. * math.sin(ix * 0.3)))
+      mirrors.append(S.plane(tilt, elem=0, radius=0.7 * pitch, orient=-1))
+  # one spherical cap in the middle of the wall -> a SPHERE run too
+  mirrors.append(S.sphere(T.translation(0, 0, 140.), elem=0, radius=60.,
+                          zRange=(-60., -40.), orient=+1))
+  scene.addOpticalGroup(OpticalGroup(
+      OpticalType='Mirror', Label='Wall', surfaces=mirrors,
+      placements=[np.eye(4)]))
+  scene.addOpticalGroup(OpticalGroup(
+      OpticalType='Absorber', Label='Det',
+      surfaces=[S.plane(np.eye(4), elem=0, halfExtents=(300., 300.))],
+      placements=[T.translation(0, 0, 0)]))
+  scene.addSource(PointSource(
+      Label='Src', PowerDensity='exp(-theta^2/0.3)', ThetaDomain='0, 0.9',
+      Wavelength=532., ThetaResolutionNumericMode='1e3',
+      placement=T.translation(0, 0, 1e-3)))
+  scene.addSimulationSettings(RaysPerIteration=1e4, MaxIntersections=3)
+  device, info = scene.compile()
+  assert pallas_trace.pallasEligible(device), \
+      pallas_trace.pallasIneligibleReason(device)
+  from optics_design_workbench_tpu.geometry import surfaces as GS
+  assert (np.asarray(device['surfaces']['kind'])
+          != GS.TRIANGLE).sum() > 256
+  hP, hX, cP, cX = _runPair(scene, bounds=(-300., 300., -300., 300.),
+                            bins=(32, 128), maxIntersections=3, n=N)
+  assert int(cX['hits']) > 0.2 * N
+  assert int(cP['hits']) == int(cX['hits'])
+  assert _nearlyEqualCounts(hP, hX)
+
+
+def test_in_kernel_coupled_scatter_interpret():
+  '''theta|phi-COUPLED scatter (low-rank separable expansion) inside the
+  kernel via the deterministic-uniform seam: with the SAME uniforms the
+  kernel's phi draw + phi-conditioned theta draw + Rodrigues rotations
+  must reproduce an independent numpy reference built from the shared
+  evaluators (round-4 verdict #4).'''
+  from optics_design_workbench_tpu.tracing.batch_tracer import (
+      scatterConstants, _evalMarginalConst)
+
+  scene = Scene(label='coupinterp')
+  scene.addOpticalGroup(OpticalGroup(
+      OpticalType='Mirror', Label='Diffuser', Reflectivity=1.0,
+      ReflectedProbabilityDensity='exp(-(theta*cos(phi))**2/0.003'
+                                  ' - (theta*sin(phi))**2/0.05)',
+      PowerThetaDomain='0, pi/3', PowerPhiDomain='0, 2*pi',
+      surfaces=[S.plane(np.eye(4), elem=0, radius=50., orient=-1)],
+      placements=[T.translation(0, 0, 50)]))
+  scene.addOpticalGroup(OpticalGroup(
+      OpticalType='Absorber', Label='Det',
+      surfaces=[S.plane(np.eye(4), elem=0, halfExtents=(500., 500.))],
+      placements=[T.translation(0, 0, 0)]))
+  scene.addSource(PointSource(Label='Src', PowerDensity='1',
+                              ThetaDomain='0, 0.01',
+                              ThetaResolutionNumericMode='1e3',
+                              placement=T.translation(0, 0, 1e-3)))
+  scene.addSimulationSettings(RaysPerIteration=1e4, MaxIntersections=4)
+  device, info = scene.compile()
+  device['powerTol'] = 1e-6
+  consts = scatterConstants(device)
+  assert consts is not None and consts[0][3][0] == 'lowrank'
+  assert pallas_trace.pallasEligible(device)
+  _e, _kind, phiSpec, thetaSpec, _pD, _tD = consts[0]
+
+  H, W = 64, 128
+  bounds = (-100., 100., -100., 100.)
+  histSpec = fused.makeHistogramSpec(device, info, bounds=bounds,
+                                     bins=(H, W))
+
+  def columnsGen(key, n, stratified=False):
+    z = jnp.zeros((n,), jnp.float32)
+    return dict(ox=z, oy=z, oz=z + 1e-3, dx=z, dy=z, dz=z + 1.,
+                pw=z + 1., wl=z + 532.)
+
+  key = jax.random.PRNGKey(6)
+  step = pallas_trace.makePallasTraceStep(
+      device, histSpec, columnsGen, raysPerStep=N, maxIntersections=4,
+      maxRayLength=1e6, distTol=1e-4, interpret=True, tile=TILE,
+      uniformProvider='input')
+  h, c = step(key, fused.initHistograms(histSpec))
+  hK = np.asarray(h['counts'])[0]
+
+  us = np.asarray(jax.random.uniform(jax.random.fold_in(key, 0x0177),
+                                     (2 * 4, N // 128, 128)))
+  u1, u2 = (jnp.asarray(us[0].reshape(-1)), jnp.asarray(us[1].reshape(-1)))
+  thetaIn = jnp.zeros_like(u1)      # normal incidence
+  phi = np.asarray(_evalMarginalConst(phiSpec, u1, thetaIn))
+  theta = np.asarray(_evalMarginalConst(thetaSpec, u2, thetaIn,
+                                        jnp.asarray(phi)))
+  x = 50. * np.tan(theta) * np.cos(phi)
+  y = -50. * np.tan(theta) * np.sin(phi)
+  x0, x1, y0, y1 = bounds
+  fx, fy = (x - x0) / (x1 - x0), (y - y0) / (y1 - y0)
+  inside = (fx >= 0) & (fx < 1) & (fy >= 0) & (fy < 1)
+  ref = np.zeros((H, W))
+  np.add.at(ref, (np.floor(fy[inside] * H).astype(int),
+                  np.floor(fx[inside] * W).astype(int)), 1.)
+  assert int(c['hits']) == int(inside.sum())
+  assert np.abs(hK - ref).sum() <= 4

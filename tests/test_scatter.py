@@ -122,7 +122,13 @@ class TestStochasticScatter:
     # discrete event with theta_refl(theta_in) fitted as a 1-D polynomial
     # (reference event semantics: random_number_generator.py:250-288)
     ('DiracDelta(theta-theta_refl) + 0.1', '0, pi/2', 'pwpoly', 1),
-], ids=['plain', 'conditioned', 'dirac'])
+    # theta|phi-COUPLED astigmatic lobe (reference test analog:
+    # test/70 2-test-astigmatic-beams): the theta inverse-CDF depends on
+    # the drawn phi -> low-rank separable expansion
+    # (device_sampler.fitLowRankTheta, round-4 verdict #4)
+    ('exp(-(theta*cos(phi))**2/0.003 - (theta*sin(phi))**2/0.05)',
+     '0, pi/3', 'lowrank', 0),
+], ids=['plain', 'conditioned', 'dirac', 'coupled'])
 def test_scatter_constants_match_gather_path(tmp_path, density, thetaDom,
                                              wantTheta, wantEvents):
   '''The compile-time polynomial scatter draw (scatterConstants +
@@ -178,3 +184,30 @@ def test_scatter_constants_match_gather_path(tmp_path, density, thetaDom,
     return np.sqrt((H * r ** 2).sum() / n)
   assert abs(radialProfile(Hc) - radialProfile(Hg)) \
       < 0.05 * radialProfile(Hg)
+
+  if wantTheta == 'lowrank':
+    # the coupling itself must survive the low-rank fit. On the DETECTOR
+    # the anisotropy washes out for a cone source (each ray's lobe frame
+    # is its own incidence plane — same in the reference,
+    # optical_group.py:281-325), so assert at the DRAW level: the
+    # (theta cos phi, theta sin phi) spreads of the const path must be
+    # ~4x apart and match the gather path per axis
+    import jax.numpy as jnp
+    N = 200000
+    u = jax.random.uniform(jax.random.PRNGKey(2), (4, N))
+    zI = jnp.zeros((N,), jnp.int32)
+    thetaInC = jnp.full((N,), 0.2)
+    thG, phG = batch_tracer._scatterDraw(
+        device['scatter'], zI, zI, jnp.full((N,), 4, jnp.int32), *u)
+    thC, phC = batch_tracer._scatterDrawConst(
+        consts, zI, zI, thetaInC, *u)
+    for th, ph in ((thG, phG), (thC, phC)):
+      x = np.asarray(th * jnp.cos(ph))
+      y = np.asarray(th * jnp.sin(ph))
+      assert x.std() > 2. * y.std() or y.std() > 2. * x.std(), \
+          (x.std(), y.std())
+    xg = np.asarray(thG * jnp.cos(phG)).std()
+    xc = np.asarray(thC * jnp.cos(phC)).std()
+    yg = np.asarray(thG * jnp.sin(phG)).std()
+    yc = np.asarray(thC * jnp.sin(phC)).std()
+    assert abs(xc - xg) < 0.15 * xg and abs(yc - yg) < 0.15 * yg

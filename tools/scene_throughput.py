@@ -304,6 +304,169 @@ def sceneTorusMirror():
   return scene, 3, (-200., 200., -200., 200.)
 
 
+def _dishScene(nQ, thetaDom='0, 0.5', dens='exp(-theta^2/0.1)'):
+  '''nQ*nQ*2-triangle paraboloid dish mirror + floor detector (the big-
+  mesh scene family; nQ=10 is the round-3 mesh_dish_smem scene).'''
+  import math
+  from optics_design_workbench_tpu.models import (Scene, PointSource,
+                                                  OpticalGroup)
+  from optics_design_workbench_tpu.geometry import surfaces as S
+  from optics_design_workbench_tpu.geometry import transforms as T
+  scene = Scene(label=f'dish{nQ}_tp')
+  tris = []
+  R0, z0 = 40., 60.
+
+  def pt(ir, ip):
+    r = R0 * ir / nQ
+    ph = 2 * math.pi * ip / nQ
+    return (r * math.cos(ph), r * math.sin(ph), z0 + 0.004 * r * r)
+
+  for ir in range(nQ):
+    for ip in range(nQ):
+      a, b = pt(ir, ip), pt(ir + 1, ip)
+      c, d = pt(ir + 1, ip + 1), pt(ir, ip + 1)
+      tris.append(S.triangle(a, b, c, elem=0))
+      tris.append(S.triangle(a, c, d, elem=0))
+  scene.addOpticalGroup(OpticalGroup(
+      OpticalType='Mirror', Label='Dish', surfaces=tris,
+      placements=[np.eye(4)]))
+  scene.addOpticalGroup(OpticalGroup(
+      OpticalType='Absorber', Label='Det',
+      surfaces=[S.plane(np.eye(4), elem=0, halfExtents=(200., 200.))],
+      placements=[T.translation(0, 0, 0)]))
+  scene.addSource(PointSource(
+      Label='Src', PowerDensity=dens, ThetaDomain=thetaDom,
+      Wavelength=532., ThetaResolutionNumericMode='1e3',
+      placement=T.translation(0, 0, 1e-3)))
+  scene.addSimulationSettings(RaysPerIteration=1e6, MaxIntersections=3)
+  return scene
+
+
+def sceneMeshDish5k():
+  '''5000-triangle CAD-scale dish under a WIDE Monte-Carlo source: the
+  round-4 verdict #2 class (per-ray chunk cull + tile-stratified sampling
+  must keep it in-kernel at >= 0.1 G seg/s).'''
+  return _dishScene(50), 3, (-200., 200., -200., 200.)
+
+
+def sceneSurfWall():
+  '''522 analytic surfaces (20x26 tilted mirror discs + a spherical cap +
+  detector): past the 256-surface immediates budget — rides the SMEM
+  analytic-surface table (round-4 verdict #5).'''
+  import math
+  from optics_design_workbench_tpu.models import (Scene, PointSource,
+                                                  OpticalGroup)
+  from optics_design_workbench_tpu.geometry import surfaces as S
+  from optics_design_workbench_tpu.geometry import transforms as T
+  scene = Scene(label='surfwall_tp')
+  mirrors = []
+  nx, ny, pitch = 26, 20, 8.
+  for iy in range(ny):
+    for ix in range(nx):
+      cx = (ix - (nx - 1) / 2.) * pitch
+      cy = (iy - (ny - 1) / 2.) * pitch
+      tilt = T.compose(
+          T.translation(cx, cy, 80. + 2. * math.sin(ix * 0.7 + iy)),
+          T.rotation((1, 0, 0), 3. * math.cos(ix + iy * 0.5)),
+          T.rotation((0, 1, 0), 3. * math.sin(ix * 0.3)))
+      mirrors.append(S.plane(tilt, elem=0, radius=0.7 * pitch, orient=-1))
+  mirrors.append(S.sphere(T.translation(0, 0, 140.), elem=0, radius=60.,
+                          zRange=(-60., -40.), orient=+1))
+  scene.addOpticalGroup(OpticalGroup(
+      OpticalType='Mirror', Label='Wall', surfaces=mirrors,
+      placements=[np.eye(4)]))
+  scene.addOpticalGroup(OpticalGroup(
+      OpticalType='Absorber', Label='Det',
+      surfaces=[S.plane(np.eye(4), elem=0, halfExtents=(300., 300.))],
+      placements=[T.translation(0, 0, 0)]))
+  scene.addSource(PointSource(
+      Label='Src', PowerDensity='exp(-theta^2/0.3)', ThetaDomain='0, 0.9',
+      Wavelength=532., ThetaResolutionNumericMode='1e3',
+      placement=T.translation(0, 0, 1e-3)))
+  scene.addSimulationSettings(RaysPerIteration=1e6, MaxIntersections=3)
+  return scene, 3, (-300., 300., -300., 300.)
+
+
+def sceneCoupledScatter():
+  '''theta|phi-coupled astigmatic diffuser (reference test/70
+  2-test-astigmatic-beams analog): in-kernel via the low-rank separable
+  expansion (round-4 verdict #4).'''
+  return (_scatterScene(
+      'exp(-(theta*cos(phi))**2/0.003 - (theta*sin(phi))**2/0.05)',
+      '0, pi/3', '0, 0.05'), 4, (-100., 100., -100., 100.))
+
+
+def _measureXlaScene(scene, maxIntersections, bounds, bins=(128, 128),
+                     raysPerStep=1 << 20):
+  '''G segments/s through the XLA fused step (the fallback path) —
+  measured so every pallasIneligibleReason class has a NUMBER in
+  docs/performance.md instead of an assumed "slow" (round-4 verdict #8).'''
+  from optics_design_workbench_tpu.tracing import fused
+
+  device, info = scene.compile()
+  device['powerTol'] = 1e-6
+  src = scene.lightSources()[0]
+  histSpec = fused.makeHistogramSpec(device, info, bounds=bounds, bins=bins)
+  step = fused.makeFusedStep(
+      device, src.deviceGenerator(), histSpec, raysPerStep=raysPerStep,
+      maxIntersections=maxIntersections, maxRayLength=1e6, distTol=1e-4)
+  key = jax.random.PRNGKey(11)
+  state = {'h': fused.initHistograms(histSpec)}
+  t0 = time.perf_counter()
+  state['h'], c = step(key, state['h'])
+  _ = int(c['segments'])
+  compileS = time.perf_counter() - t0
+
+  def run(i):
+    state['h'], c = step(jax.random.fold_in(key, i), state['h'])
+    return c
+
+  rate, calls = _bestOfWindows(run, lambda c: int(c['segments']),
+                               raysPerStep, windows=2, minSeconds=1.5,
+                               maxCalls=8)
+  return rate, dict(compileS=round(compileS, 1), callsPerWindow=calls,
+                    raysPerStep=raysPerStep)
+
+
+def sceneFallbackMesh12k():
+  '''12800-triangle dish: past SMEM_TRI_LIMIT — the XLA chunked fallback
+  class, measured (round-4 verdict weak #5).'''
+  return _dishScene(80), 3, (-200., 200., -200., 200.)
+
+
+def sceneFallbackSurf5k():
+  '''5070 analytic surfaces: past SMEM_SURF_LIMIT — XLA fallback class.'''
+  import math
+  from optics_design_workbench_tpu.models import (Scene, PointSource,
+                                                  OpticalGroup)
+  from optics_design_workbench_tpu.geometry import surfaces as S
+  from optics_design_workbench_tpu.geometry import transforms as T
+  scene = Scene(label='surf5k_tp')
+  mirrors = []
+  nx, ny, pitch = 78, 65, 3.
+  for iy in range(ny):
+    for ix in range(nx):
+      cx = (ix - (nx - 1) / 2.) * pitch
+      cy = (iy - (ny - 1) / 2.) * pitch
+      tilt = T.compose(
+          T.translation(cx, cy, 80. + 2. * math.sin(ix * 0.7 + iy)),
+          T.rotation((1, 0, 0), 3. * math.cos(ix + iy * 0.5)))
+      mirrors.append(S.plane(tilt, elem=0, radius=0.6 * pitch, orient=-1))
+  scene.addOpticalGroup(OpticalGroup(
+      OpticalType='Mirror', Label='Wall', surfaces=mirrors,
+      placements=[np.eye(4)]))
+  scene.addOpticalGroup(OpticalGroup(
+      OpticalType='Absorber', Label='Det',
+      surfaces=[S.plane(np.eye(4), elem=0, halfExtents=(300., 300.))],
+      placements=[T.translation(0, 0, 0)]))
+  scene.addSource(PointSource(
+      Label='Src', PowerDensity='exp(-theta^2/0.3)', ThetaDomain='0, 0.9',
+      Wavelength=532., ThetaResolutionNumericMode='1e3',
+      placement=T.translation(0, 0, 1e-3)))
+  scene.addSimulationSettings(RaysPerIteration=1e6, MaxIntersections=3)
+  return scene, 3, (-300., 300., -300., 300.)
+
+
 def sceneSpectrometer():
   '''examples/4: reflection-grating spectrometer (4th BASELINE config).'''
   from optics_design_workbench_tpu.models import (Scene, PointSource,
@@ -454,6 +617,19 @@ CRITERIA = [
     ('mesh_dish_smem', sceneMeshDish, 0.1e9, 1e9, 'G seg/s'),
     ('mesh_dish_coherent', sceneMeshDishCollimated, 0.1e9, 1e9, 'G seg/s'),
     ('torus_mirror', sceneTorusMirror, 0.3e9, 1e9, 'G seg/s'),
+    ('mesh_dish_5k', sceneMeshDish5k, 0.1e9, 1e9, 'G seg/s'),
+    ('surf_wall', sceneSurfWall, 0.3e9, 1e9, 'G seg/s'),
+    ('coupled_scatter', sceneCoupledScatter, 0.3e9, 1e9, 'G seg/s'),
+]
+
+# XLA-fallback classes: measured so every pallasIneligibleReason branch
+# has a documented number (no pass/fail target — these ARE the slow path)
+FALLBACKS = [
+    ('xla_mesh_12k', sceneFallbackMesh12k),
+    ('xla_surf_5k', sceneFallbackSurf5k),
+    ('xla_surf_wall', sceneSurfWall),
+    ('xla_coupled_scatter', sceneCoupledScatter),
+    ('xla_mesh_dish_5k', sceneMeshDish5k),
 ]
 
 
@@ -494,6 +670,23 @@ def main():
       print(f'{name:18s} {rate/scaleV:8.3f} {unit}  target '
             f'{target/scaleV:.1f}  {"PASS" if ok else "MISS"}  '
             f'({time.perf_counter()-t0:.0f}s total)', flush=True)
+    except Exception as e:
+      results[name] = dict(error=str(e)[:300])
+      print(f'{name:18s} FAILED: {str(e)[:160]}', flush=True)
+
+  for name, builder in FALLBACKS:
+    if only is None or name not in only:
+      # fallback measurements run only when explicitly selected (they are
+      # documentation numbers, not pass/fail criteria)
+      continue
+    t0 = time.perf_counter()
+    try:
+      scene, maxI, bounds = builder()
+      rate, meta = _measureXlaScene(scene, maxI, bounds)
+      results[name] = dict(rate=rate, target=None, ok=True, **meta)
+      print(f'{name:18s} {rate/1e9:8.4f} G seg/s  (XLA fallback, '
+            f'documented)  ({time.perf_counter()-t0:.0f}s total)',
+            flush=True)
     except Exception as e:
       results[name] = dict(error=str(e)[:300])
       print(f'{name:18s} FAILED: {str(e)[:160]}', flush=True)

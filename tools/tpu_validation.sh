@@ -49,8 +49,13 @@ timeout 1800 python tools/profile_kernel.py --fused 2>&1 | tail -10 \
   | tee -a "$LOG"
 
 echo "--- scene_throughput (VERDICT done-criteria) ---" | tee -a "$LOG"
+timeout 4200 python tools/scene_throughput.py \
+  --json /tmp/scene_throughput.json 2>&1 | tail -18 | tee -a "$LOG"
+
+echo "--- scene_throughput XLA-fallback documentation numbers ---" | tee -a "$LOG"
 timeout 3000 python tools/scene_throughput.py \
-  --json /tmp/scene_throughput.json 2>&1 | tail -12 | tee -a "$LOG"
+  --only xla_mesh_12k,xla_surf_5k,xla_surf_wall,xla_coupled_scatter,xla_mesh_dish_5k \
+  --json /tmp/scene_throughput_fallbacks.json 2>&1 | tail -8 | tee -a "$LOG"
 
 echo "--- hardware equivalence suite ---" | tee -a "$LOG"
 OPTICS_TPU_TESTS_ON_TPU=1 timeout 5400 python -m pytest \
