@@ -41,7 +41,7 @@ def kernelSourceDigest():
   import os
   base = os.path.dirname(__file__)
   h = hashlib.sha1()
-  for rel in ('ops/pallas_trace.py', 'ops/histogram.py',
+  for rel in ('ops/pallas_trace.py', 'ops/beam_cull.py', 'ops/histogram.py',
               'tracing/batch_tracer.py', 'tracing/fused.py',
               'geometry/surfaces.py', 'geometry/intersect.py',
               'geometry/transforms.py',

@@ -85,6 +85,16 @@ ATTR_PASS = os.environ.get('ODW_TPU_ATTR_PASS', 'accum')
 # A/B runs via ODW_TPU_XFORM_GROUPS=0.
 XFORM_GROUPS = os.environ.get('ODW_TPU_XFORM_GROUPS', '1') != '0'
 
+# Per-bounce candidate culling (ops/beam_cull): propagate the source's
+# emission envelope through mirror/lens interactions as conservative
+# (origin-sphere, direction-cone, medium) beams and sweep each unrolled
+# bounce over its reachable surface set only; the rolled tail sweeps the
+# union of the remaining bounces' sets (absorber-terminated propagation can
+# make that union much smaller than the scene). Strictly conservative —
+# interpret-mode CI pins culled kernels bin-identical to the uncalled XLA
+# tracer. Overridable for A/B runs via ODW_TPU_BEAM_CULL=0.
+BEAM_CULL = os.environ.get('ODW_TPU_BEAM_CULL', '1') != '0'
+
 # Mosaic op budget for the python-unrolled bounce prefix, in units of
 # (surfaces x unrolled bounces): compile time scales with the unrolled op
 # count (CLAUDE.md), throughput gains ~1.5x per bounce moved off the rolled
@@ -322,7 +332,8 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
                 histRows=None, hitSlots=1, surfAllowed=None, seqSpec=None,
                 sampler=None, scatterConsts=None, nUniformInputs=0,
                 nMasks=0, rawRecords=False, unrollBounces=0, nTriSMEM=0,
-                nTriChunks=0, nSurfSMEM=0, surfRuns=(), firstSurfs=None):
+                nTriChunks=0, nSurfSMEM=0, surfRuns=(), firstSurfs=None,
+                bounceSets=None, tailSurfs=None):
   '''Build the kernel body with the scene baked in as python constants.
   surfRows: list of per-surface dicts of floats; elemRows likewise.
   histRows: if set (= D*H), the kernel accumulates the (histRows, 2*W)
@@ -592,13 +603,39 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
     if first is not None and len(first) == len(bounceSurfs):
       first = None               # nothing culled: share the one body
 
+    # per-bounce candidate sets (ops/beam_cull, round-4 verdict #3): entry b
+    # culls the b-th PYTHON-UNROLLED bounce; the rolled tail sweeps tailSet
+    # (the caller's union of the un-unrolled bounces' sets). A None entry
+    # means "no bound — full sweep". beam_cull guarantees that once an
+    # entry is None every later one is too, so the tail default below can
+    # never be narrower than an uncovered unrolled bounce.
+    def _clipSet(ss):
+      return None if ss is None else sorted(set(ss) & set(bounceSurfs))
+
+    perBounceSets = ([_clipSet(ss) for ss in bounceSets]
+                     if bounceSets is not None else None)
+    tailSet = _clipSet(tailSurfs)
+    if tailSet is not None and len(tailSet) == len(bounceSurfs):
+      tailSet = None
+
+    def _setForBounce(b):
+      if perBounceSets is not None and b < len(perBounceSets) \
+          and perBounceSets[b] is not None:
+        return perBounceSets[b]
+      return first if b == 0 else None
+
     # ---- one bounce as a carry->carry function: rolled into a
     # lax.fori_loop so the Mosaic program holds ONE bounce body instead of
     # maxIntersections copies (a 27-surface 8-bounce unroll costs >15 min
     # of compile); the deterministic-uniform test seam consumes a distinct
     # input ref per draw, so that path keeps the python unroll ----
     def _bounceBody(carry, surfSet=None):
-      mySurfs = bounceSurfs if surfSet is None else surfSet
+      if surfSet is not None:
+        mySurfs = surfSet
+      elif tailSet is not None:
+        mySurfs = tailSet
+      else:
+        mySurfs = bounceSurfs
       (ox, oy, oz, dx, dy, dz, pw, medium, aliveF, segCount, hitN,
        seqF, hitBin, hitW, hitC, hitRaw) = carry
       hitBin, hitW, hitC = list(hitBin), list(hitW), list(hitC)
@@ -887,7 +924,9 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
       px, py, pz = ox + tSeg * dx, oy + tSeg * dy, oz + tSeg * dz
 
       # ---- winner attributes (ATTR_PASS) ----
-      if ATTR_PASS == 'accum':
+      # (an EMPTY culled set falls to the zero-init branch below: no
+      # immediates surface can win, the SMEM winners still overlay)
+      if ATTR_PASS == 'accum' and mySurfs:
         # gather the winner's constants as columns (one select per
         # constant per surface), then do the local transform + per-KIND
         # normal + transpose rotation ONCE — ~2-3x fewer VPU ops per
@@ -1338,7 +1377,7 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
       # keep the plain python unroll (the seam's reference computation
       # consumes the same refs unconditionally)
       for _b in range(maxIntersections):
-        carry = _bounceBody(carry, first if _b == 0 else None)
+        carry = _bounceBody(carry, _setForBounce(_b))
     else:
       # hybrid loop: unroll the first K = unrollBounces bounces plainly
       # (best static scheduling; the rolled loop costs ~1.5x per bounce),
@@ -1349,7 +1388,7 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
       # caller supplied an emission bound (_firstBounceSurfs).
       K = min(int(unrollBounces), maxIntersections)
       for _b in range(K):
-        sset = first if _b == 0 else None
+        sset = _setForBounce(_b)
         if EARLY_EXIT == 'cond':
           carry = lax.cond(_anyAlive(carry),
                            lambda c, ss=sset: _bounceBody(c, ss),
@@ -2282,6 +2321,55 @@ def autoHitSlots(scene, histSpec, maxIntersections):
   return max(1, min(maxIntersections, bound, 6))
 
 
+def _beamCullSets(surfRows, elemRows, scatterConsts, emissionBound,
+                  maxIntersections, surfAllowed, unrollK,
+                  triTable=None, surfTable=None):
+  '''Per-bounce candidate sets from conservative beam propagation
+  (ops/beam_cull, round-4 verdict #3). Returns (bounceSets, tailSurfs,
+  unrollK): sets for the python-unrolled bounce prefix, the union set for
+  the rolled tail, and the unroll depth — EXTENDED past _shouldUnroll's
+  scene-wide budget while the culled sets keep the cumulative op count
+  (sum of per-bounce set sizes) inside the same UNROLL_BUDGET, so deeply
+  culled scenes unroll further at no extra compile cost.
+
+  SMEM-split geometry (triangle / scalar-table surfaces) is invisible to
+  the propagation; if any of it can CHANGE ray directions
+  (mirror/lens/grating/scatter elements), only bounce 0 keeps its set.
+  Absorbing/vacuum SMEM geometry is safe (see beam_cull docstring).'''
+  from . import beam_cull
+  smemElems = set()
+  if triTable is not None and len(triTable):
+    smemElems |= {int(x) for x in np.unique(triTable[:, 9])}
+  if surfTable is not None and len(surfTable):
+    smemElems |= {int(x) for x in np.unique(surfTable[:, 13])}
+  scatterElems = {int(c[0]) for c in (scatterConsts or ())}
+  unsafe = any(float(elemRows[e]['optF']) not in (float(ABSORBER),
+                                                  float(VACUUM))
+               or e in scatterElems for e in smemElems)
+  sets = beam_cull.propagateBounceSets(
+      surfRows, elemRows, scatterConsts, emissionBound, maxIntersections,
+      allowed=surfAllowed, unsafeAfterBounce0=unsafe,
+      boundingSphere=_boundingSphere)
+  nFull = len(surfRows) if surfAllowed is None else len(surfAllowed)
+  sizeOf = lambda ss: nFull if ss is None else len(ss)
+  spent = sum(sizeOf(ss) for ss in sets[:unrollK])
+  while (unrollK < maxIntersections and sets[unrollK] is not None
+         and len(sets[unrollK]) < nFull
+         and spent + len(sets[unrollK]) <= UNROLL_BUDGET):
+    spent += len(sets[unrollK])
+    unrollK += 1
+  tail = set()
+  tailSurfs = []
+  for ss in sets[unrollK:]:
+    if ss is None:
+      tailSurfs = None
+      break
+    tail |= set(ss)
+  if tailSurfs is not None:
+    tailSurfs = sorted(tail)
+  return sets, tailSurfs, unrollK
+
+
 def makePallasTraceStep(scene, histSpec, generator, raysPerStep,
                         maxIntersections, maxRayLength, distTol,
                         powerTol=1e-6, stratified=False, tile='auto',
@@ -2431,8 +2519,15 @@ def makePallasTraceStep(scene, histSpec, generator, raysPerStep,
     seqSpec = (nStages, {posOf[s]: stages[s] for s in stages
                          if s in posOf})
   firstSurfs = None
+  bounceSets = tailSurfs = None
+  unrollK = _shouldUnroll(scene, maxIntersections)
   if emissionBound is not None:
     firstSurfs = _firstBounceSurfs(surfRows, emissionBound)
+    if BEAM_CULL:
+      bounceSets, tailSurfs, unrollK = _beamCullSets(
+          surfRows, elemRows, scatterConsts, emissionBound,
+          maxIntersections, surfAllowed, unrollK,
+          triTable=triTable, surfTable=surfTable)
   # tile-stratified point-source sampling (see _sampleRays docstring):
   # 'auto' enables it exactly where tile coherence pays — chunk-culled SMEM
   # meshes, where a narrow per-tile (theta, phi) wedge lets the per-ray
@@ -2460,7 +2555,8 @@ def makePallasTraceStep(scene, histSpec, generator, raysPerStep,
                        nTriChunks=nTriChunks,
                        nSurfSMEM=0 if surfTable is None else len(surfTable),
                        surfRuns=surfRuns, firstSurfs=firstSurfs,
-                       unrollBounces=_shouldUnroll(scene, maxIntersections))
+                       bounceSets=bounceSets, tailSurfs=tailSurfs,
+                       unrollBounces=unrollK)
   spec = pl.BlockSpec((rows, 128), lambda i: (i, 0),
                       memory_space=pltpu.VMEM)
   seedSpec = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -2700,6 +2796,16 @@ def makePallasRawStep(scene, histSpec, generator, raysPerStep,
     seqSpec = (nStages, {posOf[s]: stages[s] for s in stages
                          if s in posOf})
   powerTol = float(scene.get('powerTol', 1e-6))
+  firstSurfs = None
+  bounceSets = tailSurfs = None
+  unrollK = _shouldUnroll(scene, maxIntersections)
+  if emissionBound is not None:
+    firstSurfs = _firstBounceSurfs(surfRows, emissionBound)
+    if BEAM_CULL:
+      bounceSets, tailSurfs, unrollK = _beamCullSets(
+          surfRows, elemRows, scatterConsts, emissionBound,
+          maxIntersections, surfAllowed, unrollK,
+          triTable=triTable, surfTable=surfTable)
   kernel = _makeKernel(surfRows, elemRows, histSpec['elemToDet'],
                        histSpec['bounds'], (H, W), maxIntersections,
                        float(maxRayLength), float(distTol), powerTol,
@@ -2711,10 +2817,9 @@ def makePallasRawStep(scene, histSpec, generator, raysPerStep,
                        nTriSMEM=0 if triTable is None else len(triTable),
                        nTriChunks=nTriChunks,
                        nSurfSMEM=0 if surfTable is None else len(surfTable),
-                       surfRuns=surfRuns,
-                       firstSurfs=(_firstBounceSurfs(surfRows, emissionBound)
-                                   if emissionBound is not None else None),
-                       unrollBounces=_shouldUnroll(scene, maxIntersections))
+                       surfRuns=surfRuns, firstSurfs=firstSurfs,
+                       bounceSets=bounceSets, tailSurfs=tailSurfs,
+                       unrollBounces=unrollK)
   spec = pl.BlockSpec((rows, 128), lambda i: (i, 0),
                       memory_space=pltpu.VMEM)
   seedSpec = pl.BlockSpec(memory_space=pltpu.SMEM)

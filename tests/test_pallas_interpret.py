@@ -1458,3 +1458,210 @@ def test_in_kernel_coupled_scatter_interpret():
                   np.floor(fx[inside] * W).astype(int)), 1.)
   assert int(c['hits']) == int(inside.sum())
   assert np.abs(hK - ref).sum() <= 4
+
+
+# ---------------------------------------------------------------------------
+# per-bounce beam culling (ops/beam_cull, round-4 verdict #3)
+# ---------------------------------------------------------------------------
+
+def test_beam_cull_per_bounce_sets_and_matches_xla():
+  '''A 45-degree fold mirror sends the beam to a side detector: bounce 0
+  must sweep only the fold, bounce 1 only the detector, bounce 2 nothing
+  (the absorber terminates propagation) — and decoy mirrors the beam can
+  never reach stay culled at EVERY bounce while the kernel remains
+  bin-identical to the uncalled XLA path.'''
+  from optics_design_workbench_tpu.ops import beam_cull
+  scene = Scene(label='bcull')
+  scene.addOpticalGroup(OpticalGroup(
+      OpticalType='Mirror', Label='Fold',
+      surfaces=[S.plane(np.eye(4), elem=0, radius=60.)],
+      placements=[T.placement((0, 0, 100.), axis=(1, 0, 0), angleDeg=45.)]))
+  scene.addOpticalGroup(OpticalGroup(
+      OpticalType='Absorber', Label='Det', RecordHits=True,
+      surfaces=[S.plane(np.eye(4), elem=0, halfExtents=(50., 50.))],
+      placements=[T.placement((0, 200., 100.), axis=(1, 0, 0),
+                              angleDeg=-90.)]))
+  scene.addOpticalGroup(OpticalGroup(
+      OpticalType='Mirror', Label='DecoyBehind',
+      surfaces=[S.plane(np.eye(4), elem=0, radius=40.)],
+      placements=[T.translation(0, 0, -300.)]))
+  scene.addOpticalGroup(OpticalGroup(
+      OpticalType='Mirror', Label='DecoyBelow',
+      surfaces=[S.plane(np.eye(4), elem=0, radius=40.)],
+      placements=[T.placement((0, -200., 100.), axis=(1, 0, 0),
+                              angleDeg=-90.)]))
+  scene.addSource(PointSource(
+      Label='Src', PowerDensity='exp(-theta^2/0.01)', ThetaDomain='0, 0.2',
+      Wavelength=532., ThetaResolutionNumericMode='1e3',
+      placement=T.translation(0, 0, 1e-3)))
+  scene.addSimulationSettings(RaysPerIteration=1e4, MaxIntersections=4)
+  device, info = scene.compile()
+  device['powerTol'] = 1e-6
+  src = scene.lightSources()[0]
+  bound = src.emissionBound()
+  assert bound is not None
+  hs = fused.makeHistogramSpec(device, info,
+                               bounds=(-300., 300., -300., 300.),
+                               bins=(32, 128))
+  surfRows, elemRows, _m = pallas_trace._sceneRows(device, hs)
+  from optics_design_workbench_tpu.tracing.batch_tracer import \
+      scatterConstants
+  sets = beam_cull.propagateBounceSets(
+      surfRows, elemRows, scatterConstants(device), bound, 4)
+  byElem = {int(r['elemF']): i for i, r in enumerate(surfRows)}
+  fold, det = byElem[0], byElem[1]
+  decoys = {byElem[2], byElem[3]}
+  assert sets[0] == [fold]
+  assert det in sets[1]
+  # only the fold/detector pair ever stays reachable (the fold keeps
+  # ITSELF in later sets — a conservative self-reach, not a miss)
+  assert all(s is not None and set(s) <= {fold, det} for s in sets)
+  assert all(not (set(s) & decoys) for s in sets)
+  hP, hX, cP, cX = _runPair(scene, bounds=(-300., 300., -300., 300.),
+                            bins=(32, 128), maxIntersections=4, n=N,
+                            emissionBound=bound)
+  assert int(cX['hits']) > 0.5 * N
+  assert int(cP['hits']) == int(cX['hits'])
+  assert _nearlyEqualCounts(hP, hX)
+
+
+def test_beam_cull_reflect_back_keeps_detector():
+  '''Punish optimistic culling: a concave spherical mirror reflects the
+  beam BACK past the source onto a detector behind it. A naive
+  forward-only cull would drop that detector from every set; the
+  normal-cone reflection must keep it at bounce 1 and the kernel must
+  stay bin-identical (equal hit counts) with the XLA path.'''
+  from optics_design_workbench_tpu.ops import beam_cull
+  scene = Scene(label='bcullback')
+  # cap of a R=40 sphere centered at z=140: patch near z=100 facing -z
+  scene.addOpticalGroup(OpticalGroup(
+      OpticalType='Mirror', Label='Concave',
+      surfaces=[S.sphere(np.eye(4), elem=0, radius=40.,
+                         zRange=(-40., -36.))],
+      placements=[T.translation(0, 0, 140.)]))
+  scene.addOpticalGroup(OpticalGroup(
+      OpticalType='Absorber', Label='DetBehind', RecordHits=True,
+      surfaces=[S.plane(np.eye(4), elem=0, halfExtents=(200., 200.))],
+      placements=[T.translation(0, 0, -50.)]))
+  scene.addSource(PointSource(
+      Label='Src', PowerDensity='exp(-theta^2/0.01)', ThetaDomain='0, 0.15',
+      Wavelength=532., ThetaResolutionNumericMode='1e3',
+      placement=T.translation(0, 0, 1e-3)))
+  scene.addSimulationSettings(RaysPerIteration=1e4, MaxIntersections=3)
+  device, info = scene.compile()
+  device['powerTol'] = 1e-6
+  src = scene.lightSources()[0]
+  bound = src.emissionBound()
+  assert bound is not None
+  hs = fused.makeHistogramSpec(device, info,
+                               bounds=(-200., 200., -200., 200.),
+                               bins=(32, 128))
+  surfRows, elemRows, _m = pallas_trace._sceneRows(device, hs)
+  from optics_design_workbench_tpu.tracing.batch_tracer import \
+      scatterConstants
+  sets = beam_cull.propagateBounceSets(
+      surfRows, elemRows, scatterConstants(device), bound, 3)
+  byElem = {int(r['elemF']): i for i, r in enumerate(surfRows)}
+  assert byElem[1] in (sets[1] if sets[1] is not None else [byElem[1]])
+  hP, hX, cP, cX = _runPair(scene, bounds=(-200., 200., -200., 200.),
+                            bins=(32, 128), maxIntersections=3, n=N,
+                            emissionBound=bound)
+  assert int(cX['hits']) > 0.5 * N
+  assert int(cP['hits']) == int(cX['hits'])
+  assert _nearlyEqualCounts(hP, hX)
+
+
+def test_beam_cull_ball_lens_matches_xla():
+  '''Refraction through a full ball lens (enter + exit + possible TIR):
+  the culled kernel must keep every reachable surface (equal hit counts,
+  bin-identical) while a decoy far outside any refraction cone is culled
+  from every set.'''
+  from optics_design_workbench_tpu.ops import beam_cull
+  scene = Scene(label='bculllens')
+  scene.addOpticalGroup(OpticalGroup(
+      OpticalType='Lens', Label='Ball', RefractiveIndex=1.5,
+      surfaces=[S.sphere(np.eye(4), elem=0, radius=10.)],
+      placements=[T.translation(0, 0, 30.)]))
+  scene.addOpticalGroup(OpticalGroup(
+      OpticalType='Absorber', Label='Det', RecordHits=True,
+      surfaces=[S.plane(np.eye(4), elem=0, halfExtents=(80., 80.))],
+      placements=[T.translation(0, 0, 80.)]))
+  scene.addOpticalGroup(OpticalGroup(
+      OpticalType='Mirror', Label='Decoy',
+      surfaces=[S.plane(np.eye(4), elem=0, radius=30.)],
+      placements=[T.translation(0, 0, -400.)]))
+  scene.addSource(PointSource(
+      Label='Src', PowerDensity='exp(-theta^2/0.02)', ThetaDomain='0, 0.3',
+      Wavelength=532., ThetaResolutionNumericMode='1e3',
+      placement=T.translation(0, 0, 1e-3)))
+  scene.addSimulationSettings(RaysPerIteration=1e4, MaxIntersections=6)
+  device, info = scene.compile()
+  device['powerTol'] = 1e-6
+  src = scene.lightSources()[0]
+  bound = src.emissionBound()
+  assert bound is not None
+  hs = fused.makeHistogramSpec(device, info,
+                               bounds=(-100., 100., -100., 100.),
+                               bins=(32, 128))
+  surfRows, elemRows, _m = pallas_trace._sceneRows(device, hs)
+  from optics_design_workbench_tpu.tracing.batch_tracer import \
+      scatterConstants
+  sets = beam_cull.propagateBounceSets(
+      surfRows, elemRows, scatterConstants(device), bound, 6)
+  byElem = {int(r['elemF']): i for i, r in enumerate(surfRows)}
+  decoy = byElem[2]
+  assert all(s is None or decoy not in s for s in sets)
+  assert any(s is not None and decoy not in s for s in sets)
+  hP, hX, cP, cX = _runPair(scene, bounds=(-100., 100., -100., 100.),
+                            bins=(32, 128), maxIntersections=6, n=N,
+                            emissionBound=bound)
+  assert int(cX['hits']) > 0.3 * N
+  assert int(cP['hits']) == int(cX['hits'])
+  assert _nearlyEqualCounts(hP, hX)
+
+
+def test_beam_cull_normal_cone_conservative():
+  '''normalCone must CONTAIN every oriented world normal of the patch:
+  sampled numerically for a rotated sphere band, an off-axis cap and an
+  asphere; unknown kinds return None.'''
+  from optics_design_workbench_tpu.ops import beam_cull
+  rng = np.random.default_rng(3)
+  axis = np.array([1., 2., -0.5])
+  axis /= np.linalg.norm(axis)
+  M = T.placement((3., -2., 7.), axis=axis, angleDeg=37.)
+  for zr, orient in (((2., 8.), +1), ((-8., -3.), -1), ((-4., 5.), +1)):
+    surf = S.sphere(M, elem=0, radius=8., zRange=zr, orient=orient)
+    tab = S.buildSurfaceTable([surf], devicePut=False)
+    hs = dict(elemToDet=np.array([-1]), bounds=np.zeros((0, 4)))
+    rows, _e, _m = pallas_trace._sceneRows(
+        dict(surfaces=tab, elements=dict(packed=np.zeros((1, 11)),
+                                         optType=np.zeros(1))), hs)
+    nc = beam_cull.normalCone(rows[0])
+    assert nc is not None
+    cAxis, cAlpha = nc
+    R = np.array([[rows[0]['r00'], rows[0]['r01'], rows[0]['r02']],
+                  [rows[0]['r10'], rows[0]['r11'], rows[0]['r12']],
+                  [rows[0]['r20'], rows[0]['r21'], rows[0]['r22']]])
+    z = rng.uniform(zr[0], zr[1], 400)
+    phi = rng.uniform(0, 2 * np.pi, 400)
+    r = np.sqrt(np.maximum(64. - z * z, 0.))
+    nLoc = np.stack([r * np.cos(phi), r * np.sin(phi), z], 1) / 8.
+    nW = (R.T @ nLoc.T).T * orient
+    cosang = nW @ cAxis
+    assert (np.arccos(np.clip(cosang, -1, 1)) <= cAlpha + 1e-6).all()
+  # plane: exact
+  rowsP, _e2, _m2 = pallas_trace._sceneRows(
+      dict(surfaces=S.buildSurfaceTable(
+          [S.plane(M, elem=0, radius=5., orient=-1)], devicePut=False),
+           elements=dict(packed=np.zeros((1, 11)), optType=np.zeros(1))),
+      dict(elemToDet=np.array([-1]), bounds=np.zeros((0, 4))))
+  ncP = beam_cull.normalCone(rowsP[0])
+  assert ncP is not None and ncP[1] == 0.
+  # cylinders have no useful cone
+  rowsC, _e3, _m3 = pallas_trace._sceneRows(
+      dict(surfaces=S.buildSurfaceTable(
+          [S.cylinder(M, elem=0, radius=5., zRange=(0., 4.))],
+          devicePut=False),
+           elements=dict(packed=np.zeros((1, 11)), optType=np.zeros(1))),
+      dict(elemToDet=np.array([-1]), bounds=np.zeros((0, 4))))
+  assert beam_cull.normalCone(rowsC[0]) is None

@@ -14,6 +14,8 @@ bar for, and prints measured-vs-target:
   conditioned_dirac  theta_in lobe + DiracDelta  >= 0.3  G seg/s (VERDICT #2)
   example2_prims     reference example 2 (trim   >= 1.0  G seg/s (VERDICT #3)
                      prims, 26 surfaces)
+  example2_doubled   example 2 + a second un-   >= 0.7  G seg/s (round-5:
+                     lit copy (52 surfaces)      sublinear via beam culling)
   mesh_fold          triangle-mesh fold mirror   >= 0.3  G seg/s (VERDICT #3)
   spectrometer       reflection grating          >= 0.3  G seg/s (4th BASELINE)
   mesh_dish_smem     200-tri SMEM mesh sweep     >= 0.1  G seg/s (round 3)
@@ -73,7 +75,7 @@ def _bestOfWindows(stepFn, syncFn, perCall, windows=3, minSeconds=1.5,
 
 
 def _measureHistScene(scene, maxIntersections, bounds, bins=(128, 128),
-                      raysPerStep=1 << 22):
+                      raysPerStep=1 << 22, **stepKw):
   '''G segments/s through the fused Pallas histogram step.'''
   from optics_design_workbench_tpu.ops import pallas_trace
   from optics_design_workbench_tpu.tracing import fused
@@ -92,7 +94,7 @@ def _measureHistScene(scene, maxIntersections, bounds, bins=(128, 128),
       raysPerStep=raysPerStep, maxIntersections=maxIntersections,
       maxRayLength=1e6, distTol=1e-4, sampler=sampler,
       emissionBound=(src.emissionBound()
-                     if hasattr(src, 'emissionBound') else None))
+                     if hasattr(src, 'emissionBound') else None), **stepKw)
   key = jax.random.PRNGKey(11)
   state = {'h': fused.initHistograms(histSpec)}
 
@@ -169,6 +171,30 @@ def sceneExample2():
   shutil.copy(ref2, '/tmp/scene_throughput_m2.FCStd')
   return (loadFCStd('/tmp/scene_throughput_m2.FCStd'), 8,
           (-60., 60., -60., 60.))
+
+
+def sceneExample2Doubled():
+  '''Example 2 with a full second copy of its 26-surface assembly placed
+  500 mm aside (52 surfaces, one source): the round-4 verdict #3 scaling
+  probe — per-bounce beam culling must keep the sweep near the LIT
+  assembly's cost, so the rate degrades sublinearly vs example2_prims
+  instead of halving.'''
+  import copy
+  scene, maxI, bounds = sceneExample2()
+  off = np.eye(4)
+  off[0, 3] = 500.
+  for g in list(scene.opticalObjects()):
+    g2 = copy.deepcopy(g)
+    g2.Label = g.Label + 'Copy'
+    g2.placements = [off @ np.asarray(p, float) for p in g2.placements]
+    scene.add(g2)
+  # tile-stratified sampling: each tile draws from its own (theta, phi)
+  # stratum, so tiles whose angular wedge only lights the near assembly go
+  # all-dead early and skip the 52-surface sweep entirely (the grazing
+  # wedge that can reach the copy is a small fraction of the quantile
+  # space) — dynamic sublinearity where a SOUND static cull cannot prune
+  # (grazing rays physically reach the copy)
+  return scene, maxI, bounds, dict(tileStratified=True)
 
 
 def sceneMeshFold():
@@ -612,6 +638,7 @@ CRITERIA = [
     ('diffuse_scatter', sceneDiffuseScatter, 0.3e9, 1e9, 'G seg/s'),
     ('conditioned_dirac', sceneConditionedDirac, 0.3e9, 1e9, 'G seg/s'),
     ('example2_prims', sceneExample2, 1.0e9, 1e9, 'G seg/s'),
+    ('example2_doubled', sceneExample2Doubled, 0.7e9, 1e9, 'G seg/s'),
     ('mesh_fold', sceneMeshFold, 0.3e9, 1e9, 'G seg/s'),
     ('spectrometer', sceneSpectrometer, 0.3e9, 1e9, 'G seg/s'),
     ('mesh_dish_smem', sceneMeshDish, 0.1e9, 1e9, 'G seg/s'),
@@ -663,8 +690,10 @@ def main():
       continue
     t0 = time.perf_counter()
     try:
-      scene, maxI, bounds = builder()
-      rate, meta = _measureHistScene(scene, maxI, bounds)
+      out = builder()
+      scene, maxI, bounds = out[:3]
+      stepKw = out[3] if len(out) > 3 else {}
+      rate, meta = _measureHistScene(scene, maxI, bounds, **stepKw)
       ok = rate >= target
       results[name] = dict(rate=rate, target=target, ok=bool(ok), **meta)
       print(f'{name:18s} {rate/scaleV:8.3f} {unit}  target '
