@@ -67,6 +67,11 @@ SMEM_TRI_LIMIT = int(os.environ.get('ODW_TPU_SMEM_TRI_LIMIT', '10240'))
 # verdict #5 — assemblies past the 256-surface immediates budget).
 SMEM_SURF_LIMIT = int(os.environ.get('ODW_TPU_SMEM_SURF_LIMIT', '4096'))
 
+# SMEM analytic-surface sweep: rows per Morton chunk for the per-ray
+# broad-phase cull (_chunkSurfRows — the triangle-chunk mechanism applied
+# to the scalar surface table; chunked runs are padded to this stride).
+_SURF_CHUNK = 32
+
 # Winner-attribute pass after the argmin sweep: 'accum' gathers the winning
 # surface's transform/orient/normal-params as columns via one cheap select
 # per constant per surface, then runs the local transform + per-KIND normal
@@ -332,7 +337,8 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
                 histRows=None, hitSlots=1, surfAllowed=None, seqSpec=None,
                 sampler=None, scatterConsts=None, nUniformInputs=0,
                 nMasks=0, rawRecords=False, unrollBounces=0, nTriSMEM=0,
-                nTriChunks=0, nSurfSMEM=0, surfRuns=(), firstSurfs=None,
+                nTriChunks=0, nSurfSMEM=0, surfRuns=(), nSurfChunks=0,
+                surfChunkRuns=(), firstSurfs=None,
                 bounceSets=None, tailSurfs=None):
   '''Build the kernel body with the scene baked in as python constants.
   surfRows: list of per-surface dicts of floats; elemRows likewise.
@@ -523,14 +529,23 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
     chunkRef = rest[nMasks + 1] if nTriChunks > 1 else None
     nIn = nMasks + (1 if nTriSMEM else 0) + (1 if nTriChunks > 1 else 0)
     surfRef = rest[nIn] if nSurfSMEM else None    # (nRows, 21) SMEM scalars
-    out_refs = rest[nIn + (1 if nSurfSMEM else 0):]
-    survRef = None
-    if nTriChunks > 1:
-      # SMEM scratch written by the scalar broad-phase prepass (surviving
-      # chunk ids); LAST kernel argument (pallas passes scratch after
-      # outputs)
-      survRef = out_refs[-1]
-      out_refs = out_refs[:-1]
+    nIn += 1 if nSurfSMEM else 0
+    surfChunkRef = rest[nIn] if nSurfChunks else None  # (nCh, 6) AABBs
+    out_refs = rest[nIn + (1 if nSurfChunks else 0):]
+    survRef = surfSurvRef = None
+    # SMEM scratch written by the scalar broad-phase prepasses (surviving
+    # chunk ids); LAST kernel arguments (pallas passes scratch after
+    # outputs), in scratch_shapes order: triangles then surfaces
+    nScratch = (1 if nTriChunks > 1 else 0) + (1 if nSurfChunks else 0)
+    if nScratch:
+      scratchRefs = out_refs[len(out_refs) - nScratch:]
+      out_refs = out_refs[:len(out_refs) - nScratch]
+      si = 0
+      if nTriChunks > 1:
+        survRef = scratchRefs[0]
+        si = 1
+      if nSurfChunks:
+        surfSurvRef = scratchRefs[si]
     if rawRecords:
       # 9 ring outputs per slot: elem, power, world point, incoming
       # direction, isEntering (the kernel twin of batch_tracer's records)
@@ -734,6 +749,36 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
       # Sequential-mode stage gates and per-source surface masks are
       # compile-time per-SURFACE constants and cannot apply per SMEM row,
       # so eligibility keeps such scenes on the immediates/XLA paths.
+      if nTriChunks > 1 or nSurfChunks:
+        # shared broad-phase state for the SMEM chunk culls: sign-preserving
+        # inverse direction (zero clamped — the slab test stays
+        # conservative, the interval collapses to the origin's side) and
+        # the alive mask
+        aliveMask = aliveF > 0.5
+
+        def _safeInv(d):
+          mag = jnp.maximum(jnp.abs(d), 1e-30)
+          return jnp.where(d < 0., -1.0, 1.0) / mag
+
+        invDx, invDy, invDz = _safeInv(dx), _safeInv(dy), _safeInv(dz)
+
+        def _slabSurvives(boxRef, c, tCapRay):
+          '''Scalar-core prepass body: does ANY alive ray's segment (capped
+          at its current-best hit) enter chunk c's AABB?'''
+          tx1 = (boxRef[c, 0] - ox) * invDx
+          tx2 = (boxRef[c, 3] - ox) * invDx
+          ty1 = (boxRef[c, 1] - oy) * invDy
+          ty2 = (boxRef[c, 4] - oy) * invDy
+          tz1 = (boxRef[c, 2] - oz) * invDz
+          tz2 = (boxRef[c, 5] - oz) * invDz
+          tN = jnp.maximum(jnp.maximum(jnp.minimum(tx1, tx2),
+                                       jnp.minimum(ty1, ty2)),
+                           jnp.maximum(jnp.minimum(tz1, tz2), 0.))
+          tF = jnp.minimum(jnp.minimum(jnp.maximum(tx1, tx2),
+                                       jnp.maximum(ty1, ty2)),
+                           jnp.minimum(jnp.maximum(tz1, tz2), tCapRay))
+          return jnp.max(jnp.where((tN <= tF) & aliveMask, 1., 0.)) > 0.
+
       if nTriSMEM:
         def _triBody(i, c):
           tT, nxT, nyT, nzT, elT = c
@@ -785,32 +830,10 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
           # (housings, detectors) cull chunks behind each ray's nearest
           # analytic hit. ~30 VPU ops per chunk per bounce; the savings
           # are ~40 ops per culled TRIANGLE (_TRI_CHUNK = 64 per chunk).
-          aliveMask = aliveF > 0.5
-
-          def _safeInv(d):
-            # sign-preserving 1/d with the zero-direction clamped: the
-            # slab test stays conservative (interval collapses to the
-            # origin's side)
-            mag = jnp.maximum(jnp.abs(d), 1e-30)
-            return jnp.where(d < 0., -1.0, 1.0) / mag
-
-          invDx, invDy, invDz = _safeInv(dx), _safeInv(dy), _safeInv(dz)
           tCapRay = jnp.minimum(tBest, mrlEff) + 2 * distTol
 
           def _pre(c, count):
-            tx1 = (chunkRef[c, 0] - ox) * invDx
-            tx2 = (chunkRef[c, 3] - ox) * invDx
-            ty1 = (chunkRef[c, 1] - oy) * invDy
-            ty2 = (chunkRef[c, 4] - oy) * invDy
-            tz1 = (chunkRef[c, 2] - oz) * invDz
-            tz2 = (chunkRef[c, 5] - oz) * invDz
-            tN = jnp.maximum(jnp.maximum(jnp.minimum(tx1, tx2),
-                                         jnp.minimum(ty1, ty2)),
-                             jnp.maximum(jnp.minimum(tz1, tz2), 0.))
-            tF = jnp.minimum(jnp.minimum(jnp.maximum(tx1, tx2),
-                                         jnp.maximum(ty1, ty2)),
-                             jnp.minimum(jnp.maximum(tz1, tz2), tCapRay))
-            anyHit = jnp.max(jnp.where((tN <= tF) & aliveMask, 1., 0.)) > 0.
+            anyHit = _slabSurvives(chunkRef, c, tCapRay)
 
             def _keep(k):
               survRef[k] = c
@@ -899,6 +922,36 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
               runStart, runStop,
               lambda i, cc, _k=runKind, _t=runTrim0: _surfBody(i, cc, _k,
                                                                _t), cS)
+        # ---- chunk-culled runs (_chunkSurfRows): per-run scalar prepass
+        # slab-tests each Morton-chunk AABB against every alive ray
+        # (capped at the ray's current best hit, INCLUDING the plain-run
+        # sweep above via cS[0]); the vector loop then sweeps surviving
+        # chunks only, at the run's fixed _SURF_CHUNK row stride (short
+        # chunks are padded with never-hit dummy rows) ----
+        if surfChunkRuns:
+          tCapS = jnp.minimum(jnp.minimum(tBest, cS[0]), mrlEff) \
+              + 2 * distTol
+
+          def _sPre(c, count):
+            anyHit = _slabSurvives(surfChunkRef, c, tCapS)
+
+            def _keep(k):
+              surfSurvRef[k] = c
+              return k + 1
+
+            return lax.cond(anyHit, _keep, lambda k: k, count)
+
+          for runKind, runTrim0, c0, c1, rowStart in surfChunkRuns:
+            nSurv = lax.fori_loop(c0, c1, _sPre, jnp.int32(0))
+
+            def _sChunk(j, cc, _k=runKind, _t=runTrim0, _c0=c0,
+                        _r0=rowStart):
+              base = _r0 + (surfSurvRef[j] - _c0) * _SURF_CHUNK
+              return lax.fori_loop(
+                  0, _SURF_CHUNK,
+                  lambda i, c2: _surfBody(base + i, c2, _k, _t), cc)
+
+            cS = lax.fori_loop(0, nSurv, _sChunk, cS)
         tSm, nxSm, nySm, nzSm, elSm, lxSm, lySm = cS
         b = tSm < tBest
         sBest = jnp.where(b, -3.0, sBest)
@@ -2041,10 +2094,12 @@ def _sceneRows(scene, histSpec, smemTris=False, smemSurfs=False):
   smemSurfs=True additionally splits every closed-form ANALYTIC surface of
   a simple kind (plane/sphere/cylinder/cone/quadric) with a window trim
   into a (nRows, 21) float32 table [rot(9), off(3), orient, elemF,
-  p0..p4, trim1, trim2] plus a run list [(kind, trim0, start, stop)] —
-  the kernel's SMEM surface sweep (assemblies past the 256-surface
-  immediates budget, round-4 verdict #5). Rows with bitmap trims, hole
-  prims, aspheres and tori stay immediates.
+  p0..p4, trim1, trim2] plus FOUR parts (_chunkSurfRows): plain runs
+  [(kind, trim0, start, stop)], Morton-chunk AABBs, and chunked runs
+  [(kind, trim0, chunkStart, chunkStop, rowStart)] for the kernel's
+  broad-phase-culled SMEM surface sweep (assemblies past the 256-surface
+  immediates budget, round-4 verdict #5; chunk cull round 5). Rows with
+  bitmap trims, hole prims, aspheres and tori stay immediates.
   Each returned row carries `sceneIdx` (its index in the scene's surface
   table) so callers can remap per-scene-index masks onto row positions.'''
   surf = scene['surfaces']
@@ -2131,7 +2186,8 @@ def _sceneRows(scene, histSpec, smemTris=False, smemSurfs=False):
           row['r12'], row['r20'], row['r21'], row['r22'],
           row['t0'], row['t1'], row['t2'], row['orient'], row['elemF'],
           row['p0'], row['p1'], row['p2'], row['p3'], row['p4'],
-          row['trim1'], row['trim2']], dtype=np.float32)))
+          row['trim1'], row['trim2']], dtype=np.float32),
+          _boundingSphere(row)))
       continue
     surfRows.append(row)
   _assignXformGroups(surfRows)
@@ -2164,19 +2220,93 @@ def _sceneRows(scene, histSpec, smemTris=False, smemSurfs=False):
     triTable, chunkTable = _chunkTriangles(triTable)
     out += [triTable, chunkTable]
   if smemSurfs:
-    # contiguous (kind, trim0) runs: the kernel sweeps each run with one
-    # fori_loop whose kind/trim formulas are static
-    smemSurfRows.sort(key=lambda e: (e[0], e[1]))
-    surfTable = (np.stack([e[2] for e in smemSurfRows])
-                 if smemSurfRows else np.zeros((0, 21), np.float32))
-    surfRuns = []
-    for i, (kind, trim0, _r) in enumerate(smemSurfRows):
-      if surfRuns and surfRuns[-1][0] == kind and surfRuns[-1][1] == trim0:
-        surfRuns[-1] = (kind, trim0, surfRuns[-1][2], i + 1)
-      else:
-        surfRuns.append((kind, trim0, i, i + 1))
-    out += [surfTable, tuple(surfRuns)]
+    out += list(_chunkSurfRows(smemSurfRows))
   return tuple(out)
+
+
+def _dummySurfRow(kind, trim0):
+  '''A 21-col SMEM surface row that can never be hit (empty trim window,
+  well-conditioned params) — pads chunked runs to a fixed _SURF_CHUNK
+  stride so the kernel's survivor loop uses a constant row stride.'''
+  t1, t2 = (-1., -1.) if trim0 == 1. else (2., 1.)
+  return np.array([1., 0., 0., 0., 1., 0., 0., 0., 1.,   # identity rot
+                   0., 0., 0., 1., 0.,                    # off, orient, elem
+                   1., 1., 0., 0., 0.,                    # p0..p4
+                   t1, t2], dtype=np.float32)
+
+
+def _chunkSurfRows(smemSurfRows):
+  '''Pack sorted (kind, trim0, row, boundingSphere) entries into the SMEM
+  surface table plus the kernel's sweep structure. Runs longer than
+  _SURF_CHUNK whose members all have bounding spheres are Morton-ordered
+  and chunked with per-chunk world AABBs (center +- radius), padded to a
+  fixed _SURF_CHUNK stride with never-hit dummy rows; the kernel's scalar
+  broad-phase then slab-tests each chunk against every alive ray and
+  sweeps survivors only (the triangle-chunk mechanism, round-5: the
+  surf_wall class measured 0.067 G seg/s with the flat 522-row sweep).
+  Returns (surfTable, plainRuns, chunkBoxes, chunkRuns):
+    plainRuns: ((kind, trim0, rowStart, rowStop), ...) swept fully
+    chunkBoxes: (nChunks, 6) f32 AABBs
+    chunkRuns: ((kind, trim0, chunkStart, chunkStop, rowStart), ...) —
+      chunk c of a run covers rows [rowStart + (c - chunkStart) *
+      _SURF_CHUNK, +_SURF_CHUNK).'''
+  smemSurfRows = sorted(smemSurfRows, key=lambda e: (e[0], e[1]))
+  grouped = []
+  for ent in smemSurfRows:
+    if grouped and grouped[-1][0] == ent[0] and grouped[-1][1] == ent[1]:
+      grouped[-1][2].append(ent)
+    else:
+      grouped.append((ent[0], ent[1], [ent]))
+  tableRows, plainRuns, chunkBoxes, chunkRuns = [], [], [], []
+  for kind, trim0, entries in grouped:
+    bss = [e[3] for e in entries]
+    if len(entries) > _SURF_CHUNK and all(b is not None for b in bss):
+      cen = np.array([b[0] for b in bss], np.float64)
+      rho = np.array([b[1] for b in bss], np.float64)
+      order = _mortonOrder(cen)
+      entries = [entries[i] for i in order]
+      cen, rho = cen[order], rho[order]
+      rowStart, c0 = len(tableRows), len(chunkBoxes)
+      nCh = -(-len(entries) // _SURF_CHUNK)
+      for c in range(nCh):
+        s = slice(c * _SURF_CHUNK, min((c + 1) * _SURF_CHUNK,
+                                       len(entries)))
+        lo = (cen[s] - rho[s, None]).min(0)
+        hi = (cen[s] + rho[s, None]).max(0)
+        pad = 1e-5 * max(1., float(np.abs(np.stack([lo, hi])).max()))
+        chunkBoxes.append(np.concatenate([lo - pad, hi + pad]))
+        rows = [e[2] for e in entries[s]]
+        rows += [_dummySurfRow(kind, trim0)] * (_SURF_CHUNK - len(rows))
+        tableRows += rows
+      chunkRuns.append((kind, trim0, c0, c0 + nCh, rowStart))
+    else:
+      rowStart = len(tableRows)
+      tableRows += [e[2] for e in entries]
+      plainRuns.append((kind, trim0, rowStart, rowStart + len(entries)))
+  surfTable = (np.stack(tableRows).astype(np.float32)
+               if tableRows else np.zeros((0, 21), np.float32))
+  boxes = (np.stack(chunkBoxes).astype(np.float32)
+           if chunkBoxes else np.zeros((0, 6), np.float32))
+  return surfTable, tuple(plainRuns), boxes, tuple(chunkRuns)
+
+
+def _mortonOrder(cen):
+  '''Stable Morton (Z-curve) ordering of (n, 3) points — spatially close
+  rows land in the same chunk so per-chunk AABBs stay tight.'''
+  cen = np.asarray(cen, np.float64)
+  lo, hi = cen.min(0), cen.max(0)
+  span = np.maximum(hi - lo, 1e-12)
+  q = np.clip(((cen - lo) / span * 1023.).astype(np.int64), 0, 1023)
+
+  def spread(x):
+    x = (x | (x << 16)) & 0x030000FF
+    x = (x | (x << 8)) & 0x0300F00F
+    x = (x | (x << 4)) & 0x030C30C3
+    x = (x | (x << 2)) & 0x09249249
+    return x
+
+  code = (spread(q[:, 0]) << 2) | (spread(q[:, 1]) << 1) | spread(q[:, 2])
+  return np.argsort(code, kind='stable')
 
 
 def _chunkTriangles(triTable):
@@ -2192,19 +2322,7 @@ def _chunkTriangles(triTable):
   v1 = v0 + triTable[:, 3:6]
   v2 = v0 + triTable[:, 6:9]
   cen = (v0 + v1 + v2) / 3.
-  lo, hi = cen.min(0), cen.max(0)
-  span = np.maximum(hi - lo, 1e-12)
-  q = np.clip(((cen - lo) / span * 1023.).astype(np.int64), 0, 1023)
-
-  def spread(x):
-    x = (x | (x << 16)) & 0x030000FF
-    x = (x | (x << 8)) & 0x0300F00F
-    x = (x | (x << 4)) & 0x030C30C3
-    x = (x | (x << 2)) & 0x09249249
-    return x
-
-  code = (spread(q[:, 0]) << 2) | (spread(q[:, 1]) << 1) | spread(q[:, 2])
-  order = np.argsort(code, kind='stable')
+  order = _mortonOrder(cen)
   triTable = triTable[order]
   v0, v1, v2 = v0[order], v1[order], v2[order]
   nChunks = -(-n // _TRI_CHUNK)
@@ -2505,9 +2623,10 @@ def makePallasTraceStep(scene, histSpec, generator, raysPerStep,
   if useSmemTris:
     triTable, chunkTable = parts[3:5]
     k = 5
-  surfTable, surfRuns = (parts[k:k + 2] if useSmemSurfs
-                         else (None, ()))
+  surfTable, surfRuns, surfChunkTable, surfChunkRuns = \
+      (parts[k:k + 4] if useSmemSurfs else (None, (), None, ()))
   nTriChunks = 0 if chunkTable is None else len(chunkTable)
+  nSurfChunks = 0 if surfChunkTable is None else len(surfChunkTable)
   surfAllowed, seqSpec = _staticMasks(scene)
   # _staticMasks indexes the SCENE surface table; surfRows omit the
   # SMEM-split surfaces, so remap mask indices onto row POSITIONS
@@ -2537,7 +2656,8 @@ def makePallasTraceStep(scene, histSpec, generator, raysPerStep,
   if (sampler is not None and sampler.get('type') != 'surface'
       and nGridTiles > 1
       and (tileStratified is True
-           or (tileStratified == 'auto' and nTriChunks > 1))):
+           or (tileStratified == 'auto'
+               and (nTriChunks > 1 or nSurfChunks > 0)))):
     k2 = max(int(nGridTiles).bit_length() - 1, 0) // 2
     G2 = 1 << k2
     G1 = nGridTiles // G2
@@ -2554,7 +2674,8 @@ def makePallasTraceStep(scene, histSpec, generator, raysPerStep,
                        nTriSMEM=0 if triTable is None else len(triTable),
                        nTriChunks=nTriChunks,
                        nSurfSMEM=0 if surfTable is None else len(surfTable),
-                       surfRuns=surfRuns, firstSurfs=firstSurfs,
+                       surfRuns=surfRuns, nSurfChunks=nSurfChunks,
+                       surfChunkRuns=surfChunkRuns, firstSurfs=firstSurfs,
                        bounceSets=bounceSets, tailSurfs=tailSurfs,
                        unrollBounces=unrollK)
   spec = pl.BlockSpec((rows, 128), lambda i: (i, 0),
@@ -2579,8 +2700,12 @@ def makePallasTraceStep(scene, histSpec, generator, raysPerStep,
   if surfTable is not None and len(surfTable):
     maskInputs = maskInputs + (jnp.asarray(surfTable),)
     inSpecs += [pl.BlockSpec(memory_space=pltpu.SMEM)]
+  if nSurfChunks:
+    maskInputs = maskInputs + (jnp.asarray(surfChunkTable),)
+    inSpecs += [pl.BlockSpec(memory_space=pltpu.SMEM)]
   scratch = ([pltpu.SMEM((nTriChunks,), jnp.int32)]
-             if nTriChunks > 1 else [])
+             if nTriChunks > 1 else []) \
+      + ([pltpu.SMEM((nSurfChunks,), jnp.int32)] if nSurfChunks else [])
   if inKernelHist:
     histSpecBlock = pl.BlockSpec((D * H, 2 * W), lambda i: (0, 0),
                                  memory_space=pltpu.VMEM)
@@ -2784,9 +2909,10 @@ def makePallasRawStep(scene, histSpec, generator, raysPerStep,
   if useSmemTris:
     triTable, chunkTable = parts[3:5]
     k = 5
-  surfTable, surfRuns = (parts[k:k + 2] if useSmemSurfs
-                         else (None, ()))
+  surfTable, surfRuns, surfChunkTable, surfChunkRuns = \
+      (parts[k:k + 4] if useSmemSurfs else (None, (), None, ()))
   nTriChunks = 0 if chunkTable is None else len(chunkTable)
+  nSurfChunks = 0 if surfChunkTable is None else len(surfChunkTable)
   surfAllowed, seqSpec = _staticMasks(scene)
   posOf = {r['sceneIdx']: p for p, r in enumerate(surfRows)}
   if surfAllowed is not None:
@@ -2817,7 +2943,8 @@ def makePallasRawStep(scene, histSpec, generator, raysPerStep,
                        nTriSMEM=0 if triTable is None else len(triTable),
                        nTriChunks=nTriChunks,
                        nSurfSMEM=0 if surfTable is None else len(surfTable),
-                       surfRuns=surfRuns, firstSurfs=firstSurfs,
+                       surfRuns=surfRuns, nSurfChunks=nSurfChunks,
+                       surfChunkRuns=surfChunkRuns, firstSurfs=firstSurfs,
                        bounceSets=bounceSets, tailSurfs=tailSurfs,
                        unrollBounces=unrollK)
   spec = pl.BlockSpec((rows, 128), lambda i: (i, 0),
@@ -2840,13 +2967,18 @@ def makePallasRawStep(scene, histSpec, generator, raysPerStep,
   if surfTable is not None and len(surfTable):
     maskInputs = maskInputs + (jnp.asarray(surfTable),)
     inSpecs += [pl.BlockSpec(memory_space=pltpu.SMEM)]
+  if nSurfChunks:
+    maskInputs = maskInputs + (jnp.asarray(surfChunkTable),)
+    inSpecs += [pl.BlockSpec(memory_space=pltpu.SMEM)]
   nOut = 9 * hitSlots + 2
   traceCall = pl.pallas_call(
       kernel, grid=grid, in_specs=inSpecs, out_specs=[spec] * nOut,
       out_shape=[jax.ShapeDtypeStruct((totalRows, 128),
                                       jnp.float32)] * nOut,
-      scratch_shapes=([pltpu.SMEM((nTriChunks,), jnp.int32)]
-                      if nTriChunks > 1 else []),
+      scratch_shapes=(([pltpu.SMEM((nTriChunks,), jnp.int32)]
+                       if nTriChunks > 1 else [])
+                      + ([pltpu.SMEM((nSurfChunks,), jnp.int32)]
+                         if nSurfChunks else [])),
       interpret=(pltpu.InterpretParams() if interpret else False),
   )
   needSeed = (sampler is not None or scatterConsts) and not nUniform

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from .tracer import VACUUM_MEDIUM
+from ..ops import histogram as histOps
 
 
 def makeHistogramSpec(scene, info, recordElems=None, bounds=None,
@@ -95,9 +96,23 @@ def _traceHistogram(scene, elemToDet, bounds, bins, histograms, origins,
     w = jnp.where(inside, rec['power'], 0.)
     c = inside.astype(hist['counts'].dtype)
 
+    D = histograms['power'].shape[0]
+
     def doScatter(hist):
-      # one fused scatter for (power, counts): halves the scatter cost
       payload = jnp.stack([w, c], axis=-1)
+      if histOps.matmulWorthwhile(D * H, W, N):
+        # scatter-free MXU binning (ops/histogram): an XLA scatter-add
+        # costs a flat ~17 ns/update on v5e, the factorized one-hot
+        # matmul ~4.8x less at modest histogram shapes; 'highest'
+        # precision keeps the power channel f32-exact (counts are exact
+        # at any setting)
+        flat = (d0 * H + iy) * W + ix
+        acc = histOps.matmulAccumulate(flat, payload, D * H, W,
+                                       precision='highest')
+        acc = acc.reshape(D, H, W, 2)
+        return dict(power=hist['power'] + acc[..., 0],
+                    counts=hist['counts'] + acc[..., 1])
+      # one fused scatter for (power, counts): halves the scatter cost
       stacked = jnp.stack([hist['power'], hist['counts']], axis=-1)
       stacked = stacked.at[d0, iy, ix].add(payload)
       return dict(power=stacked[..., 0], counts=stacked[..., 1])

@@ -1665,3 +1665,59 @@ def test_beam_cull_normal_cone_conservative():
            elements=dict(packed=np.zeros((1, 11)), optType=np.zeros(1))),
       dict(elemToDet=np.array([-1]), bounds=np.zeros((0, 4))))
   assert beam_cull.normalCone(rowsC[0]) is None
+
+
+def test_smem_surface_chunking_host_invariants():
+  '''_chunkSurfRows: long runs with bounding spheres are Morton-chunked at
+  a fixed _SURF_CHUNK stride (padded with never-hit dummy rows), every
+  real surface appears exactly once, chunk AABBs contain their members'
+  spheres, and runs without spheres stay plain.'''
+  from optics_design_workbench_tpu.ops.pallas_trace import (
+      _chunkSurfRows, _dummySurfRow, _SURF_CHUNK, _intersectConst, _BIG)
+  rng = np.random.default_rng(5)
+  entries = []
+  for i in range(80):            # an 80-plane run (chunked)
+    row = np.zeros(21, np.float32)
+    row[0] = row[4] = row[8] = 1.
+    row[9:12] = rng.uniform(-50., 50., 3)
+    row[12], row[13] = 1., 0.
+    row[19], row[20] = 0., 5.    # disc r <= 5
+    entries.append((0, 0., row, (np.asarray(-row[9:12], float), 5.)))
+  rowU = np.zeros(21, np.float32)
+  rowU[0] = rowU[4] = rowU[8] = 1.
+  rowU[12], rowU[20] = 1., 1e30
+  entries.append((0, 1., rowU, None))   # unbounded rect run: plain
+  table, plain, boxes, chunkRuns = _chunkSurfRows(entries)
+  assert len(chunkRuns) == 1 and len(plain) == 1
+  kind, trim0, c0, c1, rowStart = chunkRuns[0]
+  nCh = c1 - c0
+  assert nCh == -(-80 // _SURF_CHUNK) and len(boxes) == nCh
+  assert (c1 - c0) * _SURF_CHUNK == 3 * _SURF_CHUNK
+  # every real row appears exactly once in the chunked block
+  block = table[rowStart:rowStart + nCh * _SURF_CHUNK]
+  real = block[np.abs(block[:, 20] - 5.) < 1e-6]
+  assert len(real) == 80
+  offs = sorted(map(tuple, real[:, 9:12].tolist()))
+  assert offs == sorted(map(tuple,
+                            np.stack([e[2][9:12] for e in entries[:80]])
+                            .tolist()))
+  # chunk AABBs contain their member spheres
+  for c in range(nCh):
+    rows = block[c * _SURF_CHUNK:(c + 1) * _SURF_CHUNK]
+    rows = rows[np.abs(rows[:, 20] - 5.) < 1e-6]
+    cen = -rows[:, 9:12]
+    assert (cen - 5. >= boxes[c, :3] - 1e-3).all()
+    assert (cen + 5. <= boxes[c, 3:] + 1e-3).all()
+  # dummy rows can never be hit, for every smem kind/trim combo
+  for kind, trim0 in ((0, 0.), (0, 1.), (1, 0.), (2, 0.), (5, 0.),
+                      (6, 0.)):
+    d = _dummySurfRow(kind, trim0)
+    r = dict(kind=kind, trim0=trim0, p0=float(d[14]), p1=float(d[15]),
+             p2=float(d[16]), p3=float(d[17]), p4=float(d[18]),
+             trim1=float(d[19]), trim2=float(d[20]), ident=True)
+    o = jnp.asarray(rng.uniform(-20., 20., (3, 64)))
+    dirs = rng.normal(size=(3, 64))
+    dirs /= np.linalg.norm(dirs, axis=0)
+    dv = jnp.asarray(dirs)
+    t = _intersectConst(r, o[0], o[1], o[2], dv[0], dv[1], dv[2], 1e-4)
+    assert float(jnp.min(t)) >= 0.5 * _BIG, (kind, trim0)
