@@ -70,7 +70,9 @@ SMEM_SURF_LIMIT = int(os.environ.get('ODW_TPU_SMEM_SURF_LIMIT', '4096'))
 # SMEM analytic-surface sweep: rows per Morton chunk for the per-ray
 # broad-phase cull (_chunkSurfRows — the triangle-chunk mechanism applied
 # to the scalar surface table; chunked runs are padded to this stride).
-_SURF_CHUNK = 32
+# Smaller chunks cull tighter (the survivor sweep costs ~55 vector ops per
+# ROW, the prepass ~30 per CHUNK); overridable for A/B probes.
+_SURF_CHUNK = int(os.environ.get('ODW_TPU_SURF_CHUNK', '16'))
 
 # Winner-attribute pass after the argmin sweep: 'accum' gathers the winning
 # surface's transform/orient/normal-params as columns via one cheap select
@@ -2648,16 +2650,18 @@ def makePallasTraceStep(scene, histSpec, generator, raysPerStep,
           maxIntersections, surfAllowed, unrollK,
           triTable=triTable, surfTable=surfTable)
   # tile-stratified point-source sampling (see _sampleRays docstring):
-  # 'auto' enables it exactly where tile coherence pays — chunk-culled SMEM
-  # meshes, where a narrow per-tile (theta, phi) wedge lets the per-ray
-  # broad-phase skip most chunks. Unbiased; explicitly opt in/out via
-  # tileStratified=True/False for other scenes.
+  # each tile draws its (theta, phi) quantiles from its own stratum of a
+  # G1 x G2 latin decomposition — unbiased, variance-reducing, and it
+  # makes every tile a narrow angular wedge, so (a) chunk-culled SMEM
+  # geometry skips most chunks per tile and (b) tiles die COHERENTLY by
+  # angle, so the all-dead early exit fires bounces sooner (interleaved
+  # v5e A/B, round 5: example 2 0.98 -> 1.30 G, headline 2.90 -> 2.96,
+  # 200-tri dish neutral). 'auto' therefore enables it for every
+  # point-source in-kernel sampler whose grid decomposes; opt out via
+  # tileStratified=False.
   nGridTiles = raysPerStep // tile
   if (sampler is not None and sampler.get('type') != 'surface'
-      and nGridTiles > 1
-      and (tileStratified is True
-           or (tileStratified == 'auto'
-               and (nTriChunks > 1 or nSurfChunks > 0)))):
+      and nGridTiles > 1 and tileStratified in (True, 'auto')):
     k2 = max(int(nGridTiles).bit_length() - 1, 0) // 2
     G2 = 1 << k2
     G1 = nGridTiles // G2
