@@ -396,9 +396,12 @@ def test_in_kernel_sampler_uniform_seam_interpret():
   key = jax.random.PRNGKey(17)
   kw = dict(raysPerStep=N, maxIntersections=2, maxRayLength=1e6,
             distTol=1e-4, interpret=True, tile=TILE)
+  # tileStratified=False: the reference recomputation below feeds the RAW
+  # uniforms through the marginals; the (now default-on) per-tile strata
+  # would remap them per tile (covered by the distribution-level test)
   stepS = pallas_trace.makePallasTraceStep(
       device, histSpec, src.deviceColumnsGenerator(), sampler=spec,
-      uniformProvider='input', **kw)
+      uniformProvider='input', tileStratified=False, **kw)
   hS, cS = stepS(key, fused.initHistograms(histSpec))
 
   us = jax.random.uniform(jax.random.fold_in(key, 0x0177),
@@ -1692,7 +1695,6 @@ def test_smem_surface_chunking_host_invariants():
   kind, trim0, c0, c1, rowStart = chunkRuns[0]
   nCh = c1 - c0
   assert nCh == -(-80 // _SURF_CHUNK) and len(boxes) == nCh
-  assert (c1 - c0) * _SURF_CHUNK == 3 * _SURF_CHUNK
   # every real row appears exactly once in the chunked block
   block = table[rowStart:rowStart + nCh * _SURF_CHUNK]
   real = block[np.abs(block[:, 20] - 5.) < 1e-6]
