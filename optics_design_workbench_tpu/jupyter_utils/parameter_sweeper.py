@@ -751,6 +751,38 @@ class ParameterSweeper:
     maxRayLength = float(settings.maxRayLength())
     distTol = float(max(settings.distanceTolerance(), 1e-4))
 
+    # ---- Pallas sweep kernel (round-4 verdict #1 option (a)): identical
+    # sources + SMEM-able varying surfaces ride ONE kernel whose grid is
+    # variant-major, at the scene's normal in-kernel rate instead of the
+    # ~25 M seg/s XLA lax.map class; falls through to the XLA step when
+    # the parameter set cannot be expressed that way ----
+    if mode == 'full' and jax.default_backend() != 'cpu' \
+        and getattr(sources[0], 'pallasSamplerSpec', None):
+      from ..ops import pallas_trace as _PT
+      pKey = ('pallas', sig, len(parameterSets), int(raysPerScene),
+              int(maxIntersections), maxRayLength, distTol, tuple(bins),
+              tuple(histBounds))
+      cached = self._ebStepCache.get(pKey, '_miss')
+      if cached == '_miss':
+        try:
+          spec = sources[0].pallasSamplerSpec()
+          cached = _PT.makePallasSweepStep(
+              hostScenes, histBounds, bins, spec, int(raysPerScene),
+              int(maxIntersections), maxRayLength, distTol)
+        except _PT.PallasSweepUnavailable as e:
+          io.verb(f'pallas sweep kernel unavailable ({e}); using the '
+                  f'jitted XLA step')
+          cached = None
+        self._ebStepCache[pKey] = cached
+      if cached is not None:
+        stepP, packTables = cached
+        power, counts, _segs = stepP(jax.random.PRNGKey(seed),
+                                     packTables(hostScenes))
+        power = np.asarray(power)     # ONE device->host fetch
+        counts = np.asarray(counts)
+        return np.array([metric(power[i], counts[i])
+                         for i in range(len(parameterSets))])
+
     stepKey = (treedef, tuple(scalarItems), tuple(mappedIdx), samplerKey,
                flagsTuple, int(maxIntersections), maxRayLength, distTol,
                tuple(bins), 'scatter' in host0)

@@ -349,7 +349,7 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
                 nMasks=0, rawRecords=False, unrollBounces=0, nTriSMEM=0,
                 nTriChunks=0, nSurfSMEM=0, surfRuns=(), nSurfChunks=0,
                 surfChunkRuns=(), firstSurfs=None,
-                bounceSets=None, tailSurfs=None):
+                bounceSets=None, tailSurfs=None, sweepSpec=None):
   '''Build the kernel body with the scene baked in as python constants.
   surfRows: list of per-surface dicts of floats; elemRows likewise.
   histRows: if set (= D*H), the kernel accumulates the (histRows, 2*W)
@@ -489,7 +489,8 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
     strata = sampler.get('tileStrata')
     if strata:
       G1, G2 = strata
-      pid = pl.program_id(0)
+      pid = _sweepCell['localPid'] if sweepSpec is not None \
+          else pl.program_id(0)
       i1 = (pid // G2).astype(jnp.float32)
       i2 = (pid % G2).astype(jnp.float32)
       u1 = (i1 + u1) * float(1.0 / G1)
@@ -520,9 +521,24 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
 
   needSeed = (sampler is not None or scatterConsts) and not nUniformInputs
 
+  # batched-sweep mode (makePallasSweepStep): the grid is VARIANT-MAJOR
+  # (V * tilesPerVariant steps); each step derives its variant id and
+  # within-variant tile id, offsets the SMEM surface-row reads and the
+  # histogram rows by the variant, and seeds/stratifies by the LOCAL tile
+  # id — so every variant traces the IDENTICAL ray set (common random
+  # numbers: metric differences between variants are pure geometry).
+  _sweepCell = {'vI': None, 'localPid': None, 'rowOff': None, 'vF': None}
+
   def kernel(*refs):
     _uniformCtr[0] = 0
     _uniformRefs.clear()
+    if sweepSpec is not None:
+      pid = pl.program_id(0)
+      tPV = sweepSpec['tilesPerVariant']
+      _sweepCell['vI'] = pid // tPV
+      _sweepCell['localPid'] = pid % tPV
+      _sweepCell['rowOff'] = _sweepCell['vI'] * sweepSpec['rowsPerVariant']
+      _sweepCell['vF'] = _sweepCell['vI'].astype(jnp.float32)
     i0 = 0 if sampler is not None else 8
     if sampler is None:
       (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, pw_ref,
@@ -572,7 +588,9 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
     else:
       hist_ref, segOut_ref, ovfOut_ref = out_refs
     if needSeed:
-      pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+      pltpu.prng_seed(seed_ref[0],
+                      _sweepCell['localPid'] if sweepSpec is not None
+                      else pl.program_id(0))
     if sampler is not None:
       ox, oy, oz, dx, dy, dz, pw, wl = _sampleRays(segOut_ref.shape)
     else:
@@ -927,11 +945,14 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
 
         cS = (zeroV + _BIG, zeroV, zeroV, zeroV, zeroV - 1.0, zeroV,
               zeroV)
+        # batched-sweep mode: the table stacks every variant's rows
+        # (variant-major); offset this tile's reads to its variant block
+        rowBase = _sweepCell['rowOff'] if sweepSpec is not None else 0
         for runKind, runTrim0, runStart, runStop in surfRuns:
           cS = lax.fori_loop(
               runStart, runStop,
-              lambda i, cc, _k=runKind, _t=runTrim0: _surfBody(i, cc, _k,
-                                                               _t), cS)
+              lambda i, cc, _k=runKind, _t=runTrim0:
+                  _surfBody(rowBase + i, cc, _k, _t), cS)
         # ---- chunk-culled runs (_chunkSurfRows): per-run scalar prepass
         # slab-tests each Morton-chunk AABB against every alive ray
         # (capped at the ray's current best hit, INCLUDING the plain-run
@@ -1528,15 +1549,30 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
     acc = jnp.concatenate([accP, accC], axis=1)
     # the hist block is revisited by every grid step (TPU grids run
     # sequentially): initialize on the first step, accumulate after
-    i = pl.program_id(0)
+    if sweepSpec is not None:
+      # batched sweep: this variant's (D*H, 2W) rows live at a dynamic
+      # offset in the stacked (V*D*H, 2W) block; the one-hot binning above
+      # stays LOCAL (histRows = D*H), so binning cost does not scale with
+      # the variant count. The variant's FIRST tile initializes its block.
+      blk = pl.ds(_sweepCell['vI'] * histRows, histRows)
 
-    @pl.when(i == 0)
-    def _():
-      hist_ref[:, :] = acc
+      @pl.when(_sweepCell['localPid'] == 0)
+      def _():
+        hist_ref[blk, :] = acc
 
-    @pl.when(i > 0)
-    def _():
-      hist_ref[:, :] = hist_ref[:, :] + acc
+      @pl.when(_sweepCell['localPid'] > 0)
+      def _():
+        hist_ref[blk, :] = hist_ref[blk, :] + acc
+    else:
+      i = pl.program_id(0)
+
+      @pl.when(i == 0)
+      def _():
+        hist_ref[:, :] = acc
+
+      @pl.when(i > 0)
+      def _():
+        hist_ref[:, :] = hist_ref[:, :] + acc
     segOut_ref[:] = segCount
     ovfOut_ref[:] = overflow
 
@@ -2850,6 +2886,186 @@ def makePallasTraceStep(scene, histSpec, generator, raysPerStep,
     return hist, jax.tree.map(lambda x: jnp.sum(x, axis=0), counters)
 
   return stepScan
+
+
+class PallasSweepUnavailable(Exception):
+  '''The batched-variant sweep cannot ride the Pallas kernel for this
+  parameter set (caller falls back to the jitted XLA lax.map path).'''
+
+
+def makePallasSweepStep(hostScenes, histBounds, bins, samplerSpec,
+                        raysPerVariant, maxIntersections, maxRayLength,
+                        distTol, powerTol=1e-6, interpret=False,
+                        tile='auto'):
+  '''Batched parameter sweep THROUGH the Pallas kernel (round-4 verdict
+  #1, option (a)): every variant's VARYING surfaces ride one stacked
+  (V * rowsPerVariant, 21) SMEM table; the grid is variant-major
+  (V * tilesPerVariant steps) and each tile offsets its SMEM row reads
+  and histogram rows by its variant id, so ONE compiled kernel traces
+  every variant at in-kernel speed (the jitted XLA lax.map fallback runs
+  ~25 M seg/s; this kernel runs the scene's normal 0.5-3 G seg/s class).
+  Tiles seed and stratify by the WITHIN-variant tile id — every variant
+  traces the identical ray set (common random numbers), so metric
+  differences between variants are pure geometry, the property a
+  `ParameterSweeper.optimize` probe loop wants.
+
+  hostScenes: [(hostSceneDict, info), ...] compiled with devicePut=False,
+  structurally identical (the _evaluateBatchedFast contract). Surfaces
+  numerically identical across variants stay python-float immediates;
+  varying ones must be SMEM-able (plane/sphere/cylinder/cone/quadric,
+  window trims) or PallasSweepUnavailable raises. Requires an in-kernel
+  sampler spec (identical sources) and an in-kernel-histogram-sized
+  binning (D*H % 8 == 0, W <= 128 or W % 128 == 0).
+
+  Returns (step, packTables): `step(key, surfTable)` ->
+  (power (V, D, H, W), counts (V, D, H, W), segments) jitted;
+  `packTables(hostScenes)` -> the (V * rowsPerVariant, 21) f32 numpy
+  table for the CURRENT variant values (the step is cached on structure,
+  the table is data).'''
+  from ..tracing import fused as _fused
+  from ..tracing.batch_tracer import scatterConstants
+
+  V = len(hostScenes)
+  if V < 2:
+    raise PallasSweepUnavailable('needs >= 2 variants')
+  host0, info0 = hostScenes[0]
+  if not pallasEligible(host0):
+    raise PallasSweepUnavailable(pallasIneligibleReason(host0))
+  histSpec = _fused.makeHistogramSpec(host0, info0, bounds=histBounds,
+                                      bins=bins)
+  H, W = bins
+  D = int(np.asarray(histSpec['bounds']).shape[0])
+  if (D * H) % 8 or D * H > 2048 // 1:
+    raise PallasSweepUnavailable(f'histogram rows D*H={D * H} not '
+                                 f'8-aligned or too large')
+  if W <= 128 and 128 % W == 0:
+    Wk = 128
+  elif W % 128 == 0:
+    Wk = W
+  else:
+    raise PallasSweepUnavailable(f'W={W} not a 128-divisor or '
+                                 f'lane-aligned')
+  if V * D * H > 2048 or V * D * H * 2 * Wk * 4 > (4 << 20):
+    raise PallasSweepUnavailable('stacked histogram exceeds the VMEM '
+                                 'budget')
+  if samplerSpec is None or samplerSpec.get('type') == 'surface':
+    raise PallasSweepUnavailable('needs an in-kernel point-source sampler')
+  surfAllowed, seqSpec = _staticMasks(host0)
+  if surfAllowed is not None or seqSpec is not None:
+    raise PallasSweepUnavailable('per-source masks / sequential mode')
+
+  partsV = [_sceneRows(h, histSpec) for h, _i in hostScenes]
+  if any(len(p[2]) for p in partsV):
+    raise PallasSweepUnavailable('bitmap trims')
+  rows0, elemRows = partsV[0][0], partsV[0][1]
+  nS = len(rows0)
+  if any(len(p[0]) != nS for p in partsV):
+    raise PallasSweepUnavailable('surface counts differ')
+  for p in partsV[1:]:
+    for e0, e1 in zip(elemRows, p[1]):
+      if any(not np.array_equal(e0[k], e1[k]) for k in e0
+             if k != 'nPoly') or e0['nPoly'] != e1['nPoly']:
+        raise PallasSweepUnavailable('element rows differ across variants')
+
+  _PACK = ('r00', 'r01', 'r02', 'r10', 'r11', 'r12', 'r20', 'r21', 'r22',
+           't0', 't1', 't2', 'orient', 'elemF', 'p0', 'p1', 'p2', 'p3',
+           'p4', 'trim1', 'trim2')
+
+  def _rowVec(r):
+    return np.array([r[k] for k in _PACK], dtype=np.float32)
+
+  varyingIdx = []
+  for s in range(nS):
+    vecs = [_rowVec(p[0][s]) for p in partsV]
+    kinds = {p[0][s]['kind'] for p in partsV}
+    trims = {p[0][s]['trim0'] for p in partsV}
+    if len(kinds) > 1 or len(trims) > 1:
+      raise PallasSweepUnavailable('surface kinds/trims differ')
+    if all(np.array_equal(vecs[0], v) for v in vecs[1:]):
+      continue
+    r = partsV[0][0][s]
+    if r['kind'] not in _SMEM_SURF_KINDS or r['trim0'] not in (0., 1.) \
+        or r.get('holePrims'):
+      raise PallasSweepUnavailable(
+          f'varying surface {s} (kind {r["kind"]}, trim {r["trim0"]}) '
+          f'is not SMEM-able')
+    varyingIdx.append(s)
+  if not varyingIdx:
+    raise PallasSweepUnavailable('no varying surfaces (nothing to sweep)')
+  # stable (kind, trim0) ordering -> contiguous static-formula runs
+  varyingIdx.sort(key=lambda s: (rows0[s]['kind'], rows0[s]['trim0'], s))
+  rowsPerVariant = len(varyingIdx)
+  if rowsPerVariant > SMEM_SURF_LIMIT or \
+      V * rowsPerVariant * 21 > 20790:
+    raise PallasSweepUnavailable('stacked SMEM table exceeds the '
+                                 'compiler budget')
+  surfRuns = []
+  for j, s in enumerate(varyingIdx):
+    k, t0 = rows0[s]['kind'], rows0[s]['trim0']
+    if surfRuns and surfRuns[-1][0] == k and surfRuns[-1][1] == t0:
+      surfRuns[-1] = (k, t0, surfRuns[-1][2], j + 1)
+    else:
+      surfRuns.append((k, t0, j, j + 1))
+  sharedRows = [r for s, r in enumerate(rows0) if s not in set(varyingIdx)]
+
+  def packTables(hostScenesNow):
+    parts = [_sceneRows(h, histSpec) for h, _i in hostScenesNow]
+    return np.stack([_rowVec(p[0][s]) for p in parts
+                     for s in varyingIdx])
+
+  scatterConsts = scatterConstants(host0)
+  if tile == 'auto':
+    tile = 4096 if len(sharedRows) + rowsPerVariant > 16 else 8192
+  # the in-kernel sampler draws per tile, so the variant's ray count
+  # rounds UP to a whole number of tiles (callers get >= the rays asked)
+  raysPerVariant = -(-int(raysPerVariant) // tile) * tile
+  tilesPerVariant = raysPerVariant // tile
+  rows = tile // 128
+  sampler = dict(samplerSpec)
+  if tilesPerVariant > 1:
+    k2 = max(int(tilesPerVariant).bit_length() - 1, 0) // 2
+    G2 = 1 << k2
+    G1 = tilesPerVariant // G2
+    if G1 * G2 == tilesPerVariant:
+      sampler['tileStrata'] = (int(G1), int(G2))
+  hitSlots = autoHitSlots(host0, histSpec, maxIntersections)
+  kernel = _makeKernel(
+      sharedRows, elemRows, histSpec['elemToDet'], histSpec['bounds'],
+      (H, Wk), maxIntersections, float(maxRayLength), float(distTol),
+      float(powerTol), histRows=D * H, hitSlots=hitSlots,
+      sampler=sampler, scatterConsts=scatterConsts,
+      nSurfSMEM=V * rowsPerVariant, surfRuns=tuple(surfRuns),
+      unrollBounces=_shouldUnroll(host0, maxIntersections),
+      sweepSpec=dict(V=V, tilesPerVariant=tilesPerVariant,
+                     rowsPerVariant=rowsPerVariant, DH=D * H))
+  grid = (V * tilesPerVariant,)
+  totalRows = V * raysPerVariant // 128
+  spec = pl.BlockSpec((rows, 128), lambda i: (i, 0),
+                      memory_space=pltpu.VMEM)
+  histBlock = pl.BlockSpec((V * D * H, 2 * Wk), lambda i: (0, 0),
+                           memory_space=pltpu.VMEM)
+  traceCall = pl.pallas_call(
+      kernel,
+      grid=grid,
+      in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM)],
+      out_specs=[histBlock, spec, spec],
+      out_shape=[jax.ShapeDtypeStruct((V * D * H, 2 * Wk), jnp.float32),
+                 jax.ShapeDtypeStruct((totalRows, 128), jnp.float32),
+                 jax.ShapeDtypeStruct((totalRows, 128), jnp.float32)],
+      interpret=(pltpu.InterpretParams() if interpret else False),
+  )
+  colFold = Wk // W
+
+  @jax.jit
+  def step(key, surfTable):
+    seed = jax.random.randint(key, (1,), 0, 2 ** 31 - 1, dtype=jnp.int32)
+    hist, segs, _ovf = traceCall(seed, surfTable.astype(jnp.float32))
+    power = hist[:, :Wk].reshape(V, D, H, W, colFold).sum(-1)
+    counts = hist[:, Wk:].reshape(V, D, H, W, colFold).sum(-1)
+    return power, counts, jnp.sum(segs)
+
+  return step, packTables
 
 
 def makePallasRawStep(scene, histSpec, generator, raysPerStep,

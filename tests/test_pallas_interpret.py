@@ -1723,3 +1723,76 @@ def test_smem_surface_chunking_host_invariants():
     dv = jnp.asarray(dirs)
     t = _intersectConst(r, o[0], o[1], o[2], dv[0], dv[1], dv[2], 1e-4)
     assert float(jnp.min(t)) >= 0.5 * _BIG, (kind, trim0)
+
+
+def test_pallas_sweep_step_matches_single_scene_interpret():
+  '''makePallasSweepStep: the variant-major sweep kernel (stacked SMEM
+  surface rows, per-variant histogram blocks, within-variant tile
+  seeding/strata) must reproduce EACH variant's single-scene pallas step
+  bin-for-bin with the same key (common random numbers across variants).'''
+  from optics_design_workbench_tpu.models import Scene, PointSource, \
+      OpticalGroup
+
+  def build(R):
+    aperture, thickness = 12., 5.
+    sag = R - np.sqrt(R ** 2 - aperture ** 2)
+    sc = Scene(label=f'sweep{R}')
+    sc.addOpticalGroup(OpticalGroup(
+        OpticalType='Lens', Label='Lens', RefractiveIndex=1.5,
+        surfaces=[
+            S.sphere(T.translation(0, 0, R), elem=0, radius=R,
+                     zRange=(-R, -R + sag + 1e-6), orient=+1),
+            S.plane(T.translation(0, 0, thickness), elem=0,
+                    radius=aperture, orient=+1),
+            S.cylinder(T.translation(0, 0, thickness / 2), elem=0,
+                       radius=aperture,
+                       zRange=(-thickness / 2, thickness / 2), orient=+1)],
+        placements=[T.translation(0, 0, 40)]))
+    sc.addOpticalGroup(OpticalGroup(
+        OpticalType='Absorber', Label='Det', RecordHits=True,
+        surfaces=[S.plane(np.eye(4), elem=0, halfExtents=(60., 60.))],
+        placements=[T.translation(0, 0, 160)]))
+    sc.addSource(PointSource(Label='Src', PowerDensity='exp(-r^2/40)',
+                             FocalLength='inf', RadiusDomain='0, 10',
+                             RadiusResolutionNumericMode='1e3',
+                             Wavelength=532.))
+    sc.addSimulationSettings(RaysPerIteration=1e4, MaxIntersections=6)
+    return sc
+
+  radii = (45., 60., 80.)
+  scenes = [build(r) for r in radii]
+  hostScenes = []
+  for sc in scenes:
+    host, info = sc.compile(devicePut=False)
+    host['powerTol'] = 1e-6
+    hostScenes.append((host, info))
+  src0 = scenes[0].lightSources()[0]
+  spec = src0.pallasSamplerSpec()
+  assert spec is not None
+  bounds = (-60., 60., -60., 60.)
+  step, packTables = pallas_trace.makePallasSweepStep(
+      hostScenes, bounds, (32, 64), spec, raysPerVariant=N,
+      maxIntersections=6, maxRayLength=1e6, distTol=1e-4,
+      interpret=True, tile=TILE)
+  table = packTables(hostScenes)
+  assert table.shape == (3 * 1, 21)      # only the sphere cap varies
+  key = jax.random.PRNGKey(9)
+  power, counts, segs = step(key, table)
+  assert power.shape == (3, 1, 32, 64)
+  from optics_design_workbench_tpu.tracing import fused as F
+  for v, sc in enumerate(scenes):
+    device, info = sc.compile()
+    device['powerTol'] = 1e-6
+    hs = F.makeHistogramSpec(device, info, bounds=bounds, bins=(32, 64))
+    srcV = sc.lightSources()[0]
+    stepS = pallas_trace.makePallasTraceStep(
+        device, hs, srcV.deviceColumnsGenerator(), raysPerStep=N,
+        maxIntersections=6, maxRayLength=1e6, distTol=1e-4,
+        interpret=True, tile=TILE, sampler=srcV.pallasSamplerSpec())
+    hS, cS = stepS(key, F.initHistograms(hs))
+    dC = np.abs(np.asarray(counts[v]) - np.asarray(hS['counts'])).sum()
+    assert dC <= 4, (v, dC)
+    assert abs(float(np.asarray(counts[v]).sum())
+               - float(cS['hits'])) <= 4
+  # different radii must actually produce different histograms
+  assert np.abs(np.asarray(counts[0]) - np.asarray(counts[2])).sum() > 0
