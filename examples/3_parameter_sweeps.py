@@ -6,7 +6,8 @@ Shows both workflows:
   * scipy optimization through ParameterSweeper.optimize (the reference's
     path: one simulation per evaluation),
   * the TPU-native batched sweep: every candidate radius compiled into one
-    stacked scene and traced in a single vmapped call.
+    stacked scene and traced by ONE Pallas sweep kernel (variant-major
+    grid, common random numbers across variants; XLA lax.map fallback).
 '''
 
 import numpy as np
@@ -64,7 +65,7 @@ def main():
                                   setter=setRadius, bounds=(40., 100.))),
       scene=holder['scene'])
 
-  # --- TPU-native batched sweep: all radii in ONE vmapped trace ---
+  # --- TPU-native batched sweep: all radii in ONE kernel dispatch ---
   radii = np.linspace(45., 95., 11)
 
   def spotMetric(power, counts):
