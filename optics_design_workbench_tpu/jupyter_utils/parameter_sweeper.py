@@ -756,19 +756,22 @@ class ParameterSweeper:
     # variant-major, at the scene's normal in-kernel rate instead of the
     # ~25 M seg/s XLA lax.map class; falls through to the XLA step when
     # the parameter set cannot be expressed that way ----
-    if mode == 'full' and jax.default_backend() != 'cpu' \
+    if jax.default_backend() != 'cpu' \
         and getattr(sources[0], 'pallasSamplerSpec', None):
       from ..ops import pallas_trace as _PT
-      pKey = ('pallas', sig, len(parameterSets), int(raysPerScene),
+      pKey = ('pallas', mode, sig, len(parameterSets), int(raysPerScene),
               int(maxIntersections), maxRayLength, distTol, tuple(bins),
               tuple(histBounds))
       cached = self._ebStepCache.get(pKey, '_miss')
       if cached == '_miss':
         try:
           spec = sources[0].pallasSamplerSpec()
+          if spec is None:
+            raise _PT.PallasSweepUnavailable('no in-kernel sampler spec')
           cached = _PT.makePallasSweepStep(
               hostScenes, histBounds, bins, spec, int(raysPerScene),
-              int(maxIntersections), maxRayLength, distTol)
+              int(maxIntersections), maxRayLength, distTol,
+              geomMode=(mode == 'geom'))
         except _PT.PallasSweepUnavailable as e:
           io.verb(f'pallas sweep kernel unavailable ({e}); using the '
                   f'jitted XLA step')
@@ -776,8 +779,10 @@ class ParameterSweeper:
         self._ebStepCache[pKey] = cached
       if cached is not None:
         stepP, packTables = cached
-        power, counts, _segs = stepP(jax.random.PRNGKey(seed),
-                                     packTables(hostScenes))
+        stepArgs = (jax.random.PRNGKey(seed), packTables(hostScenes))
+        if mode == 'geom':
+          stepArgs += (np.stack(geoms).astype(np.float32),)
+        power, counts, _segs = stepP(*stepArgs)
         power = np.asarray(power)     # ONE device->host fetch
         counts = np.asarray(counts)
         return np.array([metric(power[i], counts[i])

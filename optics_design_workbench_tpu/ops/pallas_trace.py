@@ -508,7 +508,18 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
       ldy = jnp.zeros(shape)
       ldz = jnp.ones(shape)
       lox, loy, loz = t * cp, -t * sp, jnp.zeros(shape)
-    R, off = sampler['R'], sampler['off']
+    if sweepSpec is not None and sweepSpec.get('geom'):
+      # geom-mode sweep: placement + wavelength are per-VARIANT scalar
+      # reads (same values the 'full' path would bake as constants)
+      g, v = _sweepCell['geomRef'], _sweepCell['vI']
+      R = [[g[v, 0], g[v, 1], g[v, 2]],
+           [g[v, 3], g[v, 4], g[v, 5]],
+           [g[v, 6], g[v, 7], g[v, 8]]]
+      off = (g[v, 9], g[v, 10], g[v, 11])
+      wl = jnp.zeros(shape) + g[v, 12]
+    else:
+      R, off = sampler['R'], sampler['off']
+      wl = jnp.full(shape, float(sampler['wavelength']))
     ox = R[0][0] * lox + R[0][1] * loy + R[0][2] * loz + off[0]
     oy = R[1][0] * lox + R[1][1] * loy + R[1][2] * loz + off[1]
     oz = R[2][0] * lox + R[2][1] * loy + R[2][2] * loz + off[2]
@@ -516,7 +527,6 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
     dy = R[1][0] * ldx + R[1][1] * ldy + R[1][2] * ldz
     dz = R[2][0] * ldx + R[2][1] * ldy + R[2][2] * ldz
     pw = jnp.ones(shape)
-    wl = jnp.full(shape, float(sampler['wavelength']))
     return ox, oy, oz, dx, dy, dz, pw, wl
 
   needSeed = (sampler is not None or scatterConsts) and not nUniformInputs
@@ -557,7 +567,13 @@ def _makeKernel(surfRows, elemRows, elemToDet, bounds, bins,
     surfRef = rest[nIn] if nSurfSMEM else None    # (nRows, 21) SMEM scalars
     nIn += 1 if nSurfSMEM else 0
     surfChunkRef = rest[nIn] if nSurfChunks else None  # (nCh, 6) AABBs
-    out_refs = rest[nIn + (1 if nSurfChunks else 0):]
+    nIn += 1 if nSurfChunks else 0
+    if sweepSpec is not None and sweepSpec.get('geom'):
+      # per-variant source geometry rows [R(9), off(3), wl] (SMEM): the
+      # sampler reads THIS variant's placement instead of python constants
+      _sweepCell['geomRef'] = rest[nIn]
+      nIn += 1
+    out_refs = rest[nIn:]
     survRef = surfSurvRef = None
     # SMEM scratch written by the scalar broad-phase prepasses (surviving
     # chunk ids); LAST kernel arguments (pallas passes scratch after
@@ -2896,7 +2912,7 @@ class PallasSweepUnavailable(Exception):
 def makePallasSweepStep(hostScenes, histBounds, bins, samplerSpec,
                         raysPerVariant, maxIntersections, maxRayLength,
                         distTol, powerTol=1e-6, interpret=False,
-                        tile='auto'):
+                        tile='auto', geomMode=False):
   '''Batched parameter sweep THROUGH the Pallas kernel (round-4 verdict
   #1, option (a)): every variant's VARYING surfaces ride one stacked
   (V * rowsPerVariant, 21) SMEM table; the grid is variant-major
@@ -2990,7 +3006,7 @@ def makePallasSweepStep(hostScenes, histBounds, bins, samplerSpec,
           f'varying surface {s} (kind {r["kind"]}, trim {r["trim0"]}) '
           f'is not SMEM-able')
     varyingIdx.append(s)
-  if not varyingIdx:
+  if not varyingIdx and not geomMode:
     raise PallasSweepUnavailable('no varying surfaces (nothing to sweep)')
   # stable (kind, trim0) ordering -> contiguous static-formula runs
   varyingIdx.sort(key=lambda s: (rows0[s]['kind'], rows0[s]['trim0'], s))
@@ -3010,8 +3026,8 @@ def makePallasSweepStep(hostScenes, histBounds, bins, samplerSpec,
 
   def packTables(hostScenesNow):
     parts = [_sceneRows(h, histSpec) for h, _i in hostScenesNow]
-    return np.stack([_rowVec(p[0][s]) for p in parts
-                     for s in varyingIdx])
+    rows = [_rowVec(p[0][s]) for p in parts for s in varyingIdx]
+    return (np.stack(rows) if rows else np.zeros((0, 21), np.float32))
 
   scatterConsts = scatterConstants(host0)
   if tile == 'auto':
@@ -3037,18 +3053,21 @@ def makePallasSweepStep(hostScenes, histBounds, bins, samplerSpec,
       nSurfSMEM=V * rowsPerVariant, surfRuns=tuple(surfRuns),
       unrollBounces=_shouldUnroll(host0, maxIntersections),
       sweepSpec=dict(V=V, tilesPerVariant=tilesPerVariant,
-                     rowsPerVariant=rowsPerVariant, DH=D * H))
+                     rowsPerVariant=rowsPerVariant, DH=D * H,
+                     geom=bool(geomMode)))
   grid = (V * tilesPerVariant,)
   totalRows = V * raysPerVariant // 128
   spec = pl.BlockSpec((rows, 128), lambda i: (i, 0),
                       memory_space=pltpu.VMEM)
   histBlock = pl.BlockSpec((V * D * H, 2 * Wk), lambda i: (0, 0),
                            memory_space=pltpu.VMEM)
+  smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+  inSpecs = [smem] + ([smem] if rowsPerVariant else []) \
+      + ([smem] if geomMode else [])
   traceCall = pl.pallas_call(
       kernel,
       grid=grid,
-      in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pltpu.SMEM)],
+      in_specs=inSpecs,
       out_specs=[histBlock, spec, spec],
       out_shape=[jax.ShapeDtypeStruct((V * D * H, 2 * Wk), jnp.float32),
                  jax.ShapeDtypeStruct((totalRows, 128), jnp.float32),
@@ -3058,9 +3077,14 @@ def makePallasSweepStep(hostScenes, histBounds, bins, samplerSpec,
   colFold = Wk // W
 
   @jax.jit
-  def step(key, surfTable):
+  def step(key, surfTable, geomTable=None):
     seed = jax.random.randint(key, (1,), 0, 2 ** 31 - 1, dtype=jnp.int32)
-    hist, segs, _ovf = traceCall(seed, surfTable.astype(jnp.float32))
+    args = (seed,)
+    if rowsPerVariant:
+      args += (surfTable.astype(jnp.float32),)
+    if geomMode:
+      args += (geomTable.astype(jnp.float32),)
+    hist, segs, _ovf = traceCall(*args)
     power = hist[:, :Wk].reshape(V, D, H, W, colFold).sum(-1)
     counts = hist[:, Wk:].reshape(V, D, H, W, colFold).sum(-1)
     return power, counts, jnp.sum(segs)

@@ -1796,3 +1796,61 @@ def test_pallas_sweep_step_matches_single_scene_interpret():
                - float(cS['hits'])) <= 4
   # different radii must actually produce different histograms
   assert np.abs(np.asarray(counts[0]) - np.asarray(counts[2])).sum() > 0
+
+
+def test_pallas_sweep_geom_mode_matches_single_scene_interpret():
+  '''geomMode sweep: variants differing ONLY in source placement read
+  their [R, off, wl] row from SMEM; each variant must reproduce the
+  single-scene kernel (which bakes that same placement as constants)
+  bin-for-bin.'''
+  from optics_design_workbench_tpu.models import Scene, PointSource, \
+      OpticalGroup
+
+  def build(xOff):
+    sc = Scene(label=f'gsweep{xOff}')
+    sc.addOpticalGroup(OpticalGroup(
+        OpticalType='Absorber', Label='Det', RecordHits=True,
+        surfaces=[S.plane(np.eye(4), elem=0, halfExtents=(80., 80.))],
+        placements=[T.translation(0, 0, 60.)]))
+    sc.addSource(PointSource(Label='Src', PowerDensity='exp(-theta^2/0.02)',
+                             ThetaDomain='0, 0.4', Wavelength=532.,
+                             ThetaResolutionNumericMode='1e3',
+                             placement=T.translation(xOff, 0, 1e-3)))
+    sc.addSimulationSettings(RaysPerIteration=1e4, MaxIntersections=2)
+    return sc
+
+  offs = (0., 15., -25.)
+  scenes = [build(x) for x in offs]
+  hostScenes = []
+  for sc in scenes:
+    host, info = sc.compile(devicePut=False)
+    host['powerTol'] = 1e-6
+    hostScenes.append((host, info))
+  from optics_design_workbench_tpu.jupyter_utils.parameter_sweeper import \
+      _sourceGeomRow
+  geoms = np.stack([_sourceGeomRow(sc.lightSources()[0])
+                    for sc in scenes]).astype(np.float32)
+  spec0 = scenes[0].lightSources()[0].pallasSamplerSpec()
+  bounds = (-80., 80., -80., 80.)
+  step, packTables = pallas_trace.makePallasSweepStep(
+      hostScenes, bounds, (32, 64), spec0, raysPerVariant=N,
+      maxIntersections=2, maxRayLength=1e6, distTol=1e-4,
+      interpret=True, tile=TILE, geomMode=True)
+  table = packTables(hostScenes)
+  assert table.shape[0] == 0          # nothing varies but the source
+  key = jax.random.PRNGKey(21)
+  power, counts, _segs = step(key, table, geoms)
+  from optics_design_workbench_tpu.tracing import fused as F
+  for v, sc in enumerate(scenes):
+    device, info = sc.compile()
+    device['powerTol'] = 1e-6
+    hs = F.makeHistogramSpec(device, info, bounds=bounds, bins=(32, 64))
+    srcV = sc.lightSources()[0]
+    stepS = pallas_trace.makePallasTraceStep(
+        device, hs, srcV.deviceColumnsGenerator(), raysPerStep=N,
+        maxIntersections=2, maxRayLength=1e6, distTol=1e-4,
+        interpret=True, tile=TILE, sampler=srcV.pallasSamplerSpec())
+    hS, cS = stepS(key, F.initHistograms(hs))
+    dC = np.abs(np.asarray(counts[v]) - np.asarray(hS['counts'])).sum()
+    assert dC <= 4, (v, dC)
+  assert np.abs(np.asarray(counts[0]) - np.asarray(counts[1])).sum() > 0
